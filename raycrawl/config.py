@@ -1,0 +1,41 @@
+"""Crawl configuration.
+
+Mirrors the reference's env-var knobs (feeder/src/config.rs:26-39,
+manager/src/config.rs:23-34) as a dataclass, plus the Ray-side knobs the
+reference has no analogue for (shard counts, actor pool sizes, batch sizes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    # Reference semantics knobs (feeder/src/config.rs:26-39)
+    max_attempts: int = 3          # MAX_ATTEMPTS; feeder/src/job.rs:108-131
+    max_dns_depth: int = 5         # MAX_DNS_DEPTH; shared/src/dns.rs:15-48
+    max_crawl_depth: int = 5       # MAX_CRAWL_DEPTH; manager/src/routes/crawl.rs:28
+
+    # Ray-side physical knobs (no reference analogue; SURVEY.md §4)
+    num_seen_shards: int = 8       # URL-seen filter shards (hash(url) % S)
+    fetch_concurrency: int = 8     # FetchActor pool size (reference: 8 feeders,
+                                   # web-crawler/values.yaml:45)
+    fetch_batch_size: int = 4096
+    candidate_batch_size: int = 8192
+
+    # Politeness / robots — NOT present in the reference (SURVEY.md §2.6 L1:
+    # "no priority, no politeness ordering, no rate limit per host exists in
+    # the reference").  Off by default so crawl output matches reference
+    # semantics exactly; turned on for the north-star politeness tests.
+    politeness_delay_ms: float = 0.0   # min per-host interval between fetches
+    respect_robots: bool = False       # synthetic robots.txt (deterministic)
+
+    # Seen-filter backend: "set" (exact python set of 16-byte keys; test
+    # scale) or "sortedruns" (numpy sorted runs + Bloom front; the 10^10
+    # design point).  "auto" picks sortedruns above auto_backend_threshold.
+    seen_backend: str = "auto"
+    auto_backend_threshold: int = 2_000_000
+    bloom_bits_per_key: int = 12
+
+    extra: dict = field(default_factory=dict)

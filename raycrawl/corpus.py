@@ -1,0 +1,232 @@
+"""Deterministic synthetic web corpus (FIXTURES.md F1/F2).
+
+Generates the primary input table ``pages`` with exactly the
+``BASELINE.json.input_hint`` schema —
+``url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string``
+— plus ground-truth side tables used only by tests/oracles:
+
+- ``captures.parquet`` (``src_url``, ``captures:list<string>``): the exact
+  ordered list of strings the reference extraction regex would capture from
+  each page's HTML, derived **analytically from the rendering rules** (not
+  by running our regex), so the kernel conformance test is independent.
+- ``seeds.parquet`` (``url``, ``depth``): raw, messy seed URLs.
+
+Topology: hosts drawn from a seeded universe with Zipf-ish link-target
+popularity (host 0 is a hot hub, for skew handling); ~``ghost_frac`` of link
+targets have no page (→ 404); rendering variants cover the adversarial cases
+from the reference's own tests (www-variants, mixed-case hosts, uppercase
+scheme NOT captured, paths collapsed, ports, duplicates kept) —
+shared/src/crawler.rs:62-114, shared/src/url_normalize.rs:24-69.
+
+Everything is a pure function of (n_hosts, seed): regenerating is
+idempotent and cheap; outputs are cached under /tmp.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raycrawl.kernels import hash64_int
+from raycrawl import sim
+from raycrawl import dns_synth
+from raycrawl.kernels import normalize_url
+
+_BASE_TS_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in µs
+
+_TAG_RE = re.compile(r"<[^>]+>")
+
+PRESETS = {
+    "tiny": dict(n_hosts=200, mean_links=6),
+    "small": dict(n_hosts=5_000, mean_links=8),
+    "bench": dict(n_hosts=120_000, mean_links=10),
+}
+
+
+def host_name(i: int) -> str:
+    """Deterministic lowercase hostname for universe index i (varied shapes:
+    plain, multi-TLD, hyphens, deep subdomains — exercising the DNS
+    suffix-iteration and the extractor charset)."""
+    m = hash64_int(f"shape:{i}") % 10
+    if m < 4:
+        return f"site{i}.com"
+    if m < 6:
+        return f"my-site{i}.co.uk"
+    if m < 8:
+        return f"api.sub{i % 97}.example{i}.org"
+    if m == 8:
+        return f"deep.a{i}.b{i % 13}.net"
+    return f"xn-host{i}.io"
+
+
+def host_proto(i: int) -> str:
+    """Canonical scheme of the page for host i (lowercase)."""
+    return "http" if hash64_int(f"proto:{i}") % 4 == 0 else "https"
+
+
+def _mixed_case(host: str) -> str:
+    return ".".join(p[:1].upper() + p[1:] for p in host.split("."))
+
+
+def render_link(target_host: str, variant: int, proto: str = "https") -> tuple[str, list[str]]:
+    """→ (html snippet, analytically-expected regex captures, in order).
+
+    ``proto`` is the target's canonical scheme so most links actually hit a
+    page; variant 6 deliberately uses the wrong scheme (→ 404 path).
+    """
+    if variant == 0:
+        raw = f"{proto}://{target_host}"
+        return f'<a href="{raw}">link</a>', [raw]
+    if variant == 1:
+        raw = f"{proto}://www.{target_host}"
+        return f'<a href="{raw}/path/to/page">deep</a>', [raw]
+    if variant == 2:
+        raw = f"{proto}://{_mixed_case(target_host)}"
+        return f"see {raw} for details", [raw]
+    if variant == 3:
+        # Uppercase scheme: the reference regex is case-sensitive on the
+        # scheme (crawler.rs:9) → never captured.
+        raw = f"{proto.upper()}://{target_host.upper()}"
+        return f"SHOUTING {raw} IS NOT A LINK", []
+    if variant == 4:
+        raw = f"{proto}://{target_host}:8080"
+        return f'<a href="{raw}/x?q=1">port</a>', [raw]
+    if variant == 6:
+        wrong = "http" if proto == "https" else "https"
+        raw = f"{wrong}://{target_host}"
+        return f'<a href="{raw}">stale-scheme</a>', [raw]
+    # variant 5: bare duplicates, kept in document order
+    raw = f"{proto}://{target_host}"
+    return f"{raw} and again {raw}", [raw, raw]
+
+
+_FILLER_WORDS = [
+    "lorem", "ipsum", "dolor", "sit", "amet", "consectetur", "adipiscing",
+    "elit", "sed", "do", "eiusmod", "tempor", "incididunt", "labore",
+    "dolore", "magna", "aliqua", "enim", "minim", "veniam", "quis",
+]
+
+
+def _filler(rng: np.random.Generator, n_words: int) -> str:
+    idx = rng.integers(0, len(_FILLER_WORDS), size=n_words)
+    return " ".join(_FILLER_WORDS[i] for i in idx)
+
+
+def generate_corpus(
+    out_dir: str,
+    n_hosts: int = 200,
+    seed: int = 42,
+    ghost_frac: float = 0.12,
+    mean_links: int = 6,
+    hub_out_links: int = 200,
+    n_seeds: int = 4,
+) -> str:
+    """Write pages/captures/seeds parquet into out_dir (idempotent)."""
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    n_ghosts = max(1, int(n_hosts * ghost_frac))
+    universe = n_hosts + n_ghosts  # targets may point at ghosts (no page → 404)
+    hosts = [host_name(i) for i in range(universe)]
+
+    # Zipf-ish target popularity over the whole universe.
+    weights = 1.0 / np.power(np.arange(1, universe + 1, dtype=np.float64), 1.05)
+    weights /= weights.sum()
+
+    urls, ts, htmls, texts, langs = [], [], [], [], []
+    cap_src, cap_lists = [], []
+    for i in range(n_hosts):
+        h = hosts[i]
+        url = f"{host_proto(i)}://{h}"
+        k = hub_out_links if i == 0 else max(1, int(rng.poisson(mean_links)))
+        targets = rng.choice(universe, size=k, p=weights)
+        variants = rng.integers(0, 7, size=k)
+        snippets, caps = [], []
+        for t, v in zip(targets, variants):
+            snip, c = render_link(hosts[int(t)], int(v), host_proto(int(t)))
+            snippets.append(snip)
+            caps.extend(c)
+        # occasional self-link (ROOT-label vs URL-label quirk exercise)
+        if hash64_int(f"self:{i}") % 7 == 0:
+            snip, c = render_link(h, 0, host_proto(i))
+            snippets.append(snip)
+            caps.extend(c)
+        body = f"<p>{_filler(rng, 40 + int(rng.integers(0, 200)))}</p>\n" + "\n".join(
+            f"<p>{s}</p>" for s in snippets
+        )
+        html = (
+            f"<html><head><title>{h}</title></head><body>\n{body}\n</body></html>"
+        )
+        urls.append(url)
+        ts.append(_BASE_TS_US + i * 1_000_000)
+        htmls.append(html.encode("utf-8"))
+        texts.append(_TAG_RE.sub("", html))
+        langs.append(["en", "de", "fr", "es", "pt"][hash64_int(f"lang:{h}") % 5])
+        cap_src.append(url)
+        cap_lists.append(caps)
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "src_url": pa.array(cap_src, pa.string()),
+                "captures": pa.array(cap_lists, pa.list_(pa.string())),
+            }
+        ),
+        os.path.join(out_dir, "captures.parquet"),
+    )
+
+    # Seeds: raw messy forms of hosts whose root fetch + DNS will succeed
+    # (the reference aborts the whole crawl otherwise — routes/crawl.rs:48-83).
+    seed_urls, seed_depths = [], []
+    i = 0
+    while len(seed_urls) < n_seeds and i < n_hosts:
+        name, proto = normalize_url(f"{host_proto(i)}://{hosts[i]}")
+        ok = (
+            sim.fetch_status(name, proto, 1, True) == sim.STATUS_OK
+            and dns_synth.get_network_stats(name) is not None
+        )
+        if ok:
+            # messy raw form: mixed case + www. prefix on even seeds
+            raw = f"{host_proto(i)}://" + (
+                "www." + _mixed_case(hosts[i]) if len(seed_urls) % 2 == 0 else hosts[i]
+            )
+            seed_urls.append(raw)
+            seed_depths.append(2 + len(seed_urls) % 3)  # depths 3,4,2,3...
+        i += 1
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(seed_urls, pa.string()),
+                "depth": pa.array(seed_depths, pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "seeds.parquet"),
+    )
+
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
+def ensure_corpus(tag: str = "tiny", seed: int = 42, base: str = "/tmp/raycrawl_corpus") -> str:
+    """Cached preset corpus → directory path."""
+    preset = PRESETS[tag]
+    out = os.path.join(base, f"{tag}_s{seed}")
+    return generate_corpus(out, seed=seed, **preset)

@@ -1,0 +1,148 @@
+"""Conformance vectors ported verbatim from the reference unit tests
+(FIXTURES.md F4): shared/src/crawler.rs:62-114,
+shared/src/url_normalize.rs:24-69, shared/src/dns.rs:68-96 — outputs must be
+byte-identical. Plus scalar-vs-vectorized agreement (hypothesis)."""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raycrawl.dns_synth import candidate_domains
+from raycrawl.kernels import (
+    extract_urls,
+    normalize_url,
+    normalize_urls_arrow,
+)
+
+# --- extract_urls (shared/src/crawler.rs:62-114) ---------------------------
+
+
+def test_extract_urls_basic():
+    html = '<a href="https://google.com">link</a> and http://example.org too'
+    assert extract_urls(html) == ["https://google.com", "http://example.org"]
+
+
+def test_extract_urls_strips_paths():
+    assert extract_urls("Visit https://example.com/path/to/page for more") == [
+        "https://example.com"
+    ]
+
+
+def test_extract_urls_empty():
+    assert extract_urls("no urls here") == []
+
+
+def test_extract_urls_multiple_same_page():
+    html = "https://a.com https://b.com http://c.org https://a.com"
+    assert extract_urls(html) == [
+        "https://a.com",
+        "https://b.com",
+        "http://c.org",
+        "https://a.com",
+    ]
+
+
+def test_extract_urls_with_hyphens_and_dots():
+    html = "https://my-site.co.uk and http://sub.example-domain.com"
+    assert extract_urls(html) == [
+        "https://my-site.co.uk",
+        "http://sub.example-domain.com",
+    ]
+
+
+def test_extract_urls_with_ports():
+    html = "Visit https://example.com:8080/path and http://localhost:3000 for more"
+    assert extract_urls(html) == ["https://example.com:8080", "http://localhost:3000"]
+
+
+def test_extract_urls_uppercase_scheme_not_captured():
+    # The regex scheme is lowercase-only (crawler.rs:9).
+    assert extract_urls("HTTPS://EXAMPLE.COM and HTTP://FOO.ORG") == []
+
+
+# --- normalize_url (shared/src/url_normalize.rs:24-69) ---------------------
+
+
+def test_normalize_https_with_www():
+    assert normalize_url("https://www.Google.com") == ("GOOGLE.COM", "HTTPS://")
+
+
+def test_normalize_http_no_www():
+    assert normalize_url("http://example.org") == ("EXAMPLE.ORG", "HTTP://")
+
+
+def test_normalize_https_no_www():
+    assert normalize_url("https://google.com") == ("GOOGLE.COM", "HTTPS://")
+
+
+def test_normalize_preserves_subdomains():
+    assert normalize_url("https://api.sub.example.com") == (
+        "API.SUB.EXAMPLE.COM",
+        "HTTPS://",
+    )
+
+
+def test_normalize_http_with_www():
+    assert normalize_url("http://www.example.com") == ("EXAMPLE.COM", "HTTP://")
+
+
+def test_normalize_preserves_www_in_subdomain():
+    assert normalize_url("https://subdomain.www.example.com") == (
+        "SUBDOMAIN.WWW.EXAMPLE.COM",
+        "HTTPS://",
+    )
+
+
+def test_normalize_schemeless_defaults_to_http():
+    # url_normalize.rs:15-16: no scheme → proto defaults to HTTP://
+    assert normalize_url("www.example.com") == ("EXAMPLE.COM", "HTTP://")
+    assert normalize_url("example.com") == ("EXAMPLE.COM", "HTTP://")
+
+
+# --- DNS candidate suffixes (shared/src/dns.rs:68-96) ----------------------
+
+
+def test_candidates_simple_domain():
+    assert candidate_domains("GOOGLE.COM", 5) == ["GOOGLE.COM"]
+
+
+def test_candidates_subdomain():
+    assert candidate_domains("API.GOOGLE.COM", 5) == ["GOOGLE.COM", "API.GOOGLE.COM"]
+
+
+def test_candidates_deep_subdomain():
+    assert candidate_domains("A.B.C.COM", 5) == ["C.COM", "B.C.COM", "A.B.C.COM"]
+
+
+def test_candidates_respects_max_depth():
+    assert candidate_domains("A.B.C.D.COM", 3) == ["D.COM", "C.D.COM"]
+
+
+def test_candidates_single_part():
+    assert candidate_domains("LOCALHOST", 5) == []
+
+
+# --- vectorized == scalar --------------------------------------------------
+
+url_like = st.one_of(
+    st.text(max_size=40),
+    st.builds(
+        lambda scheme, www, host: f"{scheme}{www}{host}",
+        st.sampled_from(["https://", "http://", "HTTPS://", "HtTp://", ""]),
+        st.sampled_from(["www.", "WWW.", "wWw.", ""]),
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters=".-ß"
+            ),
+            max_size=25,
+        ),
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(url_like, max_size=30))
+def test_normalize_arrow_matches_scalar(urls):
+    names, protos = normalize_urls_arrow(pa.array(urls, pa.string()))
+    expected = [normalize_url(u) for u in urls]
+    assert list(zip(names.to_pylist(), protos.to_pylist())) == expected
