@@ -1,0 +1,236 @@
+"""Sharded URL-seen filter — the dedup role Neo4j's MERGE/anti-join plays in
+the reference (feeder/src/job.rs:138-165 anti-join J1; :180 MERGE J2;
+SURVEY.md §2.3 ST3, §7.3).
+
+Design (the 10^10-URL design point, tested at small scale):
+
+- S shards, each a Ray actor; a URL key routes to ``hash_hi % S``. Both the
+  J1 anti-join key (the *raw-uppercased* candidate string) and the
+  authoritative node key (the *normalized* ``http_type + name`` id) are
+  checked against the same committed set — string equality under one hash
+  function makes the two-stage dedup of the reference exact (SURVEY §7.4).
+- Keys are 128-bit (two independently-seeded xxh64 lanes): 64-bit would
+  birthday-collide with certainty at 10^10 keys.
+- **Round-snapshot semantics**: ``contains`` reads only the committed set;
+  ``add_pending`` buffers; the driver calls ``commit`` at the round barrier.
+  This is what makes the round-synchronous BFS deterministic (oracle.py).
+- Backends: ``set`` — exact Python set of 16-byte keys (test scale);
+  ``sortedruns`` — Bloom front + sorted numpy runs with vectorized
+  searchsorted membership and periodic compaction (scale path; ~16 B/key
+  flat arrays instead of ~100 B/key Python set entries).
+- Checkpointing: per-round deltas are returned by ``commit`` and written to
+  Parquet by the driver; ``bulk_load`` restores (resume = union of deltas).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pack_keys(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """(hi, lo) uint64 pairs → structured array (sortable, hashable rows)."""
+    out = np.empty(len(hi), dtype=[("hi", "<u8"), ("lo", "<u8")])
+    out["hi"] = hi
+    out["lo"] = lo
+    return out
+
+
+class _SetBackend:
+    """Exact membership via a Python set of 16-byte keys."""
+
+    def __init__(self):
+        self._set: set[bytes] = set()
+
+    def contains(self, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+        buf = pack_keys(hi, lo).tobytes()
+        s = self._set
+        return np.fromiter(
+            (buf[i : i + 16] in s for i in range(0, len(buf), 16)),
+            dtype=bool,
+            count=len(hi),
+        )
+
+    def add(self, hi: np.ndarray, lo: np.ndarray) -> None:
+        buf = pack_keys(hi, lo).tobytes()
+        self._set.update(buf[i : i + 16] for i in range(0, len(buf), 16))
+
+    def __len__(self):
+        return len(self._set)
+
+
+class _Bloom:
+    """Vectorized Bloom filter over (hi, lo) uint64 key pairs."""
+
+    def __init__(self, n_bits: int, n_hashes: int = 4):
+        self.m = np.uint64(max(64, n_bits))
+        self.k = n_hashes
+        self.bits = np.zeros(int(self.m) // 8 + 1, dtype=np.uint8)
+
+    def _indices(self, hi, lo):
+        # double hashing: idx_j = (hi + j*lo) mod m
+        js = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return (hi[None, :] + js * lo[None, :]) % self.m  # (k, n)
+
+    def add(self, hi, lo):
+        idx = self._indices(hi, lo).ravel()
+        np.bitwise_or.at(self.bits, (idx >> np.uint64(3)).astype(np.int64),
+                         (1 << (idx & np.uint64(7))).astype(np.uint8))
+
+    def maybe_contains(self, hi, lo) -> np.ndarray:
+        idx = self._indices(hi, lo)
+        byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        return bit.all(axis=0).astype(bool)
+
+
+class _SortedRunsBackend:
+    """Bloom front + sorted (hi, lo) runs; vectorized binary search."""
+
+    def __init__(self, expected_keys: int = 10_000_000, bits_per_key: int = 12,
+                 compact_above: int = 8):
+        self._runs: list[tuple[np.ndarray, np.ndarray]] = []  # (hi sorted, lo)
+        self._bloom = _Bloom(expected_keys * bits_per_key)
+        self._compact_above = compact_above
+        self._n = 0
+
+    @staticmethod
+    def _sort(hi, lo):
+        order = np.lexsort((lo, hi))
+        return hi[order], lo[order]
+
+    @staticmethod
+    def _run_contains(run_hi, run_lo, hi, lo) -> np.ndarray:
+        left = np.searchsorted(run_hi, hi, "left")
+        right = np.searchsorted(run_hi, hi, "right")
+        out = np.zeros(len(hi), dtype=bool)
+        width = right - left
+        one = width == 1
+        out[one] = run_lo[left[one]] == lo[one]
+        for i in np.flatnonzero(width > 1):
+            out[i] = lo[i] in run_lo[left[i] : right[i]]
+        return out
+
+    def contains(self, hi, lo) -> np.ndarray:
+        if self._n == 0 or len(hi) == 0:
+            return np.zeros(len(hi), dtype=bool)
+        cand = self._bloom.maybe_contains(hi, lo)
+        out = np.zeros(len(hi), dtype=bool)
+        if not cand.any():
+            return out
+        ci = np.flatnonzero(cand)
+        chi, clo = hi[ci], lo[ci]
+        hit = np.zeros(len(ci), dtype=bool)
+        for run_hi, run_lo in self._runs:
+            miss = ~hit
+            if not miss.any():
+                break
+            hit[miss] |= self._run_contains(run_hi, run_lo, chi[miss], clo[miss])
+        out[ci] = hit
+        return out
+
+    def add(self, hi, lo) -> None:
+        if len(hi) == 0:
+            return
+        self._runs.append(self._sort(np.asarray(hi), np.asarray(lo)))
+        self._bloom.add(hi, lo)
+        self._n += len(hi)
+        if len(self._runs) > self._compact_above:
+            all_hi = np.concatenate([r[0] for r in self._runs])
+            all_lo = np.concatenate([r[1] for r in self._runs])
+            self._runs = [self._sort(all_hi, all_lo)]
+
+    def __len__(self):
+        return self._n
+
+
+def make_backend(kind: str, expected_keys: int = 1_000_000, bits_per_key: int = 12):
+    if kind == "set":
+        return _SetBackend()
+    if kind == "sortedruns":
+        return _SortedRunsBackend(expected_keys=expected_keys, bits_per_key=bits_per_key)
+    raise ValueError(f"unknown seen backend {kind!r}")
+
+
+class SeenShardImpl:
+    """One shard of the crawl-scoped URL-seen set (plain class; wrapped in a
+    Ray actor by the driver via ``ray.remote(SeenShardImpl)``)."""
+
+    def __init__(self, shard_id: int, backend: str = "set",
+                 expected_keys: int = 1_000_000, bits_per_key: int = 12):
+        self.shard_id = shard_id
+        self._committed = make_backend(backend, expected_keys, bits_per_key)
+        self._pending_hi: list[np.ndarray] = []
+        self._pending_lo: list[np.ndarray] = []
+
+    def contains(self, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+        """Membership against the committed (round-start) snapshot only."""
+        return self._committed.contains(np.asarray(hi, np.uint64), np.asarray(lo, np.uint64))
+
+    def add_pending(self, hi: np.ndarray, lo: np.ndarray) -> int:
+        """Buffer discoveries for the round barrier; invisible to contains()."""
+        self._pending_hi.append(np.asarray(hi, np.uint64))
+        self._pending_lo.append(np.asarray(lo, np.uint64))
+        return sum(len(a) for a in self._pending_hi)
+
+    def commit(self) -> tuple[np.ndarray, np.ndarray]:
+        """Round barrier: fold pending into committed; return the (deduped)
+        delta so the driver can checkpoint it."""
+        if not self._pending_hi:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        hi = np.concatenate(self._pending_hi)
+        lo = np.concatenate(self._pending_lo)
+        self._pending_hi, self._pending_lo = [], []
+        packed = pack_keys(hi, lo)
+        _, first = np.unique(packed, return_index=True)
+        hi, lo = hi[np.sort(first)], lo[np.sort(first)]
+        new = ~self._committed.contains(hi, lo)
+        hi, lo = hi[new], lo[new]
+        self._committed.add(hi, lo)
+        return hi, lo
+
+    def bulk_load(self, hi: np.ndarray, lo: np.ndarray) -> int:
+        """Checkpoint restore: load directly into the committed set."""
+        self._committed.add(np.asarray(hi, np.uint64), np.asarray(lo, np.uint64))
+        return len(self._committed)
+
+    def size(self) -> int:
+        return len(self._committed)
+
+
+class SeenRouter:
+    """Client-side router used inside map_batches stages: splits a key batch
+    by shard and fans calls out to the shard actors (SURVEY §7.3: shuffle key
+    = hash % S — here the 'shuffle' is the actor RPC, not a Dataset
+    exchange)."""
+
+    def __init__(self, handles):
+        self.handles = handles
+        self.n = len(handles)
+
+    def _route(self, hi):
+        return (hi % np.uint64(self.n)).astype(np.int64)
+
+    def contains(self, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+        import ray
+
+        shard = self._route(hi)
+        out = np.zeros(len(hi), dtype=bool)
+        masks, refs = [], []
+        for s in np.unique(shard):
+            m = shard == s
+            masks.append(m)
+            refs.append(self.handles[int(s)].contains.remote(hi[m], lo[m]))
+        for m, r in zip(masks, ray.get(refs)):
+            out[m] = r
+        return out
+
+    def add_pending(self, hi: np.ndarray, lo: np.ndarray) -> None:
+        import ray
+
+        shard = self._route(hi)
+        refs = []
+        for s in np.unique(shard):
+            m = shard == s
+            refs.append(self.handles[int(s)].add_pending.remote(hi[m], lo[m]))
+        ray.get(refs)
