@@ -1,0 +1,57 @@
+"""Demo-crawl provisioning for the driver correctness contract.
+
+The crawl-family queries (A1–A4, S5) aggregate over crawl output tables,
+which don't exist in the driver's sf directories — so both the Ray query
+and its DuckDB oracle run over the SAME deterministic demo-crawl Parquet,
+provisioned here once per process boot (cached under /tmp, idempotent):
+
+- three crawls over the tiny synthetic corpus (seeds 0/1/2), the third
+  cancelled after round 1 → status variety for list/filter queries;
+- crawl ids are fixed ("demo0".."demo2") so the SQL strings can embed them.
+
+``ensure_demo_crawls`` requires an initialized Ray session — the driver
+guarantees one before calling ``queries()`` / ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+import os
+
+DEMO_BASE = "/tmp/raycrawl_demo"
+N_DEMO = 3
+
+
+def demo_ckpts() -> list[str]:
+    return [os.path.join(DEMO_BASE, f"ck{i}") for i in range(N_DEMO)]
+
+
+def nodes_glob() -> str:
+    return os.path.join(DEMO_BASE, "ck*", "final", "nodes", "*.parquet")
+
+
+def edges_glob() -> str:
+    return os.path.join(DEMO_BASE, "ck*", "final", "edges", "*.parquet")
+
+
+def ensure_demo_crawls() -> list[str]:
+    import pyarrow.parquet as pq
+
+    from raycrawl.config import CrawlConfig
+    from raycrawl.corpus import ensure_corpus
+    from raycrawl.crawl import crawl
+
+    corpus = ensure_corpus("tiny")
+    seeds = pq.read_table(os.path.join(corpus, "seeds.parquet")).to_pylist()
+    cfg = CrawlConfig(num_seen_shards=4, fetch_concurrency=4)
+    out = []
+    for i, ck in enumerate(demo_ckpts()):
+        done = os.path.join(ck, "final", "_DONE")
+        if not os.path.exists(done):
+            s = seeds[i % len(seeds)]
+            crawl(
+                corpus, s["url"], int(s["depth"]), ck, cfg=cfg,
+                crawl_id=f"demo{i}", resume=True,
+                cancel_after_round=1 if i == 2 else None,
+            )
+        out.append(ck)
+    return out

@@ -1,0 +1,261 @@
+"""Text-analysis operators over the ``documents`` table — the language-ID /
+quality-scoring / token-counting / fingerprinting stages a large-scale
+training-data pipeline runs alongside the crawl (task brief: first-class
+components beyond the reference's own operators).
+
+All stages are vectorized or tight-per-row loops inside
+``map_batches(batch_format="pyarrow")``; regexes are compiled once at module
+import (per worker process), never per batch.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+WORD_RE = re.compile(r"\w+", re.UNICODE)
+# BPE-ish pre-tokenizer: words, numbers, or single non-space punctuation
+BPE_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+STOPWORDS = frozenset(
+    "the a of and to in is it for on with as at by an be this that".split()
+)
+
+# tiny deterministic char-trigram language profiles for the 5 corpus langs
+_LANG_HINTS = {
+    "en": ["the", "ing", "ion", " th", "and"],
+    "de": ["der", "sch", "ein", "ich", "und"],
+    "fr": ["les", "ent", "que", " de", "ion"],
+    "es": ["los", "cio", " de", "que", "ado"],
+    "zh": [],  # CJK detection is by codepoint range below
+}
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+def token_count_batch(t: pa.Table) -> pa.Table:
+    """Per-doc token counts: whitespace tokens + BPE-ish regex tokens +
+    char length. Columns named for the SQL oracle."""
+    texts = t["text"].to_pylist()
+    ws = np.fromiter((len(s.split()) for s in texts), np.int64, len(texts))
+    bpe = np.fromiter((len(BPE_RE.findall(s)) for s in texts), np.int64, len(texts))
+    chars = np.fromiter((len(s) for s in texts), np.int64, len(texts))
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "ws_tokens": pa.array(ws),
+            "bpe_tokens": pa.array(bpe),
+            "chars": pa.array(chars),
+        }
+    )
+
+
+def token_stats_by_lang(sf_dir: str) -> pa.Table:
+    """Aggregate token statistics per language (SQL-checkable)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = token_count_batch(t)
+        t2 = pa.table(
+            {
+                "lang": t["lang"],
+                "ws_tokens": counts["ws_tokens"],
+                "chars": counts["chars"],
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return t2.group_by("lang").aggregate(
+            [("ws_tokens", "sum"), ("chars", "sum"), ("n_docs", "sum")]
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("lang", as_index=False).sum()
+    out = pd.DataFrame(
+        {
+            "lang": g["lang"],
+            "total_ws_tokens": g["ws_tokens_sum"].astype("int64"),
+            "total_chars": g["chars_sum"].astype("int64"),
+            "n_docs": g["n_docs_sum"].astype("int64"),
+            "avg_ws_tokens": g["ws_tokens_sum"] / g["n_docs_sum"],
+        }
+    ).sort_values("lang")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def token_stats_by_lang_sql() -> str:
+    return """
+    SELECT lang,
+           CAST(sum(length(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(length(text)) AS BIGINT)  AS total_chars,
+           CAST(count(*) AS BIGINT)           AS n_docs,
+           sum(length(string_split_regex(trim(text), '\\s+'))) * 1.0 / count(*) AS avg_ws_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """
+
+
+def lang_source_distribution(sf_dir: str) -> pa.Table:
+    """Doc counts + char volume per (lang, source)."""
+    docs = _t(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "lang": t["lang"],
+                "source": t["source"],
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sum_chars": t["n_chars"],
+            }
+        )
+        return t2.group_by(["lang", "source"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")]
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["lang", "source"], as_index=False).sum()
+    out = pd.DataFrame(
+        {
+            "lang": g["lang"],
+            "source": g["source"],
+            "n_docs": g["n_docs_sum"].astype("int64"),
+            "sum_chars": g["sum_chars_sum"].astype("int64"),
+        }
+    ).sort_values(["lang", "source"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def lang_source_distribution_sql() -> str:
+    return """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (rows-only — ratios are not cleanly SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def quality_score_batch(t: pa.Table) -> pa.Table:
+    """Per-doc quality heuristics: stopword ratio, punctuation density, mean
+    word length, uppercase ratio — the usual webtext quality gates."""
+    texts = t["text"].to_pylist()
+    n = len(texts)
+    stop_ratio = np.zeros(n)
+    punct_density = np.zeros(n)
+    mean_word_len = np.zeros(n)
+    upper_ratio = np.zeros(n)
+    for i, s in enumerate(texts):
+        words = WORD_RE.findall(s.lower())
+        nw = len(words)
+        stop_ratio[i] = sum(w in STOPWORDS for w in words) / nw if nw else 0.0
+        punct_density[i] = len(PUNCT_RE.findall(s)) / len(s) if s else 0.0
+        mean_word_len[i] = sum(map(len, words)) / nw if nw else 0.0
+        upper_ratio[i] = sum(c.isupper() for c in s) / len(s) if s else 0.0
+    score = (
+        0.4 * np.clip(stop_ratio / 0.4, 0, 1)
+        + 0.3 * np.clip(1.0 - punct_density * 5, 0, 1)
+        + 0.3 * np.clip(mean_word_len / 8.0, 0, 1)
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "stop_ratio": pa.array(stop_ratio),
+            "punct_density": pa.array(punct_density),
+            "mean_word_len": pa.array(mean_word_len),
+            "upper_ratio": pa.array(upper_ratio),
+            "quality": pa.array(score),
+        }
+    )
+
+
+def quality_scores(sf_dir: str):
+    """Per-doc quality score Dataset (rows-only correctness check)."""
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (rows-only)
+# ---------------------------------------------------------------------------
+
+def langid_batch(t: pa.Table) -> pa.Table:
+    """N-gram/codepoint heuristic language guess per doc."""
+    texts = t["text"].to_pylist()
+    preds = []
+    for s in texts:
+        low = s.lower()
+        if any("一" <= c <= "鿿" for c in s):
+            preds.append("zh")
+            continue
+        best, best_score = "en", -1.0
+        for lang, grams in _LANG_HINTS.items():
+            if not grams:
+                continue
+            score = sum(low.count(g) for g in grams) / (len(low) + 1)
+            if score > best_score:
+                best, best_score = lang, score
+        preds.append(best)
+    return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+
+
+def langid(sf_dir: str):
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        langid_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rows-only)
+# ---------------------------------------------------------------------------
+
+_FP_BASE = np.uint64(1099511628211)
+
+
+def fingerprint_batch(t: pa.Table, k: int = 8) -> pa.Table:
+    """Winnowing-style fingerprint: min rolling hash over token k-grams
+    (content-defined; stable under whitespace-preserving edits elsewhere)."""
+    from raycrawl.kernels import hash64_int
+
+    texts = t["text"].to_pylist()
+    fps = np.zeros(len(texts), dtype=np.uint64)
+    ngrams = np.zeros(len(texts), dtype=np.int64)
+    for i, s in enumerate(texts):
+        toks = s.split()
+        if len(toks) < k:
+            fps[i] = np.uint64(hash64_int(" ".join(toks)))
+            ngrams[i] = 1 if toks else 0
+            continue
+        hs = np.fromiter(
+            (hash64_int(" ".join(toks[j : j + k])) for j in range(len(toks) - k + 1)),
+            np.uint64,
+            len(toks) - k + 1,
+        )
+        fps[i] = hs.min()
+        ngrams[i] = len(hs)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "fingerprint": pa.array(fps),
+            "n_ngrams": pa.array(ngrams),
+        }
+    )
+
+
+def fingerprints(sf_dir: str):
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )

@@ -1,0 +1,118 @@
+"""Operator-family tests: dedup (MinHash/SimHash vs brute force), ANN
+recall, text ops, and the __ray_entry__ contract smoke."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_finds_all_high_jaccard_pairs():
+    """LSH with 16 bands × 4 rows has >99.9% hit probability at j≥0.8;
+    every verified pair it returns must be exact-jaccard ≥ threshold, and it
+    must find every pair the quadratic oracle finds at j≥0.8."""
+    from raycrawl.dedup import minhash_neardup_pairs, ngram_jaccard_pairs_exact
+
+    got = minhash_neardup_pairs(SF, threshold=0.6).to_pandas()
+    exact = ngram_jaccard_pairs_exact(SF, threshold=0.6).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    # soundness: every returned pair is a true pair
+    assert got_pairs <= exact_pairs
+    # completeness at high similarity
+    strong = set(zip(exact[exact["jaccard"] >= 0.8]["a"],
+                     exact[exact["jaccard"] >= 0.8]["b"]))
+    assert strong <= got_pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_pairs_sound():
+    """Returned pairs truly have hamming ≤ 3; and banding finds every
+    hamming ≤ 3 pair (pigeonhole over 4×16-bit bands is exact)."""
+    from raycrawl.dedup import simhash64, simhash_neardup_pairs
+
+    import pyarrow.parquet as pq
+
+    got = simhash_neardup_pairs(SF, max_hamming=3).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    sig = {d["doc_id"]: simhash64(d["text"]) for d in docs}
+    for r in got.itertuples():
+        assert bin(sig[r.a] ^ sig[r.b]).count("1") <= 3
+    # exhaustive check on a subset for completeness
+    ids = sorted(sig)[:150]
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert expected <= got_pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_neardup_matches_bruteforce():
+    from raycrawl.dedup import embedding_neardup_pairs
+
+    import pyarrow.parquet as pq
+
+    got = embedding_neardup_pairs(SF, threshold=0.45).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    exp = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= 0.45 and ids[i] < ids[j]:
+                exp.add((ids[i], ids[j]))
+            elif sims[i, j] >= 0.45:
+                exp.add((ids[j], ids[i]))
+    assert set(zip(got["a"], got["b"])) == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_topk_subset_of_bruteforce_order():
+    """Approximate top-k returns true cosines (soundness) with reasonable
+    recall for its scan fraction."""
+    from raycrawl.ann import brute_force_topk, lsh_topk
+
+    bf = brute_force_topk(SF, k=20).to_pandas()
+    approx = lsh_topk(SF, k=20, probe_hamming=3).to_pandas()
+    bf_map = dict(zip(bf["vec_id"], bf["cos"]))
+    for r in approx.itertuples():
+        if r.vec_id in bf_map:
+            assert abs(bf_map[r.vec_id] - r.cos) < 1e-5
+    recall = len(set(approx["vec_id"]) & set(bf["vec_id"])) / 20
+    assert recall >= 0.5  # probe=3 on 6 planes scans ~2/3 of buckets
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_and_fingerprint_shapes():
+    from raycrawl.textops import fingerprints, quality_scores
+
+    q = quality_scores(SF).to_pandas()
+    assert len(q) == 500
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    f = fingerprints(SF).to_pandas()
+    assert len(f) == 500 and f["fingerprint"].nunique() > 400
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_contract_smoke():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    out = e.entry()
+    assert len(out) >= 1
+    qs, sqls = e.queries(), e.oracle_sql()
+    assert set(sqls) <= set(qs)
+    # every oracle key has a runnable query; spot-run one of each family
+    for name in ["crawl_progress", "q1_pricing_summary", "token_stats_by_lang"]:
+        res = qs[name](SF)
+        assert res is not None
