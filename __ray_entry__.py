@@ -50,7 +50,7 @@ def entry() -> Any:
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from raycrawl import ann, dedup, relational, textops
+    from raycrawl import ann, dedup, multimodal, relational, textops
 
     def _demo_nodes():
         _ensure_demo()
@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_groups": dedup.exact_dedup_groups,
         "minhash_neardup_pairs": dedup.minhash_neardup_pairs,   # rows-only
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,   # rows-only
+        # --- multimodal plumbing (stubbed codec; rows-only) ---
+        "media_features": multimodal.media_features,
+        "media_summary": multimodal.media_summary,
         # --- similarity search over embeddings ---
         "embedding_topk": ann.brute_force_topk,
         "embedding_similar_threshold": ann.similar_above_threshold,

@@ -31,9 +31,19 @@ class CrawlConfig:
     politeness_delay_ms: float = 0.0   # min per-host interval between fetches
     respect_robots: bool = False       # synthetic robots.txt (deterministic)
 
+    # Per-page featurization at fetch time (token counts, quality, SimHash,
+    # fingerprint, lang guess) — the realistic training-data parse workload;
+    # attached to parent rows in round_out. Off for reference-exact tests.
+    enrich: bool = False
+
     # Seen-filter backend: "set" (exact python set of 16-byte keys; test
     # scale) or "sortedruns" (numpy sorted runs + Bloom front; the 10^10
     # design point).  "auto" picks sortedruns above auto_backend_threshold.
+    # Rounds with ≤ this many frontier rows run the same stage function
+    # driver-side (no Dataset execution): tiny BFS rounds and retry tails
+    # are pure fixed overhead as distributed jobs.
+    small_round_threshold: int = 2048
+
     seen_backend: str = "auto"
     auto_backend_threshold: int = 2_000_000
     bloom_bits_per_key: int = 12

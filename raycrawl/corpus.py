@@ -43,7 +43,12 @@ _TAG_RE = re.compile(r"<[^>]+>")
 PRESETS = {
     "tiny": dict(n_hosts=200, mean_links=6),
     "small": dict(n_hosts=5_000, mean_links=8),
-    "bench": dict(n_hosts=120_000, mean_links=10),
+    # bench: vectorized generator; flat-ish target distribution + high
+    # fan-out so a depth-5 BFS from one seed fetches ~the whole corpus
+    # (throughput bench needs the compute to dominate fixed round costs);
+    # a mild hub remains for skew handling.
+    "bench": dict(n_hosts=1_200_000, mean_links=55, zipf_alpha=0.25,
+                  hub_out_links=200, fast=True),
 }
 
 
@@ -124,6 +129,7 @@ def generate_corpus(
     mean_links: int = 6,
     hub_out_links: int = 200,
     n_seeds: int = 4,
+    zipf_alpha: float = 1.05,
 ) -> str:
     """Write pages/captures/seeds parquet into out_dir (idempotent)."""
     marker = os.path.join(out_dir, "_SUCCESS")
@@ -137,25 +143,34 @@ def generate_corpus(
     hosts = [host_name(i) for i in range(universe)]
 
     # Zipf-ish target popularity over the whole universe.
-    weights = 1.0 / np.power(np.arange(1, universe + 1, dtype=np.float64), 1.05)
+    weights = 1.0 / np.power(np.arange(1, universe + 1, dtype=np.float64), zipf_alpha)
     weights /= weights.sum()
+
+    # vectorized draws: one big choice() instead of one per page (the
+    # per-page draw is O(universe) and dominates generation time)
+    protos = [host_proto(i) for i in range(universe)]
+    ks = np.maximum(1, rng.poisson(mean_links, size=n_hosts))
+    if n_hosts > 0:
+        ks[0] = hub_out_links
+    offsets = np.concatenate([[0], np.cumsum(ks)])
+    all_targets = rng.choice(universe, size=int(offsets[-1]), p=weights)
+    all_variants = rng.integers(0, 7, size=int(offsets[-1]))
 
     urls, ts, htmls, texts, langs = [], [], [], [], []
     cap_src, cap_lists = [], []
     for i in range(n_hosts):
         h = hosts[i]
-        url = f"{host_proto(i)}://{h}"
-        k = hub_out_links if i == 0 else max(1, int(rng.poisson(mean_links)))
-        targets = rng.choice(universe, size=k, p=weights)
-        variants = rng.integers(0, 7, size=k)
+        url = f"{protos[i]}://{h}"
+        targets = all_targets[offsets[i] : offsets[i + 1]]
+        variants = all_variants[offsets[i] : offsets[i + 1]]
         snippets, caps = [], []
         for t, v in zip(targets, variants):
-            snip, c = render_link(hosts[int(t)], int(v), host_proto(int(t)))
+            snip, c = render_link(hosts[int(t)], int(v), protos[int(t)])
             snippets.append(snip)
             caps.extend(c)
         # occasional self-link (ROOT-label vs URL-label quirk exercise)
         if hash64_int(f"self:{i}") % 7 == 0:
-            snip, c = render_link(h, 0, host_proto(i))
+            snip, c = render_link(h, 0, protos[i])
             snippets.append(snip)
             caps.extend(c)
         body = f"<p>{_filler(rng, 40 + int(rng.integers(0, 200)))}</p>\n" + "\n".join(
@@ -227,6 +242,160 @@ def generate_corpus(
 
 def ensure_corpus(tag: str = "tiny", seed: int = 42, base: str = "/tmp/raycrawl_corpus") -> str:
     """Cached preset corpus → directory path."""
-    preset = PRESETS[tag]
+    preset = dict(PRESETS[tag])
     out = os.path.join(base, f"{tag}_s{seed}")
+    if preset.pop("fast", False):
+        return generate_corpus_fast(out, seed=seed, **preset)
     return generate_corpus(out, seed=seed, **preset)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized large-corpus generator (bench scale) — same page semantics,
+# Arrow-vectorized rendering in page chunks, no analytic-captures side table
+# (that ground truth is only needed by the oracle tests, which use the loop
+# generator above at tiny/small scale).
+# ---------------------------------------------------------------------------
+
+def generate_corpus_fast(
+    out_dir: str,
+    n_hosts: int,
+    seed: int = 42,
+    ghost_frac: float = 0.10,
+    mean_links: int = 55,
+    hub_out_links: int = 200,
+    n_seeds: int = 4,
+    zipf_alpha: float = 0.25,
+    variant_weights=(0.30, 0.15, 0.15, 0.03, 0.04, 0.18, 0.15),
+    chunk_pages: int = 100_000,
+) -> str:
+    import pyarrow.compute as pc
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    n_ghosts = max(1, int(n_hosts * ghost_frac))
+    universe = n_hosts + n_ghosts
+    hosts = [host_name(i) for i in range(universe)]
+    protos = [host_proto(i) for i in range(universe)]
+    mixed = [_mixed_case(h) for h in hosts]
+    hosts_a = pa.array(hosts, pa.string())
+    protos_a = pa.array(protos, pa.string())
+    mixed_a = pa.array(mixed, pa.string())
+    langs_pool = ["en", "de", "fr", "es", "pt"]
+    page_langs = [langs_pool[hash64_int(f"lang:{hosts[i]}") % 5] for i in range(n_hosts)]
+
+    weights = 1.0 / np.power(np.arange(1, universe + 1, dtype=np.float64), zipf_alpha)
+    weights /= weights.sum()
+    vw = np.asarray(variant_weights, dtype=np.float64)
+    vw /= vw.sum()
+
+    ks = np.maximum(1, rng.poisson(mean_links, size=n_hosts))
+    ks[0] = hub_out_links
+    filler_pool = pa.array(
+        ["<p>" + _filler(rng, 40 + int(rng.integers(0, 160))) + "</p>" for _ in range(512)],
+        pa.string(),
+    )
+    filler_idx = rng.integers(0, 512, size=n_hosts)
+
+    def cat(*parts):
+        return pc.binary_join_element_wise(*parts, "")
+
+    writer = None
+    schema = pa.schema(
+        [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+         ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string())]
+    )
+    for start in range(0, n_hosts, chunk_pages):
+        stop = min(start + chunk_pages, n_hosts)
+        cks = ks[start:stop]
+        total = int(cks.sum())
+        t_idx = rng.choice(universe, size=total, p=weights)
+        v = rng.choice(7, size=total, p=vw)
+
+        th = pc.take(hosts_a, pa.array(t_idx))
+        tp = pc.take(protos_a, pa.array(t_idx))
+        tm = pc.take(mixed_a, pa.array(t_idx))
+        tu = pc.utf8_upper(th)
+        tpu = pc.utf8_upper(tp)
+        wrong = pc.if_else(pc.equal(tp, "https"), pa.scalar("http"), pa.scalar("https"))
+
+        s0 = cat(pa.scalar('<a href="'), tp, pa.scalar("://"), th, pa.scalar('">link</a>'))
+        s1 = cat(pa.scalar('<a href="'), tp, pa.scalar("://www."), th,
+                 pa.scalar('/path/to/page">deep</a>'))
+        s2 = cat(pa.scalar("see "), tp, pa.scalar("://"), tm, pa.scalar(" for details"))
+        s3 = cat(pa.scalar("SHOUTING "), tpu, pa.scalar("://"), tu,
+                 pa.scalar(" IS NOT A LINK"))
+        s4 = cat(pa.scalar('<a href="'), tp, pa.scalar("://"), th,
+                 pa.scalar(':8080/x?q=1">port</a>'))
+        s5 = cat(tp, pa.scalar("://"), th, pa.scalar(" and again "), tp,
+                 pa.scalar("://"), th)
+        s6 = cat(pa.scalar('<a href="'), wrong, pa.scalar("://"), th,
+                 pa.scalar('">stale-scheme</a>'))
+        va = pa.array(v, pa.int8())
+        snip = s0
+        for k, sk in ((1, s1), (2, s2), (3, s3), (4, s4), (5, s5), (6, s6)):
+            snip = pc.if_else(pc.equal(va, k), sk, snip)
+
+        offsets = np.concatenate([[0], np.cumsum(cks)]).astype(np.int32)
+        body = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), snip.combine_chunks()
+                                     if isinstance(snip, pa.ChunkedArray) else snip),
+            "\n",
+        )
+        page_hosts = hosts_a.slice(start, stop - start)
+        page_protos = protos_a.slice(start, stop - start)
+        fillers = pc.take(filler_pool, pa.array(filler_idx[start:stop]))
+        html = cat(
+            pa.scalar("<html><head><title>"), page_hosts,
+            pa.scalar("</title></head><body>\n"), fillers, pa.scalar("\n"),
+            body, pa.scalar("\n</body></html>"),
+        )
+        text = pc.replace_substring_regex(html, "<[^>]+>", "")
+        urls = cat(page_protos, pa.scalar("://"), page_hosts)
+        ts = pa.array(
+            _BASE_TS_US + np.arange(start, stop, dtype=np.int64) * 1_000_000,
+            pa.timestamp("us"),
+        )
+        chunk = pa.table(
+            {
+                "url": urls,
+                "warc_ts": ts,
+                "html": pc.cast(html, pa.binary()),
+                "text": text,
+                "lang": pa.array(page_langs[start:stop], pa.string()),
+            },
+            schema=schema,
+        )
+        if writer is None:
+            writer = pq.ParquetWriter(os.path.join(out_dir, "pages.parquet"), schema)
+        writer.write_table(chunk)
+    if writer is not None:
+        writer.close()
+
+    # seeds (same rule as the loop generator)
+    seed_urls, seed_depths = [], []
+    i = 0
+    while len(seed_urls) < n_seeds and i < n_hosts:
+        name, proto = normalize_url(f"{protos[i]}://{hosts[i]}")
+        ok = (
+            sim.fetch_status(name, proto, 1, True) == sim.STATUS_OK
+            and dns_synth.get_network_stats(name) is not None
+        )
+        if ok:
+            raw = f"{protos[i]}://" + (
+                "www." + _mixed_case(hosts[i]) if len(seed_urls) % 2 == 0 else hosts[i]
+            )
+            seed_urls.append(raw)
+            seed_depths.append(2 + len(seed_urls) % 3)
+        i += 1
+    pq.write_table(
+        pa.table({"url": pa.array(seed_urls, pa.string()),
+                  "depth": pa.array(seed_depths, pa.int32())}),
+        os.path.join(out_dir, "seeds.parquet"),
+    )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir

@@ -41,8 +41,6 @@ from raycrawl.frontier import (
     NODES_SCHEMA,
     ROUND_OUT_SCHEMA,
     fetch_expand_batch,
-    make_node_seen_gate,
-    merge_child_group,
 )
 from raycrawl.kernels import decode_html, extract_urls, hash128, host_of, normalize_url
 from raycrawl.seen import SeenShardImpl
@@ -57,9 +55,6 @@ FRONTIER_SCHEMA = pa.schema(
         ("attempts", pa.int32()),
     ]
 )
-
-SEEN_DELTA_SCHEMA = pa.schema([("hi", pa.uint64()), ("lo", pa.uint64())])
-
 
 class CrawlFailed(Exception):
     pass
@@ -130,7 +125,7 @@ class CrawlResult:
         return _read(self.nodes_path)
 
     def edges(self):
-        return _read(self.edges_path)
+        return read_edges(self.ckpt_dir)
 
 
 def _bootstrap(ckpt: str, corpus_table: pa.Table, seed_url: str, depth: int,
@@ -196,12 +191,6 @@ def _bootstrap(ckpt: str, corpus_table: pa.Table, seed_url: str, depth: int,
     ]
     _write_table(pa.Table.from_pylist(frontier_rows, schema=FRONTIER_SCHEMA),
                  os.path.join(rdir, "frontier"))
-    # seen delta = the URL-node ids born this round (NOT the ROOT id: the
-    # reference's J1 matches only :URL nodes — job.rs:148)
-    ids = sorted(nodes.keys())
-    hi, lo = hash128(ids) if ids else (np.empty(0, np.uint64),) * 2
-    _write_table(pa.table({"hi": hi, "lo": lo}, schema=SEEN_DELTA_SCHEMA),
-                 os.path.join(rdir, "seen_delta"))
     with open(os.path.join(rdir, "counters.json"), "w") as f:
         json.dump(
             dict(round=0, frontier_size=1, fetched_ok=1, extracted=len(raw),
@@ -229,19 +218,169 @@ def _make_seen_actors(cfg: CrawlConfig, expected_keys: int):
     ]
 
 
-def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
-               corpus_ref, seen_handles) -> dict:
-    """Execute BFS round r from round r-1's frontier. Idempotent: the round
-    dir is rebuilt from scratch."""
+_BCAST_CACHE: dict = {}
+
+
+def _bcast_get(ref):
+    """ray.get with per-worker-process memoization (dict objects deserialize
+    on every ray.get; cache so each worker pays once)."""
     import ray
-    import ray.data as rd  # noqa: F401
+
+    k = ref.hex() if hasattr(ref, "hex") else id(ref)
+    v = _BCAST_CACHE.get(k)
+    if v is None:
+        _BCAST_CACHE.clear()
+        v = ray.get(ref)
+        _BCAST_CACHE[k] = v
+    return v
+
+
+def _warm_workers(corpus_ref) -> None:
+    """Warm every Ray worker process ONCE per crawl: heavy imports + the
+    per-worker corpus index build happen here instead of inside the first
+    big round (worker processes persist across Dataset executions)."""
+    import ray
+    import ray.data as rd
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+
+    def warm(batch):
+        from raycrawl.fetch import get_corpus_index
+
+        get_corpus_index(corpus_ref)
+        return batch
+
+    rd.range(ncpu * 8, override_num_blocks=ncpu * 8).map_batches(
+        warm, batch_size=1, num_cpus=1
+    ).materialize()
+
+
+
+
+def _commit_barrier(rdir: str, r: int, seen_handles, seed_id: str):
+    """Round barrier: every shard writes its nodes delta + edge partition;
+    seed-src edge rows (the only cross-round-duplicable subset) come back to
+    the driver and are persisted as a tiny sidecar."""
+    import ray
+
+    nodes_path = os.path.join(rdir, "nodes")
+    edges_path = os.path.join(rdir, "edges")
+    os.makedirs(nodes_path, exist_ok=True)
+    os.makedirs(edges_path, exist_ok=True)
+    stats = ray.get([
+        h.commit_round.remote(nodes_path, edges_path, r, seed_id)
+        for h in seen_handles
+    ])
+    for path, schema in ((nodes_path, NODES_SCHEMA), (edges_path, EDGES_SCHEMA)):
+        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+            pq.write_table(schema.empty_table(),
+                           os.path.join(path, "part-empty.parquet"))
+    seed_rows = [row for s in stats for row in s["seed_rows"]]
+    if seed_rows:
+        _write_table(pa.Table.from_pylist(seed_rows, schema=EDGES_SCHEMA),
+                     os.path.join(rdir, "seed_edges"))
+    return stats
+
+
+def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
+                           prev, rdir, seed_id: str) -> dict:
+    """Small-round fast path: identical semantics (same stage function, same
+    shard actors, same artifacts) executed in the driver process — a round
+    with a few hundred frontier rows costs more in executor startup than in
+    work. Bounded: children ≤ frontier × page fan-out."""
+    import functools
+
+    import pyarrow.dataset as pads
+    import ray
+
+    frontier = pads.dataset(_parquet_files([prev])).to_table()
+    fn = functools.partial(
+        fetch_expand_batch, corpus_ref=corpus_ref, seen_handles=seen_handles,
+        max_attempts=cfg.max_attempts, max_dns_depth=cfg.max_dns_depth,
+        round_no=r, politeness_delay_ms=0.0,
+        respect_robots=cfg.respect_robots, enrich=cfg.enrich,
+    )
+    outs = []
+    for off in range(0, frontier.num_rows, cfg.fetch_batch_size):
+        outs.append(fn(frontier.slice(off, cfg.fetch_batch_size)))
+    ro = (
+        pa.concat_tables([cast_table(t, ROUND_OUT_SCHEMA) for t in outs])
+        if outs
+        else ROUND_OUT_SCHEMA.empty_table()
+    )
+    ro_path = os.path.join(rdir, "round_out")
+    _write_table(ro, ro_path)
+
+    stats = _commit_barrier(rdir, r, seen_handles, seed_id)
+    nodes_path = os.path.join(rdir, "nodes")
+
+    nodes = pads.dataset(_parquet_files([nodes_path])).to_table(
+        columns=FRONTIER_SCHEMA.names + ["status"]
+    )
+    f_new = nodes.filter(pa.compute.equal(nodes["status"], "PENDING")).select(
+        FRONTIER_SCHEMA.names
+    )
+    pmask = pa.compute.and_(
+        pa.compute.equal(ro["row_type"], "parent"),
+        pa.compute.equal(ro["status"], "PENDING"),
+    )
+    f_retry = ro.filter(pmask).select(FRONTIER_SCHEMA.names)
+    _write_table(
+        cast_table(pa.concat_tables([cast_table(f_new, FRONTIER_SCHEMA),
+                                     cast_table(f_retry, FRONTIER_SCHEMA)]),
+                   FRONTIER_SCHEMA),
+        os.path.join(rdir, "frontier"),
+    )
+
+    pstat = ro.filter(pa.compute.equal(ro["row_type"], "parent"))["status"].to_pylist()
+    counters = dict(
+        round=r,
+        frontier_size=frontier.num_rows,
+        parents_completed=sum(s == "COMPLETED" for s in pstat),
+        parents_failed=sum(s == "FAILED" for s in pstat),
+        retries_requeued=sum(s == "PENDING" for s in pstat),
+        nodes_created=int(sum(s["new_nodes"] for s in stats)),
+        edges_created=int(sum(s["edges_written"] for s in stats)
+                          + sum(len(s["seed_rows"]) for s in stats)),
+        seen_size=int(sum(s["seen_size"] for s in stats)),
+    )
+    with open(os.path.join(rdir, "counters.json"), "w") as f:
+        json.dump(counters, f)
+    with open(os.path.join(rdir, "_DONE"), "w") as f:
+        f.write("ok")
+    return counters
+
+
+def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
+               corpus_ref, seen_handles, seed_id: str) -> dict:
+    """Execute BFS round r from round r-1's frontier. Idempotent: the round
+    dir is rebuilt from scratch.
+
+    Two Dataset executions per round (scale-tuned — per-round fixed cost is
+    what bounds small-frontier rounds):
+      P1 frontier → fetch_expand → round_out parquet (children offered to
+         the SeenShard actors along the way; the RPC is the shuffle);
+      barrier: shards resolve J2 winners and write the nodes delta
+         parquet shards themselves (distributed write, no driver funnel);
+      P2 nodes(PENDING) ∪ round_out(parent PENDING retries) → frontier.
+    Edges and parent status updates live inside round_out (read with a
+    filter at finalize); a parent's children are already distinct, so child
+    rows ARE the round's edge delta."""
+    import functools
+
+    import ray
 
     prev = os.path.join(_round_dir(ckpt, r - 1), "frontier")
     rdir = _round_dir(ckpt, r)
     shutil.rmtree(rdir, ignore_errors=True)
     os.makedirs(rdir, exist_ok=True)
 
-    import functools
+    import pyarrow.dataset as pads0
+
+    n_front = pads0.dataset(_parquet_files([prev])).count_rows()
+    if n_front <= cfg.small_round_threshold and cfg.politeness_delay_ms == 0:
+        return _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref,
+                                      seen_handles, prev, rdir, seed_id)
 
     frontier = _read(prev)
     if cfg.politeness_delay_ms > 0:
@@ -264,6 +403,7 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
             round_no=r,
             politeness_delay_ms=cfg.politeness_delay_ms,
             respect_robots=cfg.respect_robots,
+            enrich=cfg.enrich,
         ),
         batch_format="pyarrow",
         batch_size=cfg.fetch_batch_size,
@@ -271,80 +411,52 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     ro_path = os.path.join(rdir, "round_out")
     _write_ds(round_out, ro_path, ROUND_OUT_SCHEMA)
 
-    # P2: child rows → J2 MERGE (min-depth winner) → new-node gate → nodes
-    # delta. The groupby is the round's one shuffle, keyed on node_id
-    # (SURVEY §7.3) — it IS the dedup-correctness mechanism.
-    children = _read(ro_path).map_batches(
-        lambda t: t.filter(pa.compute.equal(t["row_type"], "child")),
-        batch_format="pyarrow",
-    )
-    new_nodes = (
-        children.groupby("node_id")
-        .map_groups(merge_child_group, batch_format="pandas")
-        .map_batches(make_node_seen_gate(seen_handles), batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.append_column(
-                "node_type", pa.array(["URL"] * t.num_rows, pa.string())
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    _write_ds(new_nodes, os.path.join(rdir, "nodes"), NODES_SCHEMA)
+    # barrier: shards resolve the round's J2 MERGE winners → nodes delta +
+    # per-shard edge partitions
+    stats = _commit_barrier(rdir, r, seen_handles, seed_id)
+    nodes_path = os.path.join(rdir, "nodes")
 
-    # P3: Lead edges — one per distinct (parent, child) this round
-    # (MERGE (p)-[:Lead]->(c), job.rs:185; created even when the child node
-    # already existed — the www-variant edge-only case). Within-batch
-    # distinct is globally distinct: a parent's children live in one batch.
-    edges = _read(ro_path).map_batches(
-        lambda t: t.filter(pa.compute.equal(t["row_type"], "child")),
-        batch_format="pyarrow",
+    # P2: next frontier = new PENDING nodes ∪ retry parents (M11 re-enqueue)
+    import ray.data as rd
+
+    fcols = FRONTIER_SCHEMA.names
+    f_new = rd.read_parquet(
+        _parquet_files([nodes_path]), columns=fcols + ["status"]
     ).map_batches(
-        lambda df: df.rename(columns={"parent_id": "src", "node_id": "dst"})[
-            ["crawl_id", "src", "dst", "depth", "round"]
-        ].drop_duplicates(subset=["src", "dst"]),
-        batch_format="pandas",
-    )
-    _write_ds(edges, os.path.join(rdir, "edges"), EDGES_SCHEMA)
-
-    # P4: parent status updates
-    parents = _read(ro_path).map_batches(
-        lambda t: t.filter(pa.compute.equal(t["row_type"], "parent")),
+        lambda t: t.filter(pa.compute.equal(t["status"], "PENDING")).select(fcols),
         batch_format="pyarrow",
     )
-    _write_ds(parents, os.path.join(rdir, "parent_updates"), ROUND_OUT_SCHEMA)
-
-    # P5: next frontier = new PENDING nodes ∪ retry parents (M11 re-enqueue)
-    f_new = _read(os.path.join(rdir, "nodes")).map_batches(
-        lambda t: t.filter(pa.compute.equal(t["status"], "PENDING")),
+    f_retry = rd.read_parquet(
+        _parquet_files([ro_path]), columns=fcols + ["row_type", "status"]
+    ).map_batches(
+        lambda t: t.filter(
+            pa.compute.and_(
+                pa.compute.equal(t["row_type"], "parent"),
+                pa.compute.equal(t["status"], "PENDING"),
+            )
+        ).select(fcols),
         batch_format="pyarrow",
-    ).map_batches(lambda t: t.select(FRONTIER_SCHEMA.names), batch_format="pyarrow")
-    f_retry = _read(os.path.join(rdir, "parent_updates")).map_batches(
-        lambda t: t.filter(pa.compute.equal(t["status"], "PENDING")),
-        batch_format="pyarrow",
-    ).map_batches(lambda t: t.select(FRONTIER_SCHEMA.names), batch_format="pyarrow")
+    )
     _write_ds(f_new.union(f_retry), os.path.join(rdir, "frontier"), FRONTIER_SCHEMA)
-
-    # round barrier: commit seen deltas + checkpoint them
-    deltas = ray.get([h.commit.remote() for h in seen_handles])
-    hi = np.concatenate([d[0] for d in deltas]) if deltas else np.empty(0, np.uint64)
-    lo = np.concatenate([d[1] for d in deltas]) if deltas else np.empty(0, np.uint64)
-    _write_table(pa.table({"hi": hi, "lo": lo}, schema=SEEN_DELTA_SCHEMA),
-                 os.path.join(rdir, "seen_delta"))
 
     # counters from parquet footers/columns (driver-side, column-pruned)
     import pyarrow.dataset as pads
 
-    pstat = pads.dataset(os.path.join(rdir, "parent_updates")).to_table(
-        columns=["status"]
-    )["status"].to_pylist()
+    ro = pads.dataset(ro_path).to_table(columns=["row_type", "status"])
+    pstat = [
+        s for rt, s in zip(ro["row_type"].to_pylist(), ro["status"].to_pylist())
+        if rt == "parent"
+    ]
     counters = dict(
         round=r,
         frontier_size=pads.dataset(prev).count_rows(),
         parents_completed=sum(s == "COMPLETED" for s in pstat),
         parents_failed=sum(s == "FAILED" for s in pstat),
         retries_requeued=sum(s == "PENDING" for s in pstat),
-        nodes_created=pads.dataset(os.path.join(rdir, "nodes")).count_rows(),
-        edges_created=pads.dataset(os.path.join(rdir, "edges")).count_rows(),
+        nodes_created=int(sum(s["new_nodes"] for s in stats)),
+        edges_created=int(sum(s["edges_written"] for s in stats)
+                          + sum(len(s["seed_rows"]) for s in stats)),
+        seen_size=int(sum(s["seen_size"] for s in stats)),
     )
     with open(os.path.join(rdir, "counters.json"), "w") as f:
         json.dump(counters, f)
@@ -353,83 +465,202 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     return counters
 
 
-def _finalize(ckpt: str, rounds: int, cancelled: bool) -> None:
-    """Compact: creation deltas + status updates → final/nodes, final/edges."""
+STATUS_CODE = {"PENDING": 0, "ROBOTS_BLOCKED": 1, "FAILED": 2, "COMPLETED": 3,
+               "CANCELLED": 4}
+CODE_STATUS = {v: k for k, v in STATUS_CODE.items()}
+
+
+
+def read_edges(ckpt_dir: str):
+    """Final edge Dataset for a crawl — compacted parquet when small, or the
+    final parts (seed subset) + a manifest over the immutable per-round edge
+    partitions at scale (see _finalize)."""
     import ray.data as rd
 
-    resolve_schema = pa.schema(list(NODES_SCHEMA) + [pa.field("kind", pa.string())])
+    edir = os.path.join(ckpt_dir, "final", "edges")
+    manifest = os.path.join(edir, "edges_manifest.json")
+    parts = rd.read_parquet(_parquet_files([edir]))
+    if not os.path.exists(manifest):
+        return parts
+    with open(manifest) as f:
+        m = json.load(f)
+    if not m["round_edge_files"]:
+        return parts
+    return parts.union(rd.read_parquet(m["round_edge_files"]))
 
-    node_dirs = [os.path.join(_round_dir(ckpt, r), "nodes") for r in range(rounds + 1)]
-    # group key = node_type + node_id: a seed that links to itself exists as
-    # BOTH a ROOT node and a URL node (distinct labels in the reference —
-    # MERGE (c:URL ...) never matches the :ROOT node, crawl_service.rs:45)
-    creates = rd.read_parquet(_parquet_files(node_dirs)).map_batches(
-        lambda t: cast_table(
-            t.append_column("kind", pa.array(["create"] * t.num_rows, pa.string())),
-            resolve_schema,
-        ).append_column(
-            "gkey",
-            pa.compute.binary_join_element_wise(t["node_type"], t["node_id"], "|"),
-        ),
-        batch_format="pyarrow",
+
+def _finalize(ckpt: str, rounds: int, cancelled: bool) -> None:
+    """Compact: creation deltas + status updates → final/nodes, final/edges.
+
+    Fully vectorized: the last status update per node is found by a native
+    ``Max`` over an integer encoding of (round, status, attempts) — no
+    per-group Python — then applied with a hash join (``Dataset.join``).
+    """
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    pads_field = pads.field
+    pc_ = pa.compute
+    fdir = os.path.join(ckpt, "final")
+    shutil.rmtree(fdir, ignore_errors=True)
+
+    node_files = _parquet_files(
+        [os.path.join(_round_dir(ckpt, r), "nodes") for r in range(rounds + 1)]
     )
+    creates = rd.read_parquet(node_files)
+
     upd_dirs = [
-        os.path.join(_round_dir(ckpt, r), "parent_updates")
-        for r in range(1, rounds + 1)
+        os.path.join(_round_dir(ckpt, r), "round_out") for r in range(1, rounds + 1)
     ]
     cancel_dir = os.path.join(ckpt, "cancel")
     if os.path.isdir(cancel_dir):
         upd_dirs.append(cancel_dir)
-    if upd_dirs:
-        updates = rd.read_parquet(_parquet_files(upd_dirs)).map_batches(
-            lambda t: cast_table(
-                t.select(["node_id", "status", "attempts", "round"]).append_column(
-                    "kind", pa.array(["update"] * t.num_rows, pa.string())
-                ),
-                resolve_schema,
-            ).append_column(
-                # status updates only ever target URL nodes (job lifecycle)
-                "gkey",
-                pa.compute.binary_join_element_wise(
-                    pa.array(["URL"] * t.num_rows, pa.string()), t["node_id"], "|"
-                ),
-            ),
-            batch_format="pyarrow",
-        )
-        both = creates.union(updates)
-    else:
-        both = creates
+    upd_files = _parquet_files(upd_dirs)
 
-    def resolve(g):
+    if upd_files:
+        # Last status update per node. Updates ≈ fetched parents (≤ Σ
+        # frontier sizes) — orders of magnitude fewer than creates. Below
+        # the gate: one driver-side columnar read + vectorized pandas
+        # keep-last (C speed); above it: encoded-Max Ray groupby (the
+        # distributed path). The result broadcasts as two pandas Series
+        # (arrow-backed; ~0.2s unpickle per worker vs seconds for dicts).
         import pandas as pd
+        import ray
 
-        c = g[g["kind"] == "create"]
-        if len(c) == 0:
-            return pd.DataFrame()  # update for a node created elsewhere (shouldn't happen)
-        base = c.sort_values("round").iloc[0].copy()
-        ups = g[g["kind"] == "update"]
-        if len(ups) and base["node_type"] == "URL":
-            last = ups.sort_values("round").iloc[-1]
-            base["status"] = last["status"]
-            base["attempts"] = last["attempts"]
-        return base.drop(labels=["kind", "gkey"]).to_frame().T
+        upd_ds = pads.dataset(upd_files)
+        if upd_ds.count_rows() <= 5_000_000:
+            ut = upd_ds.to_table(
+                columns=["row_type", "node_id", "status", "attempts", "round"]
+            )
+            ut = ut.filter(pc_.equal(ut["row_type"], "parent"))
+            udf = ut.select(["node_id", "status", "attempts", "round"]).to_pandas()
+            udf = udf.sort_values("round", kind="stable").drop_duplicates(
+                "node_id", keep="last"
+            )
+            status_s = pd.Series(udf["status"].to_numpy(), index=udf["node_id"])
+            att_s = pd.Series(
+                udf["attempts"].to_numpy().astype("int32"), index=udf["node_id"]
+            )
+        else:
+            def encode(t: pa.Table) -> pa.Table:
+                t = t.filter(pc_.equal(t["row_type"], "parent"))
+                code = pc_.index_in(
+                    t["status"], value_set=pa.array(list(STATUS_CODE.keys()))
+                ).cast(pa.int64())
+                enc = pc_.add(
+                    pc_.add(
+                        pc_.multiply(t["round"].cast(pa.int64()), pa.scalar(1 << 14)),
+                        pc_.multiply(code, pa.scalar(1 << 10)),
+                    ),
+                    t["attempts"].cast(pa.int64()),
+                )
+                return pa.table({"node_id": t["node_id"], "enc": enc})
 
-    final_nodes = both.groupby("gkey").map_groups(resolve, batch_format="pandas")
-    fdir = os.path.join(ckpt, "final")
-    shutil.rmtree(fdir, ignore_errors=True)
-    final_nodes = final_nodes.map_batches(
-        lambda t: pa.table(
-            {f.name: t[f.name].cast(f.type) for f in NODES_SCHEMA}, schema=NODES_SCHEMA
-        ),
-        batch_format="pyarrow",
-    )
+            last = (
+                rd.read_parquet(upd_files, columns=["row_type", "node_id", "status",
+                                                    "attempts", "round"])
+                .map_batches(encode, batch_format="pyarrow")
+                .groupby("node_id")
+                .aggregate(Max("enc", alias_name="enc"))
+                .to_pandas()
+            )
+            enc = last["enc"].to_numpy()
+            status_s = pd.Series(
+                [CODE_STATUS[int(c)] for c in (enc >> 10) & 0xF],
+                index=last["node_id"],
+            )
+            att_s = pd.Series((enc & 0x3FF).astype("int32"), index=last["node_id"])
+
+        upd_ref = ray.put((status_s, att_s))
+
+        def apply_bcast(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            status_map, att_map = _bcast_get(upd_ref)
+            ids = pd.Series(t["node_id"].to_pandas())
+            st_upd = ids.map(status_map)
+            at_upd = ids.map(att_map)
+            is_url = pc_.equal(t["node_type"], "URL")
+            has = pc_.and_(pa.array(st_upd.notna().to_numpy()), is_url)
+            st = pc_.if_else(
+                has, pa.array(st_upd.fillna("").astype(str)), t["status"]
+            )
+            att = pc_.if_else(
+                has,
+                pa.array(at_upd.fillna(0).to_numpy().astype("int32"), pa.int32()),
+                t["attempts"],
+            )
+            t = t.set_column(t.schema.get_field_index("status"), "status", st)
+            return t.set_column(
+                t.schema.get_field_index("attempts"), "attempts", att
+            )
+
+        final_nodes = creates.map_batches(apply_bcast, batch_format="pyarrow")
+    else:
+        final_nodes = creates
     _write_ds(final_nodes, os.path.join(fdir, "nodes"), NODES_SCHEMA)
 
-    edge_dirs = [os.path.join(_round_dir(ckpt, r), "edges") for r in range(rounds + 1)]
-    edges = rd.read_parquet(_parquet_files(edge_dirs)).groupby(["src", "dst"]).map_groups(
-        lambda g: g.sort_values("round").head(1), batch_format="pandas"
+    # Edges: bootstrap delta (round 0, all src == seed/ROOT id) + per-round
+    # edge partitions written by the seen shards at each barrier. Edges are
+    # already globally distinct EXCEPT rows with src == seed id (the
+    # ROOT/URL label split, crawl_service.rs:45): those were diverted into
+    # tiny per-round seed_edges sidecars and are exact-deduped here on the
+    # driver (min round wins). Below the rewrite gate everything compacts
+    # into final/edges; above it final/edges holds the seed subset + a
+    # manifest over the immutable per-round partitions (read_edges()).
+    with open(os.path.join(ckpt, "crawl.json")) as f:
+        meta = json.load(f)
+    rname, rproto = normalize_url(meta["seed_url"])
+    seed_id = rproto + rname
+
+    e0_files = _parquet_files([os.path.join(_round_dir(ckpt, 0), "edges")])
+    round_edge_files = _parquet_files(
+        [os.path.join(_round_dir(ckpt, r), "edges") for r in range(1, rounds + 1)]
     )
-    _write_ds(edges, os.path.join(fdir, "edges"), EDGES_SCHEMA)
+    seed_files = _parquet_files(
+        [os.path.join(_round_dir(ckpt, r), "seed_edges") for r in range(1, rounds + 1)]
+    )
+
+    n_edges = 0
+    for r in range(1, rounds + 1):
+        cpath = os.path.join(_round_dir(ckpt, r), "counters.json")
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                n_edges += json.load(f).get("edges_created", 0)
+
+    edir = os.path.join(fdir, "edges")
+    os.makedirs(edir, exist_ok=True)
+
+    # seed-src dedup (bootstrap edges are all seed-src; sidecars are tiny)
+    seed_tbls = [pads.dataset(e0_files).to_table()] if e0_files else []
+    if seed_files:
+        seed_tbls.append(pads.dataset(seed_files).to_table())
+    best: dict[str, dict] = {}
+    for t in seed_tbls:
+        for row in cast_table(t, EDGES_SCHEMA).to_pylist():
+            if row["src"] != seed_id:
+                continue
+            cur = best.get(row["dst"])
+            if cur is None or row["round"] < cur["round"]:
+                best[row["dst"]] = row
+    if best:
+        pq.write_table(
+            pa.Table.from_pylist(
+                sorted(best.values(), key=lambda r: r["dst"]), schema=EDGES_SCHEMA
+            ),
+            os.path.join(edir, "part-seed.parquet"),
+        )
+
+    if n_edges <= 5_000_000:
+        if round_edge_files:
+            _write_ds(rd.read_parquet(round_edge_files), edir, EDGES_SCHEMA)
+    else:
+        with open(os.path.join(edir, "edges_manifest.json"), "w") as f:
+            json.dump(dict(round_edge_files=round_edge_files), f)
+    if not any(f.endswith(".parquet") for f in os.listdir(edir)):
+        pq.write_table(EDGES_SCHEMA.empty_table(),
+                       os.path.join(edir, "part-empty.parquet"))
     with open(os.path.join(fdir, "_DONE"), "w") as f:
         f.write("ok")
 
@@ -465,13 +696,20 @@ def crawl(
     resume: bool = True,
     cancel_after_round: int | None = None,
     max_rounds: int = 64,
+    corpus_table: pa.Table | None = None,
+    corpus_ref=None,
 ) -> CrawlResult:
-    """Run (or resume) one crawl end-to-end. Requires an initialized Ray."""
+    """Run (or resume) one crawl end-to-end. Requires an initialized Ray.
+    Pass a pre-built ``corpus_table`` (build_fetch_corpus) to skip the
+    driver-side corpus load (bench separates corpus load from crawl time)."""
     import ray
 
     cfg = cfg or CrawlConfig()
     meta_path = os.path.join(ckpt_dir, "crawl.json")
-    corpus_table = build_fetch_corpus(corpus_dir)
+    if corpus_table is None and corpus_ref is not None:
+        corpus_table = ray.get(corpus_ref)
+    if corpus_table is None:
+        corpus_table = build_fetch_corpus(corpus_dir)
 
     if resume and os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -486,11 +724,19 @@ def crawl(
             json.dump(dict(crawl_id=crawl_id, seed_url=seed_url, depth=depth,
                            corpus_dir=corpus_dir), f)
 
+    rn, rp = normalize_url(seed_url)
+    seed_id = rp + rn
+
     if not os.path.exists(os.path.join(_round_dir(ckpt_dir, 0), "_DONE")):
         _bootstrap(ckpt_dir, corpus_table, seed_url, depth, crawl_id, cfg)
 
-    corpus_ref = ray.put(corpus_table)
+    if corpus_ref is None:
+        corpus_ref = ray.put(corpus_table)
     seen = _make_seen_actors(cfg, expected_keys=corpus_table.num_rows * 4)
+    if corpus_table.num_rows > 50_000:
+        # big-corpus crawls: pre-pay heavy imports + per-worker corpus index
+        # in every worker before round 1 (workers persist across rounds)
+        _warm_workers(corpus_ref)
 
     # restore seen state from all completed rounds
     last_done = 0
@@ -501,10 +747,15 @@ def crawl(
     import pyarrow.dataset as pads
 
     for rr in range(0, last_done + 1):
-        t = pads.dataset(os.path.join(_round_dir(ckpt_dir, rr), "seen_delta")).to_table()
-        if t.num_rows:
-            hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = pads.dataset(os.path.join(_round_dir(ckpt_dir, rr), "nodes")).to_table(
+            columns=["node_id", "node_type"]
+        )
+        ids = [
+            i for i, k in zip(t["node_id"].to_pylist(), t["node_type"].to_pylist())
+            if k == "URL"  # J1 matches only :URL nodes (job.rs:148)
+        ]
+        if ids:
+            hi, lo = hash128(ids)
             shard = (hi % np.uint64(len(seen))).astype(np.int64)
             ray.get([
                 seen[int(s)].bulk_load.remote(hi[shard == s], lo[shard == s])
@@ -518,7 +769,8 @@ def crawl(
         fsize = pads.dataset(fdir).to_table().num_rows if os.path.isdir(fdir) else 0
         if fsize == 0 or r >= max_rounds:
             break
-        _run_round(ckpt_dir, r + 1, crawl_id, cfg, corpus_ref, seen)
+        _run_round(ckpt_dir, r + 1, crawl_id, cfg, corpus_ref, seen,
+                   seed_id=seed_id)
         r += 1
         if cancel_after_round is not None and r >= cancel_after_round:
             _cancel(ckpt_dir, r, crawl_id)

@@ -50,9 +50,23 @@ def build_fetch_corpus(corpus_dir: str) -> pa.Table:
     return pa.table({"name": names, "http_type": protos, "html": pages["html"]})
 
 
+def corpus_key_strings(names, protos) -> "pa.Array":
+    """Join (name, http_type) into the corpus lookup key string,
+    vectorized ("\x00" cannot occur in either part)."""
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(names, protos, "\x00")
+
+
 def get_corpus_index(corpus_ref):
-    """(key→row dict, html column) for a broadcast corpus ref; cached per
-    worker process (zero-copy ray.get from plasma on first call)."""
+    """(hash128-key→row dict, html column) for a broadcast corpus ref;
+    cached per worker process (zero-copy ray.get from plasma on first call).
+
+    Keys are the 128-bit hashes of "name\x00http_type" — built with one
+    vectorized hash pass + dict(zip(...)), ~100× cheaper per worker than
+    materializing per-row Python strings for the whole corpus. 128 bits →
+    collision-free for any realistic corpus (birthday bound ~2^64 rows).
+    """
     key = corpus_ref.hex() if hasattr(corpus_ref, "hex") else id(corpus_ref)
     hit = _CORPUS_CACHE.get(key)
     if hit is not None:
@@ -63,9 +77,13 @@ def get_corpus_index(corpus_ref):
         import ray
 
         table = ray.get(corpus_ref)
-    names = table["name"].to_pylist()
-    protos = table["http_type"].to_pylist()
-    index = {(n, p): i for i, (n, p) in enumerate(zip(names, protos))}
+    from raycrawl.kernels import hash128
+
+    keys = corpus_key_strings(
+        table["name"].combine_chunks(), table["http_type"].combine_chunks()
+    )
+    hi, lo = hash128(keys)
+    index = dict(zip(zip(hi.tolist(), lo.tolist()), range(len(hi))))
     _CORPUS_CACHE.clear()  # one corpus live at a time per worker
     _CORPUS_CACHE[key] = (index, table["html"])
     return _CORPUS_CACHE[key]
@@ -88,22 +106,27 @@ def politeness_wait(host: str, delay_s: float) -> None:
     _HOST_CLOCK[host] = time.monotonic()
 
 
-def fetch_one(index, html_col, name: str, proto: str, attempt: int,
-              politeness_delay_s: float = 0.0, respect_robots: bool = False):
+def fetch_one(index, html_col, name: str, proto: str, key128, attempt: int,
+              politeness_delay_s: float = 0.0, respect_robots: bool = False,
+              want_html: bool = False):
     """One simulated fetch+extract → (status, elapsed_ms, n_extracted,
-    sorted D1-deduped uppercased candidates). Reference lifecycle:
-    fetch shared/src/crawler.rs:18-51, extract :55-60, D1 feeder/src/job.rs:286."""
+    sorted D1-deduped uppercased candidates, html|None). Reference
+    lifecycle: fetch shared/src/crawler.rs:18-51, extract :55-60, D1
+    feeder/src/job.rs:286."""
     host = host_of(name)
     if respect_robots and robots_blocked(host):
-        return STATUS_ROBOTS, 0.0, 0, []
+        return STATUS_ROBOTS, 0.0, 0, [], None
     if politeness_delay_s > 0:
         politeness_wait(host, politeness_delay_s)
-    idx = index.get((name, proto))
+    idx = index.get(key128)
     status = sim.fetch_status(name, proto, attempt, idx is not None)
     elapsed = sim.fetch_elapsed_ms(name, proto)
     if status != sim.STATUS_OK:
-        return status, elapsed, 0, []
-    raw = extract_urls(decode_html(html_col[idx].as_py()))
+        return status, elapsed, 0, [], None
+    html = decode_html(html_col[idx].as_py())
+    raw = extract_urls(html)
     # D1: per-page HashSet of uppercased URLs (job.rs:286); sorted for
     # determinism — downstream is set-semantics.
-    return status, elapsed, len(raw), sorted({u.upper() for u in raw})
+    return status, elapsed, len(raw), sorted({u.upper() for u in raw}), (
+        html if want_html else None
+    )

@@ -1,4 +1,5 @@
-"""Round-expansion stages: fused fetch+expand, node merge, seen gate.
+"""Round-expansion stage: fused fetch+extract+dedup+DNS with actor-side
+node merge.
 
 One BFS round is the Ray-Data restatement (SURVEY.md §3.4) of the
 reference's per-job pipeline (feeder/src/job.rs:263-351):
@@ -6,31 +7,36 @@ reference's per-job pipeline (feeder/src/job.rs:263-351):
     frontier ─ map_batches(fetch_expand)   # S1/J5 fetch + M1 extract + D1 +
                                            # J1 anti-join + M2 normalize +
                                            # ST2 DNS + M7 depth + parent status
-             ─ groupby(node_id) winner     # J2 MERGE node dedup (min depth)
-             ─ map_batches(node_seen_gate) # new-node check + seen add_pending
-             → parquet deltas (nodes / edges / parent_updates / frontier_{r+1})
+                                           # + offer(children) → seen shards
+             → round_out parquet           # parent lifecycle rows + child/edge rows
+    barrier: SeenShard.commit_round()      # J2 MERGE winners → nodes delta
+                                           # parquet (written BY the shards)
 
-``fetch_expand`` is a stateless *task* stage: its heavy setup (corpus index,
-DNS cache) is cached per worker process (see fetch.py), so repeated
-per-round executions pay no actor-pool spin-up.  The only mutable
-cross-task state is the SeenShard actor pool, reached via SeenRouter with
-round-snapshot semantics (committed at the driver's round barrier).
+``fetch_expand`` is a stateless *task* stage: its heavy setup (corpus
+index, DNS cache) is cached per worker process (see fetch.py), so repeated
+per-round executions pay no actor-pool spin-up. Node dedup lives in the
+SeenShard actors (hash(node_id)-routed offers; min-depth winner; committed
+at the driver's round barrier) — the actor RPC is the round's only
+shuffle.
 
-Edge rows need no cross-batch dedup within a round: every (src, dst) pair
-is emitted only by parent ``src``'s input row, which lives in exactly one
-batch — the within-batch distinct is therefore globally distinct for the
-round. Cross-round duplicates are impossible for nodes (seen gate) and
-edges (a parent reaches a successful fetch exactly once); a final safety
-dedup runs at compaction.
+Edge rows need no cross-batch dedup within a round: a parent's children
+are a set (within-job normalized dedup), and every (src, dst) pair is
+emitted only by parent ``src``'s input row, which lives in exactly one
+batch. Cross-round duplicates are impossible (a parent reaches a
+successful fetch exactly once); a final safety dedup runs at compaction.
+
+Optional per-page enrichment (``CrawlConfig.extra['enrich']`` / bench):
+tag-strip text, token counts, quality score, SimHash, MinHash band hash,
+winnowing fingerprint, language guess — the per-page featurization a
+training-data crawl runs at fetch time, attached to the parent row.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from raycrawl import dns_synth, sim
+from raycrawl import sim
 from raycrawl.fetch import STATUS_ROBOTS, fetch_one, get_corpus_index
 from raycrawl.kernels import hash128, normalize_url
 from raycrawl.seen import SeenRouter
@@ -52,6 +58,13 @@ ROUND_OUT_SCHEMA = pa.schema(
         ("parent_id", pa.string()),
         ("fetch_status", pa.int32()),
         ("round", pa.int32()),
+        # enrichment (null unless enrich is on; parent rows only)
+        ("n_tokens", pa.int32()),
+        ("quality", pa.float64()),
+        ("simhash", pa.uint64()),
+        ("fingerprint", pa.uint64()),
+        ("minhash0", pa.uint64()),
+        ("lang_pred", pa.string()),
     ]
 )
 
@@ -88,12 +101,99 @@ _DNS_CACHE: dict[tuple[str, int], tuple[str, str] | None] = {}
 
 
 def _dns(name: str, max_depth: int):
+    from raycrawl import dns_synth
+
     k = (name, max_depth)
     v = _DNS_CACHE.get(k, "?")
     if v == "?":
         v = dns_synth.get_network_stats(name, max_depth)
         _DNS_CACHE[k] = v
     return v
+
+
+# ---------------------------------------------------------------------------
+# per-page enrichment (vectorized; the realistic parse workload)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TAG_RE = _re.compile(r"<[^>]+>")
+_FP_K = 8
+_FP_MULT = np.uint64(0x100000001B3)
+_MAX_TOKENS = 256       # featurization window (tokens)
+_LANGID_CHARS = 1024    # language-ID window (chars)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    from raycrawl.kernels import hash128
+
+    hi, _ = hash128(tokens)
+    return hi
+
+
+def enrich_page(html_text: str) -> dict:
+    """Featurize one fetched page: token count, quality, simhash,
+    winnowing fingerprint, MinHash lane, language guess.
+
+    Analysis windows: quality/simhash/fingerprint/minhash over the first
+    _MAX_TOKENS tokens, language ID over the first _LANGID_CHARS chars —
+    standard practice for per-page featurization, and it bounds the memory
+    traffic per page (full-text rescans were the throughput ceiling)."""
+    from raycrawl.textops import _LANG_HINTS, STOPWORDS, WORD_RE
+
+    text = _TAG_RE.sub("", html_text)
+    tokens = text.split()
+    n_tok = len(tokens)
+    window = tokens[:_MAX_TOKENS]
+    wtext = " ".join(window)
+    words = WORD_RE.findall(wtext.lower())
+    nw = len(words)
+    stop_ratio = sum(w in STOPWORDS for w in words) / nw if nw else 0.0
+    mean_wl = sum(map(len, words)) / nw if nw else 0.0
+    quality = 0.5 * min(stop_ratio / 0.4, 1.0) + 0.5 * min(mean_wl / 8.0, 1.0)
+
+    if window:
+        th = _token_hashes(window)
+        bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        acc = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+        sim_bits = np.packbits((acc > 0).astype(np.uint8), bitorder="little")
+        simhash = int(np.frombuffer(sim_bits.tobytes(), dtype=np.uint64)[0])
+        k = min(_FP_K, len(th))
+        if len(th) >= _FP_K:
+            with np.errstate(over="ignore"):
+                roll = th[: len(th) - _FP_K + 1].copy()
+                for j in range(1, _FP_K):
+                    roll = roll * _FP_MULT ^ th[j : len(th) - _FP_K + 1 + j]
+            fingerprint = int(roll.min())
+        else:
+            fingerprint = int(th.min())
+        # MinHash lane over word 3-gram shingles of the window
+        if len(th) >= 3:
+            with np.errstate(over="ignore"):
+                sh = th[:-2] * _FP_MULT ^ th[1:-1] * np.uint64(1099511628211) ^ th[2:]
+            sh = np.unique(sh)
+            from raycrawl.dedup import minhash_signature
+
+            minhash0 = int(minhash_signature(sh)[0])
+        else:
+            minhash0 = int(th.min())
+    else:
+        simhash, fingerprint, minhash0 = 0, 0, 0
+
+    low = text[:_LANGID_CHARS].lower()
+    best, best_score = "en", -1.0
+    for lang, grams in _LANG_HINTS.items():
+        if not grams:
+            continue
+        score = sum(low.count(g) for g in grams) / (len(low) + 1)
+        if score > best_score:
+            best, best_score = lang, score
+    return dict(n_tokens=n_tok, quality=quality, simhash=simhash,
+                fingerprint=fingerprint, minhash0=minhash0, lang_pred=best)
+
+
+_NO_ENRICH = dict(n_tokens=None, quality=None, simhash=None,
+                  fingerprint=None, minhash0=None, lang_pred=None)
 
 
 def fetch_expand_batch(
@@ -106,8 +206,9 @@ def fetch_expand_batch(
     round_no: int = 0,
     politeness_delay_ms: float = 0.0,
     respect_robots: bool = False,
+    enrich: bool = False,
 ) -> pa.Table:
-    """Frontier rows → ROUND_OUT rows (one fused stage).
+    """Frontier rows → ROUND_OUT rows + child offers to the seen shards.
 
     Per parent: fetch (S1/J5) + extract (M1) + D1; then J1 anti-join of the
     raw-uppercased candidate set against the seen snapshot (job.rs:138-165;
@@ -116,7 +217,9 @@ def fetch_expand_batch(
     within-job normalized dedup (job.rs:296-299), synthetic DNS (ST2,
     dropped on failure job.rs:325-329), child depth = parent+1 (M7); parent
     terminal status per job.rs:97-133 & 289-343 (4xx permanent FAILED, 5xx
-    retry budget, no-new → COMPLETED, all-DNS-dropped → FAILED).
+    retry budget, no-new → COMPLETED, all-DNS-dropped → FAILED). Children
+    are offered to their hash(node_id) shard for the J2 MERGE at the round
+    barrier.
     """
     index, html_col = get_corpus_index(corpus_ref)
     router = SeenRouter(seen_handles)
@@ -133,14 +236,23 @@ def fetch_expand_batch(
         # priority: (depth, name) — per-host queue order (north-star L1)
         order.sort(key=lambda i: (depths[i], names[i]))
 
+    from raycrawl.fetch import corpus_key_strings
+
+    khi, klo = hash128(corpus_key_strings(batch["name"], batch["http_type"]))
     fetched = [None] * n
+    pages = [None] * n
     for i in order:
         attempt = int(attempts[i] or 0) + 1
         fetched[i] = fetch_one(
-            index, html_col, names[i], protos[i], attempt,
+            index, html_col, names[i], protos[i], (int(khi[i]), int(klo[i])), attempt,
             politeness_delay_s=politeness_delay_ms / 1000.0,
             respect_robots=respect_robots,
+            want_html=enrich,
         )
+    if enrich:
+        for i in range(n):
+            if fetched[i][4] is not None:
+                pages[i] = enrich_page(fetched[i][4])
 
     # J1 for the whole batch in one vectorized membership query
     flat: list[str] = []
@@ -152,19 +264,45 @@ def fetch_expand_batch(
     else:
         seen_mask = np.empty(0, dtype=bool)
 
-    out: list[dict] = []
+    # columnar assembly: parent rows + child rows built as per-column lists
+    P: dict[str, list] = {f.name: [] for f in ROUND_OUT_SCHEMA}
+    C: dict[str, list] = {
+        k: []
+        for k in ("crawl_id", "name", "http_type", "node_id", "depth",
+                   "requested_depth", "ip", "domain", "request_time_ms",
+                   "parent_id")
+    }
+
+    def parent_row(i, pid, status_code, elapsed, pstat, att, feats):
+        P["row_type"].append("parent")
+        P["crawl_id"].append(crawl_ids[i])
+        P["name"].append(names[i])
+        P["http_type"].append(protos[i])
+        P["node_id"].append(pid)
+        P["depth"].append(depths[i])
+        P["requested_depth"].append(reqd[i])
+        P["attempts"].append(att)
+        P["status"].append(pstat)
+        P["ip"].append("")
+        P["domain"].append("")
+        P["request_time_ms"].append(elapsed)
+        P["parent_id"].append("")
+        P["fetch_status"].append(status_code)
+        P["round"].append(round_no)
+        P["n_tokens"].append(feats["n_tokens"])
+        P["quality"].append(feats["quality"])
+        P["simhash"].append(feats["simhash"])
+        P["fingerprint"].append(feats["fingerprint"])
+        P["minhash0"].append(feats["minhash0"])
+        P["lang_pred"].append(feats["lang_pred"])
+
     pos = 0
     for i in range(n):
         name, proto = names[i], protos[i]
         pid = proto + name
-        status, elapsed, _n_ext, cands = fetched[i]
+        status, elapsed, _n_ext, cands = fetched[i][:4]
         attempt = int(attempts[i] or 0) + 1
-        base = dict(
-            crawl_id=crawl_ids[i], name=name, http_type=proto, node_id=pid,
-            depth=depths[i], requested_depth=reqd[i], ip="", domain="",
-            request_time_ms=elapsed, parent_id="", fetch_status=status,
-            round=round_no,
-        )
+        feats = pages[i] or _NO_ENRICH
         if status != sim.STATUS_OK:
             if status == STATUS_ROBOTS:
                 pstat, att = "ROBOTS_BLOCKED", attempt - 1
@@ -174,7 +312,7 @@ def fetch_expand_batch(
                 pstat, att = "FAILED", attempt          # job.rs:108-115
             else:
                 pstat, att = "PENDING", attempt         # re-enqueue, job.rs:117-121
-            out.append(dict(base, row_type="parent", status=pstat, attempts=att))
+            parent_row(i, pid, status, elapsed, pstat, att, feats)
             continue
 
         k = len(cands)
@@ -185,7 +323,7 @@ def fetch_expand_batch(
         # error; COMPLETED stores the old counter — job.rs:104-121)
         att = attempt - 1
         if not new_urls:
-            out.append(dict(base, row_type="parent", status="COMPLETED", attempts=att))
+            parent_row(i, pid, status, elapsed, "COMPLETED", att, feats)
             continue
         normalized = {normalize_url(u) for u in new_urls}
         children = []
@@ -195,55 +333,66 @@ def fetch_expand_batch(
                 continue
             children.append((cname, cproto, st[1], st[0]))
         if not children:
-            out.append(dict(base, row_type="parent", status="FAILED", attempts=att))
+            parent_row(i, pid, status, elapsed, "FAILED", att, feats)
             continue
-        out.append(dict(base, row_type="parent", status="COMPLETED", attempts=att))
+        parent_row(i, pid, status, elapsed, "COMPLETED", att, feats)
         for cname, cproto, ip, dom in children:
-            out.append(
-                dict(
-                    row_type="child", crawl_id=crawl_ids[i], name=cname,
-                    http_type=cproto, node_id=cproto + cname,
-                    depth=depths[i] + 1, requested_depth=reqd[i], attempts=0,
-                    status="", ip=ip, domain=dom, request_time_ms=elapsed,
-                    parent_id=pid, fetch_status=0, round=round_no,
-                )
-            )
-    if not out:
-        return ROUND_OUT_SCHEMA.empty_table()
-    return pa.Table.from_pylist(out, schema=ROUND_OUT_SCHEMA)
+            C["crawl_id"].append(crawl_ids[i])
+            C["name"].append(cname)
+            C["http_type"].append(cproto)
+            C["node_id"].append(cproto + cname)
+            C["depth"].append(depths[i] + 1)
+            C["requested_depth"].append(reqd[i])
+            C["ip"].append(ip)
+            C["domain"].append(dom)
+            C["request_time_ms"].append(elapsed)
+            C["parent_id"].append(pid)
 
-
-def merge_child_group(group):
-    """groupby(node_id) winner: min (depth, parent_id) — the deterministic
-    stand-in for MERGE's racy first-writer ON CREATE (job.rs:180-186;
-    SURVEY §7.4 min-depth BFS property). pandas in/out."""
-    idx = group[["depth", "parent_id"]].sort_values(["depth", "parent_id"]).index[0]
-    return group.loc[[idx]]
-
-
-def make_node_seen_gate(seen_handles):
-    """Winner rows → keep only ids absent from the committed seen set (J2 ON
-    CREATE), assign born status (leaf short-circuit M6: depth==requested →
-    COMPLETED, job.rs:182), and buffer new ids into the shard actors
-    (committed at the driver barrier)."""
-
-    def gate(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        router = SeenRouter(seen_handles)
-        ids = batch["node_id"].to_pylist()
-        hi, lo = hash128(ids)
-        exists = router.contains(hi, lo)
-        keep = ~exists
-        new = batch.filter(pa.array(keep))
-        if new.num_rows == 0:
-            return new
-        router.add_pending(hi[keep], lo[keep])
-        status = pc.if_else(
-            pc.equal(new["depth"], new["requested_depth"]),
-            pa.scalar("COMPLETED"),
-            pa.scalar("PENDING"),
+    offer_refs = []
+    child_tbl = None
+    nc = len(C["node_id"])
+    if nc:
+        child_tbl = pa.table(
+            {
+                "crawl_id": pa.array(C["crawl_id"], pa.string()),
+                "name": pa.array(C["name"], pa.string()),
+                "http_type": pa.array(C["http_type"], pa.string()),
+                "node_id": pa.array(C["node_id"], pa.string()),
+                "depth": pa.array(C["depth"], pa.int32()),
+                "requested_depth": pa.array(C["requested_depth"], pa.int32()),
+                "ip": pa.array(C["ip"], pa.string()),
+                "domain": pa.array(C["domain"], pa.string()),
+                "request_time_ms": pa.array(C["request_time_ms"], pa.float64()),
+                "parent_id": pa.array(C["parent_id"], pa.string()),
+            }
         )
-        return new.set_column(new.schema.get_field_index("status"), "status", status)
+        ohi, olo = hash128(child_tbl["node_id"])
+        # every child row ships to its shard: the shard both resolves node
+        # winners AND writes the round's edge partition (each row is a Lead
+        # edge). Fired now, awaited at the end — overlaps actor processing
+        # with output assembly; the round barrier stays correct because the
+        # task doesn't finish until the refs resolve.
+        offer_refs = router.offer(ohi, olo, child_tbl)
 
-    return gate
+    parents_tbl = None
+    if P["row_type"]:
+        parents_tbl = pa.table(
+            {f.name: pa.array(P[f.name], f.type) for f in ROUND_OUT_SCHEMA},
+            schema=ROUND_OUT_SCHEMA,
+        )
+
+    tables = []
+    if parents_tbl is not None:
+        tables.append(parents_tbl)
+    # child rows do NOT go into round_out: they travel to the shards, which
+    # write the nodes delta AND the round's edge partitions at the barrier.
+    # round_out = parent lifecycle rows only (frontier-sized).
+
+    if offer_refs:
+        import ray
+
+        ray.get(offer_refs)
+
+    if not tables:
+        return ROUND_OUT_SCHEMA.empty_table()
+    return pa.concat_tables(tables)

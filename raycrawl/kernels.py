@@ -131,6 +131,12 @@ _H1_SEED = 0x9E3779B97F4A7C15
 _H2_SEED = 0xC2B2AE3D27D4EB4F
 
 try:
+    import os as _os
+
+    # polars spins a thread pool of os.cpu_count() threads PER PROCESS; with
+    # ~32 Ray workers each hashing small batches that's ~1000 threads of
+    # pure contention. One thread per worker is the right shape here.
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
     import polars as pl
 
     _HAVE_POLARS = True

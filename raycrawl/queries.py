@@ -45,14 +45,13 @@ def load_nodes(ckpt_dirs):
 def load_edges(ckpt_dirs):
     if isinstance(ckpt_dirs, str):
         ckpt_dirs = [ckpt_dirs]
-    import ray.data as rd
+    from raycrawl.crawl import read_edges
 
-    files = []
+    out = None
     for d in ckpt_dirs:
-        ed = os.path.join(d, "final", "edges")
-        files.extend(os.path.join(ed, f) for f in sorted(os.listdir(ed))
-                     if f.endswith(".parquet"))
-    return rd.read_parquet(files)
+        ds = read_edges(d)
+        out = ds if out is None else out.union(ds)
+    return out
 
 
 def _status_flags(t: pa.Table) -> pa.Table:

@@ -153,41 +153,141 @@ def make_backend(kind: str, expected_keys: int = 1_000_000, bits_per_key: int = 
 
 
 class SeenShardImpl:
-    """One shard of the crawl-scoped URL-seen set (plain class; wrapped in a
-    Ray actor by the driver via ``ray.remote(SeenShardImpl)``)."""
+    """One shard of the crawl-scoped URL-seen set + the J2 MERGE role (plain
+    class; wrapped in a Ray actor by the driver via
+    ``ray.remote(SeenShardImpl)``).
+
+    Besides membership, the shard is the **node-dedup authority** for its
+    key range: during a round, fetch tasks ``offer`` candidate child rows
+    (routed by ``hash(node_id) % S``); the shard keeps, per node_id, the
+    min-(depth, parent_id) winner — the deterministic stand-in for MERGE's
+    racy first-writer ON CREATE (feeder/src/job.rs:180-186; SURVEY §7.4
+    min-depth BFS property). At the round barrier ``commit_round`` drops
+    winners whose id is already committed (ON CREATE skipped), assigns the
+    born status (leaf short-circuit M6, job.rs:182), folds the new ids into
+    the committed set, and writes its own nodes-delta Parquet shard — the
+    actor RPC *is* the shuffle, and the write is distributed (no driver
+    funnel)."""
 
     def __init__(self, shard_id: int, backend: str = "set",
                  expected_keys: int = 1_000_000, bits_per_key: int = 12):
         self.shard_id = shard_id
         self._committed = make_backend(backend, expected_keys, bits_per_key)
-        self._pending_hi: list[np.ndarray] = []
-        self._pending_lo: list[np.ndarray] = []
+        # offered child-candidate Arrow tables, buffered for the barrier
+        # (offer is O(1) append so the RPC hot path never does per-row work)
+        self._offer_tables: list = []
 
     def contains(self, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
         """Membership against the committed (round-start) snapshot only."""
         return self._committed.contains(np.asarray(hi, np.uint64), np.asarray(lo, np.uint64))
 
-    def add_pending(self, hi: np.ndarray, lo: np.ndarray) -> int:
-        """Buffer discoveries for the round barrier; invisible to contains()."""
-        self._pending_hi.append(np.asarray(hi, np.uint64))
-        self._pending_lo.append(np.asarray(lo, np.uint64))
-        return sum(len(a) for a in self._pending_hi)
+    def offer(self, table) -> int:
+        """Buffer a candidate-child Arrow table slice (columns: node_id,
+        name, http_type, depth, parent_id, ip, domain, request_time_ms,
+        requested_depth, crawl_id). Winner resolution happens vectorized at
+        commit_round."""
+        self._offer_tables.append(table)
+        return len(self._offer_tables)
 
-    def commit(self) -> tuple[np.ndarray, np.ndarray]:
-        """Round barrier: fold pending into committed; return the (deduped)
-        delta so the driver can checkpoint it."""
-        if not self._pending_hi:
-            return np.empty(0, np.uint64), np.empty(0, np.uint64)
-        hi = np.concatenate(self._pending_hi)
-        lo = np.concatenate(self._pending_lo)
-        self._pending_hi, self._pending_lo = [], []
-        packed = pack_keys(hi, lo)
-        _, first = np.unique(packed, return_index=True)
-        hi, lo = hi[np.sort(first)], lo[np.sort(first)]
-        new = ~self._committed.contains(hi, lo)
-        hi, lo = hi[new], lo[new]
-        self._committed.add(hi, lo)
-        return hi, lo
+    def commit_round(self, nodes_path: str | None, edges_path: str | None,
+                     round_no: int, seed_id: str = "") -> dict:
+        """Round barrier. This shard owns its hash range of child ids, so it:
+
+        1. writes its Lead-edge partition — every offered (parent, child)
+           row IS an edge (MERGE (p)-[:Lead]->(c), job.rs:185, created even
+           when the child already exists); rows with src == seed_id are
+           returned to the driver instead (the only cross-round-duplicable
+           subset — ROOT/URL label split, see crawl._finalize);
+        2. resolves node winners (min (depth, parent_id) per node_id — J2
+           MERGE first-writer, vectorized), drops ids already committed
+           (ON CREATE skipped), folds new ids into the committed set, and
+           writes its nodes-delta parquet.
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from raycrawl.kernels import hash128
+
+        new_count = 0
+        edge_count = 0
+        seed_rows: list[dict] = []
+        if self._offer_tables:
+            allt = pa.concat_tables(self._offer_tables)
+            self._offer_tables = []
+
+            # --- edges partition (all offered rows, pre-winner-dedup) ---
+            from raycrawl.frontier import EDGES_SCHEMA
+
+            edges = pa.table(
+                {
+                    "crawl_id": allt["crawl_id"],
+                    "src": allt["parent_id"],
+                    "dst": allt["node_id"],
+                    "depth": allt["depth"].cast(pa.int32()),
+                    "round": pa.array([round_no] * allt.num_rows, pa.int32()),
+                },
+                schema=EDGES_SCHEMA,
+            )
+            is_seed = pc.equal(edges["src"], seed_id)
+            seed_tbl = edges.filter(is_seed)
+            if seed_tbl.num_rows:
+                seed_rows = seed_tbl.to_pylist()
+            edges = edges.filter(pc.invert(is_seed))
+            edge_count = edges.num_rows
+            if edges_path is not None and edge_count:
+                pq.write_table(
+                    edges, f"{edges_path}/shard-{self.shard_id:03d}.parquet"
+                )
+
+            # --- node winners (int-leading sort: khi/klo are the 128-bit
+            # node key; parent_id string compares only break exact ties) ---
+            order = pc.sort_indices(
+                allt,
+                sort_keys=[("khi", "ascending"), ("klo", "ascending"),
+                           ("depth", "ascending"), ("parent_id", "ascending")],
+            )
+            allt = allt.take(order)
+            khi = allt["khi"].to_numpy(zero_copy_only=False)
+            klo = allt["klo"].to_numpy(zero_copy_only=False)
+            first_mask = np.ones(len(khi), dtype=bool)
+            if len(khi) > 1:
+                first_mask[1:] = (khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1])
+            winners = allt.filter(pa.array(first_mask))
+            hi = winners["khi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            lo = winners["klo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            exists = self._committed.contains(hi, lo)
+            keep = ~exists
+            winners = winners.filter(pa.array(keep))
+            new_count = winners.num_rows
+            if new_count:
+                self._committed.add(hi[keep], lo[keep])
+                status = pc.if_else(
+                    pc.equal(winners["depth"], winners["requested_depth"]),
+                    pa.scalar("COMPLETED"),
+                    pa.scalar("PENDING"),
+                )
+                from raycrawl.frontier import NODES_SCHEMA
+
+                cols = {}
+                for f in NODES_SCHEMA:
+                    if f.name == "node_type":
+                        cols[f.name] = pa.array(["URL"] * new_count, f.type)
+                    elif f.name == "status":
+                        cols[f.name] = status
+                    elif f.name == "attempts":
+                        cols[f.name] = pa.nulls(new_count, f.type).fill_null(0)
+                    elif f.name == "round":
+                        cols[f.name] = pa.array([round_no] * new_count, f.type)
+                    else:
+                        cols[f.name] = winners[f.name].cast(f.type)
+                if nodes_path is not None:
+                    pq.write_table(
+                        pa.table(cols, schema=NODES_SCHEMA),
+                        f"{nodes_path}/shard-{self.shard_id:03d}.parquet",
+                    )
+        return {"new_nodes": int(new_count), "seen_size": len(self._committed),
+                "edges_written": int(edge_count), "seed_rows": seed_rows}
 
     def bulk_load(self, hi: np.ndarray, lo: np.ndarray) -> int:
         """Checkpoint restore: load directly into the committed set."""
@@ -225,12 +325,21 @@ class SeenRouter:
             out[m] = r
         return out
 
-    def add_pending(self, hi: np.ndarray, lo: np.ndarray) -> None:
-        import ray
+    def offer(self, hi: np.ndarray, lo: np.ndarray, table) -> list:
+        """Route candidate child rows (Arrow table + parallel hash arrays)
+        to their shards; the 128-bit key ships as two uint64 columns so the
+        shard's winner sort leads with integer keys. Returns the call refs
+        WITHOUT waiting — the caller overlaps actor processing with its
+        remaining batch work and ray.get()s the refs before returning (so
+        the driver's round barrier can only start after every offer
+        landed)."""
+        import pyarrow as pa
 
+        table = table.append_column("khi", pa.array(hi, pa.uint64()))
+        table = table.append_column("klo", pa.array(lo, pa.uint64()))
         shard = self._route(hi)
         refs = []
         for s in np.unique(shard):
-            m = shard == s
-            refs.append(self.handles[int(s)].add_pending.remote(hi[m], lo[m]))
-        ray.get(refs)
+            idx = np.flatnonzero(shard == s)
+            refs.append(self.handles[int(s)].offer.remote(table.take(pa.array(idx))))
+        return refs

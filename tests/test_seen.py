@@ -1,0 +1,113 @@
+"""Unit tests for the seen-filter backends (exact set, Bloom front,
+sorted-runs) and the shard offer/commit protocol."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raycrawl.seen import SeenShardImpl, _Bloom, make_backend
+
+
+def _keys(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 1 << 63, n).astype(np.uint64),
+            rng.integers(0, 1 << 63, n).astype(np.uint64))
+
+
+@pytest.mark.parametrize("kind", ["set", "sortedruns"])
+def test_backend_membership(kind):
+    b = make_backend(kind, expected_keys=10_000)
+    hi, lo = _keys(5_000, seed=1)
+    assert not b.contains(hi, lo).any()
+    b.add(hi[:3_000], lo[:3_000])
+    got = b.contains(hi, lo)
+    assert got[:3_000].all()
+    assert not got[3_000:].any()
+    # same hi different lo must NOT match
+    assert not b.contains(hi[:10], lo[:10] + np.uint64(1)).any()
+    assert len(b) >= 3_000
+
+
+def test_sortedruns_compaction_preserves_membership():
+    b = make_backend("sortedruns", expected_keys=10_000)
+    all_hi, all_lo = _keys(20_000, seed=2)
+    for i in range(0, 20_000, 1_000):  # 20 adds → forces compaction
+        b.add(all_hi[i : i + 1_000], all_lo[i : i + 1_000])
+    assert b.contains(all_hi, all_lo).all()
+    miss_hi, miss_lo = _keys(1_000, seed=3)
+    assert not b.contains(miss_hi, miss_lo).any()
+
+
+def test_bloom_no_false_negatives():
+    bl = _Bloom(12 * 5_000)
+    hi, lo = _keys(5_000, seed=4)
+    bl.add(hi, lo)
+    assert bl.maybe_contains(hi, lo).all()
+    other_hi, other_lo = _keys(50_000, seed=5)
+    fp = bl.maybe_contains(other_hi, other_lo).mean()
+    assert fp < 0.05  # 12 bits/key → well under 5% false positives
+
+
+def _offer_table(rows):
+    cols = {
+        "crawl_id": pa.array([r.get("crawl_id", "c") for r in rows]),
+        "name": pa.array([r["name"] for r in rows]),
+        "http_type": pa.array([r.get("http_type", "HTTPS://") for r in rows]),
+        "node_id": pa.array([r["node_id"] for r in rows]),
+        "depth": pa.array([r["depth"] for r in rows], pa.int32()),
+        "requested_depth": pa.array([r.get("requested_depth", 5) for r in rows], pa.int32()),
+        "ip": pa.array([r.get("ip", "10.0.0.1") for r in rows]),
+        "domain": pa.array([r.get("domain", "D") for r in rows]),
+        "request_time_ms": pa.array([r.get("request_time_ms", 1.0) for r in rows]),
+        "parent_id": pa.array([r["parent_id"] for r in rows]),
+    }
+    t = pa.table(cols)
+    from raycrawl.kernels import hash128
+
+    hi, lo = hash128(t["node_id"])
+    t = t.append_column("khi", pa.array(hi, pa.uint64()))
+    return t.append_column("klo", pa.array(lo, pa.uint64()))
+
+
+def test_shard_offer_commit_winner_and_snapshot(tmp_path):
+    from raycrawl.kernels import hash128
+
+    shard = SeenShardImpl(0, backend="set")
+    # pre-commit an existing id
+    hi, lo = hash128(["HTTPS://OLD.COM"])
+    shard.bulk_load(hi, lo)
+
+    shard.offer(_offer_table([
+        dict(name="A.COM", node_id="HTTPS://A.COM", depth=3, parent_id="P2"),
+        dict(name="A.COM", node_id="HTTPS://A.COM", depth=2, parent_id="P9"),
+        dict(name="A.COM", node_id="HTTPS://A.COM", depth=2, parent_id="P1"),
+        dict(name="OLD.COM", node_id="HTTPS://OLD.COM", depth=1, parent_id="P1"),
+        dict(name="B.COM", node_id="HTTPS://B.COM", depth=5, parent_id="P1"),
+    ]))
+    # snapshot semantics: offers invisible before commit
+    qhi, qlo = hash128(["HTTPS://A.COM"])
+    assert not shard.contains(qhi, qlo).any()
+
+    out_dir = tmp_path / "nodes"
+    out_dir.mkdir()
+    edge_dir = tmp_path / "edges"
+    edge_dir.mkdir()
+    stats = shard.commit_round(str(out_dir), str(edge_dir), round_no=7,
+                               seed_id="HTTPS://P1")
+    assert stats["new_nodes"] == 2  # A (winner) + B; OLD already committed
+    # edges: every offered row is an edge; src == seed_id diverted to driver
+    assert stats["edges_written"] + len(stats["seed_rows"]) == 5
+    assert all(r["src"] == "HTTPS://P1" for r in stats["seed_rows"])
+
+    import pyarrow.parquet as pq
+
+    files = sorted(out_dir.glob("*.parquet"))
+    t = pq.read_table(files[0]).to_pylist()
+    by_id = {r["node_id"]: r for r in t}
+    # winner: min (depth, parent_id) → depth 2, parent P1's row
+    assert by_id["HTTPS://A.COM"]["depth"] == 2
+    # leaf short-circuit: depth == requested_depth → COMPLETED
+    assert by_id["HTTPS://B.COM"]["status"] == "COMPLETED"
+    assert by_id["HTTPS://A.COM"]["status"] == "PENDING"
+    # committed now
+    assert shard.contains(qhi, qlo).all()
