@@ -76,6 +76,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q(_demo_nodes())
 
+    def crawl_list_page(_sf):
+        from raycrawl.queries import list_crawls as q
+
+        return q(_demo_nodes(), limit=1, offset=1)
+
+    def crawl_list_completed(_sf):
+        from raycrawl.queries import list_crawls as q
+
+        return q(_demo_nodes(), status_filter="completed")
+
     def crawl_stats(_sf):
         from raycrawl.queries import crawl_stats as q
 
@@ -105,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- crawl read-side (A1-A4, S5 — SURVEY §2.5, §2.1) ---
         "crawl_progress": crawl_progress,
         "crawl_list": crawl_list,
+        "crawl_list_page": crawl_list_page,          # L2 pagination
+        "crawl_list_completed": crawl_list_completed,  # A3 status filter
         "crawl_stats": crawl_stats,
         "graph_export_nodes": graph_nodes,
         "graph_export_edges": graph_edges,
@@ -192,6 +204,29 @@ def oracle_sql() -> dict[str, str]:
     FROM d ORDER BY crawl_id LIMIT 20 OFFSET 0
     """
 
+    crawl_list_page = crawl_list.replace("LIMIT 20 OFFSET 0", "LIMIT 1 OFFSET 1")
+    # filtered variant: total_count counts the FILTERED set (matches the
+    # reference's filtered Cypher, crawl_service.rs:150-160)
+    crawl_list_completed = f"""
+    WITH u AS (SELECT crawl_id, status FROM {nodes} WHERE node_type = 'URL'),
+         r AS (SELECT crawl_id, http_type || name AS root_url,
+                      CAST(requested_depth AS BIGINT) AS requested_depth
+               FROM {nodes} WHERE node_type = 'ROOT'),
+         c AS (SELECT r.crawl_id, r.root_url, r.requested_depth,
+                      CAST(count(u.status) AS BIGINT) AS total, {status_sums}
+               FROM r LEFT JOIN u ON r.crawl_id = u.crawl_id
+               GROUP BY r.crawl_id, r.root_url, r.requested_depth),
+         d AS (SELECT *,
+                      CASE WHEN pending = 0 AND in_progress = 0 THEN
+                        CASE WHEN cancelled > 0 AND completed = 0 THEN 'cancelled' ELSE 'completed' END
+                      ELSE 'running' END AS status
+               FROM c),
+         flt AS (SELECT * FROM d WHERE status = 'completed')
+    SELECT crawl_id, root_url, requested_depth, status, total, completed,
+           failed, cancelled, CAST(count(*) OVER () AS BIGINT) AS total_count
+    FROM flt ORDER BY crawl_id LIMIT 20 OFFSET 0
+    """
+
     crawl_stats = f"""
     WITH u AS (SELECT * FROM {nodes} WHERE node_type = 'URL' AND crawl_id = 'demo0'),
          c AS (SELECT CAST(count(*) AS BIGINT) AS total_urls,
@@ -231,6 +266,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "crawl_progress": crawl_progress,
         "crawl_list": crawl_list,
+        "crawl_list_page": crawl_list_page,          # L2 pagination
+        "crawl_list_completed": crawl_list_completed,  # A3 status filter
         "crawl_stats": crawl_stats,
         "graph_export_nodes": graph_export_nodes,
         "graph_export_edges": graph_export_edges,

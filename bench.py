@@ -151,9 +151,18 @@ def scaling() -> None:
             os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1",
             RAYCRAWL_BENCH_TAG=tag,
         )
+        # Pin the whole Ray session (tasks, shard actors, raylet) to exactly
+        # ncpu PHYSICAL cores: ray.init(num_cpus=N) only throttles task
+        # slots, so without pinning the small-cluster leg would borrow the
+        # machine's idle cores for actors and system work — a real N-core
+        # cluster has no such spare hardware.
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        import shutil as _sh
+
+        if _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])

@@ -69,6 +69,21 @@ def _write_table(table: pa.Table, path: str) -> None:
     pq.write_table(table, os.path.join(path, "part-driver.parquet"))
 
 
+def _write_table_chunked(table: pa.Table, path: str, rows_per_file: int = 4096,
+                         max_files: int = 64) -> None:
+    """Driver-side write split into several files so the NEXT round's
+    read_parquet gets enough blocks to parallelize (one file = one task)."""
+    os.makedirs(path, exist_ok=True)
+    n = table.num_rows
+    if n == 0:
+        pq.write_table(table, os.path.join(path, "part-000.parquet"))
+        return
+    per = max(rows_per_file, (n + max_files - 1) // max_files)
+    for i, off in enumerate(range(0, n, per)):
+        pq.write_table(table.slice(off, per),
+                       os.path.join(path, f"part-{i:03d}.parquet"))
+
+
 def cast_table(t: pa.Table, schema: pa.Schema) -> pa.Table:
     """Project + cast a batch to exactly `schema` (pandas round-trips widen
     int32→int64 etc.; parquet dirs must have one uniform schema)."""
@@ -325,7 +340,7 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
         pa.compute.equal(ro["status"], "PENDING"),
     )
     f_retry = ro.filter(pmask).select(FRONTIER_SCHEMA.names)
-    _write_table(
+    _write_table_chunked(
         cast_table(pa.concat_tables([cast_table(f_new, FRONTIER_SCHEMA),
                                      cast_table(f_retry, FRONTIER_SCHEMA)]),
                    FRONTIER_SCHEMA),
@@ -356,16 +371,19 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     """Execute BFS round r from round r-1's frontier. Idempotent: the round
     dir is rebuilt from scratch.
 
-    Two Dataset executions per round (scale-tuned — per-round fixed cost is
-    what bounds small-frontier rounds):
-      P1 frontier → fetch_expand → round_out parquet (children offered to
-         the SeenShard actors along the way; the RPC is the shuffle);
-      barrier: shards resolve J2 winners and write the nodes delta
-         parquet shards themselves (distributed write, no driver funnel);
-      P2 nodes(PENDING) ∪ round_out(parent PENDING retries) → frontier.
-    Edges and parent status updates live inside round_out (read with a
-    filter at finalize); a parent's children are already distinct, so child
-    rows ARE the round's edge delta."""
+    One Dataset execution per round:
+      P1 frontier → fetch_expand → round_out parquet (parent lifecycle rows
+         only); child candidates ship to the SeenShard actors (the RPC is
+         the shuffle);
+      barrier (async with the driver's retry-set computation): shards
+         resolve J2 winners and write BOTH the nodes-delta and the
+         Lead-edge parquet partitions themselves (distributed write, no
+         driver funnel); seed-src edge rows come back as a tiny sidecar;
+      frontier_{r+1} = new PENDING nodes ∪ retry parents — assembled on
+         the driver (chunk-written for downstream parallelism) while the
+         delta is modest, else as a Dataset execution.
+    Parent status updates ARE round_out; edges live in the shard-written
+    per-round partitions (manifest-composed at finalize)."""
     import functools
 
     import ray
@@ -411,42 +429,84 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     ro_path = os.path.join(rdir, "round_out")
     _write_ds(round_out, ro_path, ROUND_OUT_SCHEMA)
 
-    # barrier: shards resolve the round's J2 MERGE winners → nodes delta +
-    # per-shard edge partitions
-    stats = _commit_barrier(rdir, r, seen_handles, seed_id)
+    # barrier (async): shards resolve J2 winners + write nodes/edges deltas
+    # while the driver computes the retry set from the parents just written
+    import ray
+
     nodes_path = os.path.join(rdir, "nodes")
+    edges_path = os.path.join(rdir, "edges")
+    os.makedirs(nodes_path, exist_ok=True)
+    os.makedirs(edges_path, exist_ok=True)
+    commit_refs = [
+        h.commit_round.remote(nodes_path, edges_path, r, seed_id)
+        for h in seen_handles
+    ]
 
-    # P2: next frontier = new PENDING nodes ∪ retry parents (M11 re-enqueue)
-    import ray.data as rd
-
-    fcols = FRONTIER_SCHEMA.names
-    f_new = rd.read_parquet(
-        _parquet_files([nodes_path]), columns=fcols + ["status"]
-    ).map_batches(
-        lambda t: t.filter(pa.compute.equal(t["status"], "PENDING")).select(fcols),
-        batch_format="pyarrow",
-    )
-    f_retry = rd.read_parquet(
-        _parquet_files([ro_path]), columns=fcols + ["row_type", "status"]
-    ).map_batches(
-        lambda t: t.filter(
-            pa.compute.and_(
-                pa.compute.equal(t["row_type"], "parent"),
-                pa.compute.equal(t["status"], "PENDING"),
-            )
-        ).select(fcols),
-        batch_format="pyarrow",
-    )
-    _write_ds(f_new.union(f_retry), os.path.join(rdir, "frontier"), FRONTIER_SCHEMA)
-
-    # counters from parquet footers/columns (driver-side, column-pruned)
     import pyarrow.dataset as pads
 
-    ro = pads.dataset(ro_path).to_table(columns=["row_type", "status"])
-    pstat = [
-        s for rt, s in zip(ro["row_type"].to_pylist(), ro["status"].to_pylist())
-        if rt == "parent"
-    ]
+    ro_t = pads.dataset(_parquet_files([ro_path])).to_table(
+        columns=FRONTIER_SCHEMA.names + ["status"]
+    )
+    pstat = ro_t["status"].to_pylist()
+    f_retry_t = cast_table(
+        ro_t.filter(pa.compute.equal(ro_t["status"], "PENDING")).select(
+            FRONTIER_SCHEMA.names
+        ),
+        FRONTIER_SCHEMA,
+    )
+
+    stats = ray.get(commit_refs)
+    for path, schema in ((nodes_path, NODES_SCHEMA), (edges_path, EDGES_SCHEMA)):
+        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+            pq.write_table(schema.empty_table(),
+                           os.path.join(path, "part-empty.parquet"))
+    seed_rows = [row for s in stats for row in s["seed_rows"]]
+    if seed_rows:
+        _write_table(pa.Table.from_pylist(seed_rows, schema=EDGES_SCHEMA),
+                     os.path.join(rdir, "seed_edges"))
+
+    # next frontier = new PENDING nodes ∪ retry parents (M11 re-enqueue);
+    # assembled on the driver (chunk-written) while the delta is modest,
+    # else as a Dataset execution
+    n_new = int(sum(s["new_nodes"] for s in stats))
+    if n_new <= 6_000_000:
+        nt = pads.dataset(_parquet_files([nodes_path])).to_table(
+            columns=FRONTIER_SCHEMA.names + ["status"]
+        )
+        f_new_t = cast_table(
+            nt.filter(pa.compute.equal(nt["status"], "PENDING")).select(
+                FRONTIER_SCHEMA.names
+            ),
+            FRONTIER_SCHEMA,
+        )
+        _write_table_chunked(
+            pa.concat_tables([f_new_t, f_retry_t]), os.path.join(rdir, "frontier")
+        )
+    else:
+        import ray.data as rd
+
+        fcols = FRONTIER_SCHEMA.names
+        f_new = rd.read_parquet(
+            _parquet_files([nodes_path]), columns=fcols + ["status"]
+        ).map_batches(
+            lambda t: t.filter(pa.compute.equal(t["status"], "PENDING")).select(fcols),
+            batch_format="pyarrow",
+        )
+        f_retry = rd.read_parquet(
+            _parquet_files([ro_path]), columns=fcols + ["row_type", "status"]
+        ).map_batches(
+            lambda t: t.filter(
+                pa.compute.and_(
+                    pa.compute.equal(t["row_type"], "parent"),
+                    pa.compute.equal(t["status"], "PENDING"),
+                )
+            ).select(fcols),
+            batch_format="pyarrow",
+        )
+        _write_ds(f_new.union(f_retry), os.path.join(rdir, "frontier"),
+                  FRONTIER_SCHEMA)
+
+    # counters (pstat/stats computed above)
     counters = dict(
         round=r,
         frontier_size=pads.dataset(prev).count_rows(),

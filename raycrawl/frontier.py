@@ -367,6 +367,8 @@ def fetch_expand_batch(
             }
         )
         ohi, olo = hash128(child_tbl["node_id"])
+        phash, _ = hash128(child_tbl["parent_id"])
+        child_tbl = child_tbl.append_column("phash", pa.array(phash, pa.uint64()))
         # every child row ships to its shard: the shard both resolves node
         # winners AND writes the round's edge partition (each row is a Lead
         # edge). Fired now, awaited at the end — overlaps actor processing

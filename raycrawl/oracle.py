@@ -165,12 +165,17 @@ def oracle_crawl(
             job.status = "COMPLETED"
 
         # Barrier: MERGE children. Winner among same-round creators = min
-        # (depth, parent_id) — deterministic stand-in for "first writer".
+        # (depth, hash64(parent_id)) — deterministic stand-in for "first
+        # writer" (same rule as SeenShardImpl.commit_round; the choice only
+        # affects which parent's request_time the child inherits).
+        from raycrawl.kernels import hash128 as _h128
+
         for ckey, creators in round_children.items():
             cid = ckey[1] + ckey[0]
             if cid in snapshot_ids:
                 continue  # ON CREATE skipped; edges still added below
-            w = min(creators, key=lambda c: (c["depth"], c["parent_id"]))
+            w = min(creators,
+                    key=lambda c: (c["depth"], int(_h128([c["parent_id"]])[0][0])))
             cstatus = "COMPLETED" if w["depth"] == depth else "PENDING"
             res.nodes[ckey] = OracleNode(
                 ckey[0], ckey[1], w["depth"], cstatus, w["ip"], w["domain"], w["rt"]

@@ -240,22 +240,24 @@ class SeenShardImpl:
                     edges, f"{edges_path}/shard-{self.shard_id:03d}.parquet"
                 )
 
-            # --- node winners (int-leading sort: khi/klo are the 128-bit
-            # node key; parent_id string compares only break exact ties) ---
-            order = pc.sort_indices(
-                allt,
-                sort_keys=[("khi", "ascending"), ("klo", "ascending"),
-                           ("depth", "ascending"), ("parent_id", "ascending")],
-            )
-            allt = allt.take(order)
-            khi = allt["khi"].to_numpy(zero_copy_only=False)
-            klo = allt["klo"].to_numpy(zero_copy_only=False)
-            first_mask = np.ones(len(khi), dtype=bool)
-            if len(khi) > 1:
-                first_mask[1:] = (khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1])
-            winners = allt.filter(pa.array(first_mask))
-            hi = winners["khi"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            lo = winners["klo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            # --- node winners: all-integer np.lexsort on (node key, depth,
+            # parent hash); only the winner rows are gathered (no full-table
+            # reorder). Winner = min (depth, hash64(parent_id)) per node —
+            # the deterministic stand-in for MERGE's racy first writer
+            # (mirrored exactly by oracle.py). ---
+            khi_a = allt["khi"].to_numpy(zero_copy_only=False)
+            klo_a = allt["klo"].to_numpy(zero_copy_only=False)
+            depth_a = allt["depth"].to_numpy(zero_copy_only=False)
+            ph_a = allt["phash"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ph_a, depth_a, klo_a, khi_a))
+            khi_s, klo_s = khi_a[order], klo_a[order]
+            first = np.ones(len(order), dtype=bool)
+            if len(order) > 1:
+                first[1:] = (khi_s[1:] != khi_s[:-1]) | (klo_s[1:] != klo_s[:-1])
+            win_idx = order[first]
+            winners = allt.take(pa.array(win_idx))
+            hi = khi_a[win_idx].astype(np.uint64)
+            lo = klo_a[win_idx].astype(np.uint64)
             exists = self._committed.contains(hi, lo)
             keep = ~exists
             winners = winners.filter(pa.array(keep))

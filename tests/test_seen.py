@@ -65,8 +65,10 @@ def _offer_table(rows):
     from raycrawl.kernels import hash128
 
     hi, lo = hash128(t["node_id"])
+    ph, _ = hash128(t["parent_id"])
     t = t.append_column("khi", pa.array(hi, pa.uint64()))
-    return t.append_column("klo", pa.array(lo, pa.uint64()))
+    t = t.append_column("klo", pa.array(lo, pa.uint64()))
+    return t.append_column("phash", pa.array(ph, pa.uint64()))
 
 
 def test_shard_offer_commit_winner_and_snapshot(tmp_path):
