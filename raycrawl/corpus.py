@@ -47,7 +47,7 @@ PRESETS = {
     # fan-out so a depth-5 BFS from one seed fetches ~the whole corpus
     # (throughput bench needs the compute to dominate fixed round costs);
     # a mild hub remains for skew handling.
-    "bench": dict(n_hosts=2_400_000, mean_links=55, zipf_alpha=0.25,
+    "bench": dict(n_hosts=1_200_000, mean_links=55, zipf_alpha=0.25,
                   hub_out_links=200, fast=True),
 }
 

@@ -272,20 +272,27 @@ def _warm_workers(corpus_ref) -> None:
 
 
 
-def _commit_barrier(rdir: str, r: int, seen_handles, seed_id: str):
-    """Round barrier: every shard writes its nodes delta + edge partition;
-    seed-src edge rows (the only cross-round-duplicable subset) come back to
-    the driver and are persisted as a tiny sidecar."""
+def _begin_round(rdir: str, r: int, seen_handles, seed_id: str):
+    """Open per-shard edge partitions + reset round state on every shard."""
     import ray
 
     nodes_path = os.path.join(rdir, "nodes")
     edges_path = os.path.join(rdir, "edges")
     os.makedirs(nodes_path, exist_ok=True)
     os.makedirs(edges_path, exist_ok=True)
-    stats = ray.get([
-        h.commit_round.remote(nodes_path, edges_path, r, seed_id)
+    ray.get([
+        h.begin_round.remote(nodes_path, edges_path, r, seed_id)
         for h in seen_handles
     ])
+    return nodes_path, edges_path
+
+
+def _finish_barrier(rdir: str, seen_handles, nodes_path: str, edges_path: str):
+    """Round barrier: shards close their edge partitions, resolve winners,
+    write nodes deltas; seed-src edge rows persist as a tiny sidecar."""
+    import ray
+
+    stats = ray.get([h.commit_round.remote() for h in seen_handles])
     for path, schema in ((nodes_path, NODES_SCHEMA), (edges_path, EDGES_SCHEMA)):
         if not any(f.endswith(".parquet") for f in os.listdir(path)):
             pq.write_table(schema.empty_table(),
@@ -309,6 +316,7 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
     import ray
 
     frontier = pads.dataset(_parquet_files([prev])).to_table()
+    nodes_path, edges_path = _begin_round(rdir, r, seen_handles, seed_id)
     fn = functools.partial(
         fetch_expand_batch, corpus_ref=corpus_ref, seen_handles=seen_handles,
         max_attempts=cfg.max_attempts, max_dns_depth=cfg.max_dns_depth,
@@ -326,8 +334,7 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
     ro_path = os.path.join(rdir, "round_out")
     _write_table(ro, ro_path)
 
-    stats = _commit_barrier(rdir, r, seen_handles, seed_id)
-    nodes_path = os.path.join(rdir, "nodes")
+    stats = _finish_barrier(rdir, seen_handles, nodes_path, edges_path)
 
     nodes = pads.dataset(_parquet_files([nodes_path])).to_table(
         columns=FRONTIER_SCHEMA.names + ["status"]
@@ -410,6 +417,8 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
             lambda t: t.select(FRONTIER_SCHEMA.names), batch_format="pyarrow"
         )
 
+    nodes_path, edges_path = _begin_round(rdir, r, seen_handles, seed_id)
+
     # P1: fused fetch+extract+J1+normalize+DNS+lifecycle → round_out delta
     round_out = frontier.map_batches(
         functools.partial(
@@ -429,18 +438,11 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     ro_path = os.path.join(rdir, "round_out")
     _write_ds(round_out, ro_path, ROUND_OUT_SCHEMA)
 
-    # barrier (async): shards resolve J2 winners + write nodes/edges deltas
-    # while the driver computes the retry set from the parents just written
+    # barrier (async): shards close edge partitions + resolve winners while
+    # the driver computes the retry set from the parents just written
     import ray
 
-    nodes_path = os.path.join(rdir, "nodes")
-    edges_path = os.path.join(rdir, "edges")
-    os.makedirs(nodes_path, exist_ok=True)
-    os.makedirs(edges_path, exist_ok=True)
-    commit_refs = [
-        h.commit_round.remote(nodes_path, edges_path, r, seed_id)
-        for h in seen_handles
-    ]
+    commit_refs = [h.commit_round.remote() for h in seen_handles]
 
     import pyarrow.dataset as pads
 

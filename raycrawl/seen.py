@@ -173,121 +173,170 @@ class SeenShardImpl:
                  expected_keys: int = 1_000_000, bits_per_key: int = 12):
         self.shard_id = shard_id
         self._committed = make_backend(backend, expected_keys, bits_per_key)
-        # offered child-candidate Arrow tables, buffered for the barrier
-        # (offer is O(1) append so the RPC hot path never does per-row work)
-        self._offer_tables: list = []
+        # per-round incremental state (begin_round → offer* → commit_round)
+        self._writer = None
+        self._edge_buf: list = []
+        self._edge_buf_rows = 0
+        self._edge_count = 0
+        self._seed_rows: list[dict] = []
+        self._round_no = 0
+        self._seed_id = ""
+        self._nodes_path = None
+        # winner tracking: (khi, klo) -> (depth, phash, row dict). Bounded
+        # by the shard's NEW-node count, not by offer volume.
+        self._winners: dict = {}
 
     def contains(self, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
         """Membership against the committed (round-start) snapshot only."""
         return self._committed.contains(np.asarray(hi, np.uint64), np.asarray(lo, np.uint64))
 
+    def begin_round(self, nodes_path: str, edges_path: str, round_no: int,
+                    seed_id: str) -> None:
+        """Open this shard's edge partition for the round; reset round state.
+        (Idempotent per round: a re-begun round discards partial state —
+        rounds are rebuilt from scratch on resume.)"""
+        if self._writer is not None:
+            self._writer.close()
+        from raycrawl.frontier import EDGES_SCHEMA
+
+        self._edges_schema = EDGES_SCHEMA
+        self._writer = None  # opened lazily on first flush
+        self._edges_file = f"{edges_path}/shard-{self.shard_id:03d}.parquet"
+        self._nodes_path = nodes_path
+        self._round_no = round_no
+        self._seed_id = seed_id
+        self._edge_buf, self._edge_buf_rows, self._edge_count = [], 0, 0
+        self._seed_rows = []
+        self._winners = {}
+
+    def _flush_edges(self, force: bool = False) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self._edge_buf_rows == 0 or (not force and self._edge_buf_rows < 262_144):
+            return
+        t = pa.concat_tables(self._edge_buf)
+        self._edge_buf, self._edge_buf_rows = [], 0
+        if self._writer is None:
+            self._writer = pq.ParquetWriter(self._edges_file, self._edges_schema)
+        self._writer.write_table(t)
+
     def offer(self, table) -> int:
-        """Buffer a candidate-child Arrow table slice (columns: node_id,
-        name, http_type, depth, parent_id, ip, domain, request_time_ms,
-        requested_depth, crawl_id). Winner resolution happens vectorized at
-        commit_round."""
-        self._offer_tables.append(table)
-        return len(self._offer_tables)
+        """Stream one candidate-child slice:
 
-    def commit_round(self, nodes_path: str | None, edges_path: str | None,
-                     round_no: int, seed_id: str = "") -> dict:
-        """Round barrier. This shard owns its hash range of child ids, so it:
+        1. its rows ARE Lead edges (MERGE (p)-[:Lead]->(c), job.rs:185) —
+           appended to this shard's edge partition incrementally (seed-src
+           rows diverted, see crawl._finalize);
+        2. winner tracking per node key — min (depth, hash64(parent_id)) —
+           updated against a dict bounded by the shard's new-node count.
 
-        1. writes its Lead-edge partition — every offered (parent, child)
-           row IS an edge (MERGE (p)-[:Lead]->(c), job.rs:185, created even
-           when the child already exists); rows with src == seed_id are
-           returned to the driver instead (the only cross-round-duplicable
-           subset — ROOT/URL label split, see crawl._finalize);
-        2. resolves node winners (min (depth, parent_id) per node_id — J2
-           MERGE first-writer, vectorized), drops ids already committed
-           (ON CREATE skipped), folds new ids into the committed set, and
-           writes its nodes-delta parquet.
+        No per-round buffering of the full offer stream: memory stays
+        O(new nodes + edge write buffer) regardless of offer volume.
         """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = table.num_rows
+        if n == 0:
+            return 0
+        # --- edges ---
+        edges = pa.table(
+            {
+                "crawl_id": table["crawl_id"],
+                "src": table["parent_id"],
+                "dst": table["node_id"],
+                "depth": table["depth"].cast(pa.int32()),
+                "round": pa.array([self._round_no] * n, pa.int32()),
+            },
+            schema=self._edges_schema,
+        )
+        is_seed = pc.equal(edges["src"], self._seed_id)
+        if pc.any(is_seed).as_py():
+            self._seed_rows.extend(edges.filter(is_seed).to_pylist())
+            edges = edges.filter(pc.invert(is_seed))
+        self._edge_count += edges.num_rows
+        self._edge_buf.append(edges)
+        self._edge_buf_rows += edges.num_rows
+        self._flush_edges()
+
+        # --- winner tracking: rank-compare first, extract a row's payload
+        # only when it improves the dict (extractions ≈ new keys, not offer
+        # volume) ---
+        khi = table["khi"].to_numpy(zero_copy_only=False).tolist()
+        klo = table["klo"].to_numpy(zero_copy_only=False).tolist()
+        depth = table["depth"].to_numpy(zero_copy_only=False).tolist()
+        phash = table["phash"].to_numpy(zero_copy_only=False).tolist()
+        cols = {name: table[name] for name in
+                ("crawl_id", "name", "http_type", "node_id", "depth",
+                 "requested_depth", "ip", "domain", "request_time_ms")}
+        W = self._winners
+        for j in range(n):
+            key = (khi[j], klo[j])
+            rank = (depth[j], phash[j])
+            cur = W.get(key)
+            if cur is None or rank < cur[0]:
+                W[key] = (rank, {k: c[j].as_py() for k, c in cols.items()})
+        return len(W)
+
+    def commit_round(self) -> dict:
+        """Round barrier: close the edge partition, resolve winners against
+        the committed set (ON CREATE skipped for known ids), fold new ids
+        in, write the nodes-delta parquet. Returns counts + seed rows."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        from raycrawl.kernels import hash128
+        self._flush_edges(force=True)
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
 
         new_count = 0
-        edge_count = 0
-        seed_rows: list[dict] = []
-        if self._offer_tables:
-            allt = pa.concat_tables(self._offer_tables)
-            self._offer_tables = []
-
-            # --- edges partition (all offered rows, pre-winner-dedup) ---
-            from raycrawl.frontier import EDGES_SCHEMA
-
-            edges = pa.table(
-                {
-                    "crawl_id": allt["crawl_id"],
-                    "src": allt["parent_id"],
-                    "dst": allt["node_id"],
-                    "depth": allt["depth"].cast(pa.int32()),
-                    "round": pa.array([round_no] * allt.num_rows, pa.int32()),
-                },
-                schema=EDGES_SCHEMA,
-            )
-            is_seed = pc.equal(edges["src"], seed_id)
-            seed_tbl = edges.filter(is_seed)
-            if seed_tbl.num_rows:
-                seed_rows = seed_tbl.to_pylist()
-            edges = edges.filter(pc.invert(is_seed))
-            edge_count = edges.num_rows
-            if edges_path is not None and edge_count:
-                pq.write_table(
-                    edges, f"{edges_path}/shard-{self.shard_id:03d}.parquet"
-                )
-
-            # --- node winners: all-integer np.lexsort on (node key, depth,
-            # parent hash); only the winner rows are gathered (no full-table
-            # reorder). Winner = min (depth, hash64(parent_id)) per node —
-            # the deterministic stand-in for MERGE's racy first writer
-            # (mirrored exactly by oracle.py). ---
-            khi_a = allt["khi"].to_numpy(zero_copy_only=False)
-            klo_a = allt["klo"].to_numpy(zero_copy_only=False)
-            depth_a = allt["depth"].to_numpy(zero_copy_only=False)
-            ph_a = allt["phash"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((ph_a, depth_a, klo_a, khi_a))
-            khi_s, klo_s = khi_a[order], klo_a[order]
-            first = np.ones(len(order), dtype=bool)
-            if len(order) > 1:
-                first[1:] = (khi_s[1:] != khi_s[:-1]) | (klo_s[1:] != klo_s[:-1])
-            win_idx = order[first]
-            winners = allt.take(pa.array(win_idx))
-            hi = khi_a[win_idx].astype(np.uint64)
-            lo = klo_a[win_idx].astype(np.uint64)
+        if self._winners:
+            keys = list(self._winners.keys())
+            hi = np.array([k[0] for k in keys], dtype=np.uint64)
+            lo = np.array([k[1] for k in keys], dtype=np.uint64)
             exists = self._committed.contains(hi, lo)
-            keep = ~exists
-            winners = winners.filter(pa.array(keep))
-            new_count = winners.num_rows
-            if new_count:
-                self._committed.add(hi[keep], lo[keep])
-                status = pc.if_else(
-                    pc.equal(winners["depth"], winners["requested_depth"]),
-                    pa.scalar("COMPLETED"),
-                    pa.scalar("PENDING"),
+            fresh = [
+                (k, self._winners[k][1])
+                for k, e in zip(keys, exists)
+                if not e
+            ]
+            new_count = len(fresh)
+            if fresh:
+                self._committed.add(
+                    np.array([k[0] for k, _ in fresh], dtype=np.uint64),
+                    np.array([k[1] for k, _ in fresh], dtype=np.uint64),
                 )
                 from raycrawl.frontier import NODES_SCHEMA
 
+                rows = [r for _, r in fresh]
                 cols = {}
                 for f in NODES_SCHEMA:
                     if f.name == "node_type":
                         cols[f.name] = pa.array(["URL"] * new_count, f.type)
                     elif f.name == "status":
-                        cols[f.name] = status
+                        cols[f.name] = pa.array(
+                            [
+                                "COMPLETED" if r["depth"] == r["requested_depth"]
+                                else "PENDING"
+                                for r in rows
+                            ],
+                            f.type,
+                        )
                     elif f.name == "attempts":
-                        cols[f.name] = pa.nulls(new_count, f.type).fill_null(0)
+                        cols[f.name] = pa.array([0] * new_count, f.type)
                     elif f.name == "round":
-                        cols[f.name] = pa.array([round_no] * new_count, f.type)
+                        cols[f.name] = pa.array([self._round_no] * new_count, f.type)
                     else:
-                        cols[f.name] = winners[f.name].cast(f.type)
-                if nodes_path is not None:
-                    pq.write_table(
-                        pa.table(cols, schema=NODES_SCHEMA),
-                        f"{nodes_path}/shard-{self.shard_id:03d}.parquet",
-                    )
+                        cols[f.name] = pa.array([r[f.name] for r in rows], f.type)
+                pq.write_table(
+                    pa.table(cols, schema=NODES_SCHEMA),
+                    f"{self._nodes_path}/shard-{self.shard_id:03d}.parquet",
+                )
+        self._winners = {}
+        seed_rows, self._seed_rows = self._seed_rows, []
+        edge_count, self._edge_count = self._edge_count, 0
         return {"new_nodes": int(new_count), "seen_size": len(self._committed),
                 "edges_written": int(edge_count), "seed_rows": seed_rows}
 

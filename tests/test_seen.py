@@ -79,6 +79,12 @@ def test_shard_offer_commit_winner_and_snapshot(tmp_path):
     hi, lo = hash128(["HTTPS://OLD.COM"])
     shard.bulk_load(hi, lo)
 
+    out_dir = tmp_path / "nodes"
+    out_dir.mkdir()
+    edge_dir = tmp_path / "edges"
+    edge_dir.mkdir()
+    shard.begin_round(str(out_dir), str(edge_dir), 7, "HTTPS://P1")
+
     shard.offer(_offer_table([
         dict(name="A.COM", node_id="HTTPS://A.COM", depth=3, parent_id="P2"),
         dict(name="A.COM", node_id="HTTPS://A.COM", depth=2, parent_id="P9"),
@@ -90,12 +96,7 @@ def test_shard_offer_commit_winner_and_snapshot(tmp_path):
     qhi, qlo = hash128(["HTTPS://A.COM"])
     assert not shard.contains(qhi, qlo).any()
 
-    out_dir = tmp_path / "nodes"
-    out_dir.mkdir()
-    edge_dir = tmp_path / "edges"
-    edge_dir.mkdir()
-    stats = shard.commit_round(str(out_dir), str(edge_dir), round_no=7,
-                               seed_id="HTTPS://P1")
+    stats = shard.commit_round()
     assert stats["new_nodes"] == 2  # A (winner) + B; OLD already committed
     # edges: every offered row is an edge; src == seed_id diverted to driver
     assert stats["edges_written"] + len(stats["seed_rows"]) == 5
