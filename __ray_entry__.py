@@ -133,21 +133,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis over documents ---
         "token_stats_by_lang": textops.token_stats_by_lang,
         "lang_source_distribution": textops.lang_source_distribution,
-        "quality_scores": textops.quality_scores,          # rows-only
-        "langid": textops.langid,                          # rows-only
-        "doc_fingerprints": textops.fingerprints,          # rows-only
+        "quality_scores": textops.quality_scores,
+        "langid": textops.langid,
+        "doc_fingerprints": textops.fingerprints,
         # --- dedup family ---
         "exact_dedup_groups": dedup.exact_dedup_groups,
-        "minhash_neardup_pairs": dedup.minhash_neardup_pairs,   # rows-only
-        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,   # rows-only
-        # --- multimodal plumbing (stubbed codec; rows-only) ---
-        "media_features": multimodal.media_features,
+        "minhash_neardup_pairs": dedup.minhash_neardup_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        # --- multimodal plumbing (stubbed codec) ---
+        "media_features": multimodal.media_features,       # rows-only (RNG body stats)
         "media_summary": multimodal.media_summary,
         # --- similarity search over embeddings ---
         "embedding_topk": ann.brute_force_topk,
         "embedding_similar_threshold": ann.similar_above_threshold,
         "embedding_lsh_topk": ann.lsh_topk,                # rows-only (approx)
-        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,  # rows-only
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
     }
 
 
@@ -156,7 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    from raycrawl import ann, dedup, relational, textops
+    from raycrawl import ann, dedup, multimodal, relational, textops
     from raycrawl.demo import edges_glob, nodes_glob
 
     _ensure_demo()
@@ -282,10 +283,19 @@ def oracle_sql() -> dict[str, str]:
         "parts_by_brand": relational.parts_by_brand_sql(),
         "token_stats_by_lang": textops.token_stats_by_lang_sql(),
         "lang_source_distribution": textops.lang_source_distribution_sql(),
+        "quality_scores": textops.quality_scores_sql(),
+        "langid": textops.langid_sql(),
+        "doc_fingerprints": textops.fingerprints_sql(),
         "exact_dedup_groups": dedup.exact_dedup_sql(),
+        "minhash_neardup_pairs": dedup.minhash_neardup_sql(),
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
+        "simhash_neardup_pairs": dedup.simhash_neardup_sql(),
+        "media_summary": multimodal.media_summary_sql(),
         "embedding_topk": ann.brute_force_topk_sql(),
         "embedding_similar_threshold": ann.similar_above_threshold_sql(),
-        # rows-only (non-SQL-expressible): quality_scores, langid,
-        # doc_fingerprints, minhash/simhash/embedding near-dup pairs,
-        # embedding_lsh_topk
+        "embedding_neardup_pairs": dedup.embedding_neardup_sql(),
+        # rows-only (non-SQL-expressible by nature): media_features
+        # (channel stats over RNG-seeded payload bodies) and
+        # embedding_lsh_topk (approximate — recall measured in pytest
+        # against the oracled brute-force baseline instead)
     }

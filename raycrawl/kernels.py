@@ -176,3 +176,19 @@ def hash64_int(s: str) -> int:
     return int.from_bytes(
         hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
     )
+
+
+def md5_u64(s: str) -> int:
+    """Lower 64 bits of md5, bit-identical to DuckDB ``md5_number_lower()``
+    (bytes 8..16 of the digest, little-endian). Used wherever a derived
+    value must be recomputable by the SQL oracle."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+
+
+def md5_u64_np(strings) -> np.ndarray:
+    """Vectorized-ish ``md5_u64`` over an iterable → uint64 array."""
+    vals = strings.to_pylist() if isinstance(strings, (pa.Array, pa.ChunkedArray)) else list(strings)
+    out = np.empty(len(vals), dtype=np.uint64)
+    for i, v in enumerate(vals):
+        out[i] = int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[8:16], "little")
+    return out

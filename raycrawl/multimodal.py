@@ -22,7 +22,7 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from raycrawl.kernels import hash64_int
+from raycrawl.kernels import hash64_int, md5_u64
 
 _MAGIC = b"RCIM"
 
@@ -45,8 +45,11 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def synth_payload(media_id: int) -> tuple[bytes, int, int]:
-    """Deterministic pseudo-image: RCIM header + seeded body bytes."""
-    h64 = hash64_int(f"media:{media_id}")
+    """Deterministic pseudo-image: RCIM header + seeded body bytes.
+
+    Dimensions derive from ``md5_u64`` (== DuckDB ``md5_number_lower``) so
+    the SQL oracle can recompute width/height independently."""
+    h64 = md5_u64(f"media:{media_id}")
     w = 16 + (h64 % 48)           # 16..63
     h = 16 + ((h64 >> 8) % 48)
     c = 3
@@ -171,13 +174,29 @@ class MediaFeatureActor:
         )
 
 
-def media_features(sf_dir: str, concurrency: int = 4):
-    """Full multimodal pipeline: synth media → actor-pool decode+feature."""
+def media_features(sf_dir: str, concurrency: int | None = None):
+    """Full multimodal pipeline: synth media → actor-pool decode+feature.
+
+    Pool sizing: the actor pool must never hold EVERY cluster CPU or the
+    producer (read→synth) task stage starves and the pipeline deadlocks
+    (seen on a 4-CPU cluster with a fixed concurrency=4 × 1-CPU pool).
+    Actors take fractional CPUs (0.5) and the pool is capped at
+    cluster_CPUs − 1 so at least one whole CPU is always left for task
+    stages, whatever the cluster size.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    if concurrency is None:
+        concurrency = max(1, min(8, cpus - 1))
+    else:
+        concurrency = max(1, min(concurrency, max(1, cpus - 1)))
     return media_table(sf_dir).map_batches(
         MediaFeatureActor,
         batch_format="pyarrow",
         batch_size=256,
         concurrency=concurrency,
+        num_cpus=0.5,
     )
 
 
@@ -212,3 +231,18 @@ def media_summary(sf_dir: str) -> pa.Table:
         }
     ).sort_values("decode_ok")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def media_summary_sql() -> str:
+    """Width/height are header fields derived from md5_u64('media:<id>')
+    == DuckDB md5_number_lower, so the oracle recomputes them from doc_id
+    alone; the synthetic codec decodes every payload (decode_ok ≡ true)."""
+    return """
+    WITH m AS (SELECT
+        16 + (md5_number_lower('media:' || CAST(doc_id AS VARCHAR)) % 48) AS w,
+        16 + ((md5_number_lower('media:' || CAST(doc_id AS VARCHAR)) >> 8) % 48) AS h
+      FROM documents)
+    SELECT TRUE AS decode_ok, CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(w) AS BIGINT) AS sum_width, CAST(sum(h) AS BIGINT) AS sum_height
+    FROM m GROUP BY 1 ORDER BY decode_ok
+    """

@@ -12,6 +12,15 @@ Physical patterns (ray_guide):
 - small dimension side (nation, customer segment): broadcast via
   ``ray.put`` + per-batch numpy/dict lookup — no shuffle join;
 - both-sides-large: ``Dataset.join`` (hash-partitioned).
+
+Float determinism: every money/value aggregate is accumulated in exact
+integer units (``floor(x*scale + 0.5)`` per row, int64 sums) and converted
+to float only once at the end. Summation is therefore order-independent —
+the same result bit-for-bit on every run and in the DuckDB oracle, which
+mirrors the identical expressions (the driver compares via an exact value
+hash; plain float64 sums differ run-to-run at ULP level and fail it).
+All inputs are 2-decimal fixed-point by construction, so scale=100 (and
+10000 for price×discount products) is lossless.
 """
 
 from __future__ import annotations
@@ -30,6 +39,16 @@ def _t(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _iunits(arr, scale: float) -> pa.Array:
+    """float64 column → exact int64 units: floor(x*scale + 0.5).
+
+    The SQL oracle mirrors this as CAST(floor(x * scale + 0.5) AS BIGINT);
+    both sides run the identical IEEE-754 double ops, so the ints agree
+    bit-for-bit."""
+    a = np.asarray(arr, dtype=np.float64)
+    return pa.array(np.floor(a * scale + 0.5).astype(np.int64))
+
+
 def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pa.Table:
     """TPC-H Q1-style pricing summary: tiny group space (flag × status) →
     per-batch pyarrow partial aggregation, driver combine. Zero shuffle."""
@@ -37,21 +56,22 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff_ts))
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        ext = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
         t2 = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "qty": t["l_quantity"],
-                "base": t["l_extendedprice"],
-                "disc_price": disc_price,
-                "disc": t["l_discount"],
-                "cnt": pa.array([1] * t.num_rows, pa.int64()),
+                "qty_i": _iunits(t["l_quantity"].to_numpy(), 100.0),
+                "base_i": _iunits(ext, 100.0),
+                "dp_i": _iunits(ext * (1.0 - disc) * 100.0, 100.0),
+                "disc_i": _iunits(disc, 100.0),
+                "cnt": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
         return t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"),
-             ("disc", "sum"), ("cnt", "sum")]
+            [("qty_i", "sum"), ("base_i", "sum"), ("dp_i", "sum"),
+             ("disc_i", "sum"), ("cnt", "sum")]
         )
 
     parts = (
@@ -62,16 +82,17 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pa.Table:
         .to_pandas()
     )
     g = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+    cnt = g["cnt_sum"].to_numpy().astype(np.float64)
     out = pd.DataFrame(
         {
             "l_returnflag": g["l_returnflag"],
             "l_linestatus": g["l_linestatus"],
-            "sum_qty": g["qty_sum"],
-            "sum_base_price": g["base_sum"],
-            "sum_disc_price": g["disc_price_sum"],
-            "avg_qty": g["qty_sum"] / g["cnt_sum"],
-            "avg_price": g["base_sum"] / g["cnt_sum"],
-            "avg_disc": g["disc_sum"] / g["cnt_sum"],
+            "sum_qty": g["qty_i_sum"].to_numpy() / 100.0,
+            "sum_base_price": g["base_i_sum"].to_numpy() / 100.0,
+            "sum_disc_price": g["dp_i_sum"].to_numpy() / 10000.0,
+            "avg_qty": g["qty_i_sum"].to_numpy() / 100.0 / cnt,
+            "avg_price": g["base_i_sum"].to_numpy() / 100.0 / cnt,
+            "avg_disc": g["disc_i_sum"].to_numpy() / 100.0 / cnt,
             "count_order": g["cnt_sum"].astype("int64"),
         }
     ).sort_values(["l_returnflag", "l_linestatus"])
@@ -80,17 +101,22 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pa.Table:
 
 def q1_oracle_sql() -> str:
     return """
+    WITH l AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)       AS qty_i,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)  AS base_i,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 * 100.0 + 0.5) AS BIGINT) AS dp_i,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)       AS disc_i
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)                                   AS sum_qty,
-           sum(l_extendedprice)                              AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))           AS sum_disc_price,
-           avg(l_quantity)                                   AS avg_qty,
-           avg(l_extendedprice)                              AS avg_price,
-           avg(l_discount)                                   AS avg_disc,
-           CAST(count(*) AS BIGINT)                          AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(sum(qty_i) AS DOUBLE) / 100.0                      AS sum_qty,
+           CAST(sum(base_i) AS DOUBLE) / 100.0                     AS sum_base_price,
+           CAST(sum(dp_i) AS DOUBLE) / 10000.0                     AS sum_disc_price,
+           CAST(sum(qty_i) AS DOUBLE) / 100.0 / count(*)           AS avg_qty,
+           CAST(sum(base_i) AS DOUBLE) / 100.0 / count(*)          AS avg_price,
+           CAST(sum(disc_i) AS DOUBLE) / 100.0 / count(*)          AS avg_disc,
+           CAST(count(*) AS BIGINT)                                AS count_order
+    FROM l GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """
 
@@ -123,12 +149,12 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
         t2 = pa.table(
             {
                 "n_name": pa.array(names[pos][valid]),
-                "revenue": pa.array(price[valid]),
+                "rev_i": _iunits(price[valid], 100.0),
                 "n_orders": pa.array(np.ones(int(valid.sum()), dtype=np.int64)),
             }
         )
         return t2.group_by("n_name").aggregate(
-            [("revenue", "sum"), ("n_orders", "sum")]
+            [("rev_i", "sum"), ("n_orders", "sum")]
         )
 
     parts = (
@@ -140,7 +166,7 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     out = pd.DataFrame(
         {
             "n_name": g["n_name"],
-            "revenue": g["revenue_sum"],
+            "revenue": g["rev_i_sum"].to_numpy() / 100.0,
             "n_orders": g["n_orders_sum"].astype("int64"),
         }
     ).sort_values("n_name")
@@ -149,7 +175,9 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
 
 def revenue_by_nation_sql() -> str:
     return """
-    SELECT n_name, sum(o_totalprice) AS revenue, CAST(count(*) AS BIGINT) AS n_orders
+    SELECT n_name,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
                 JOIN nation   ON c_nationkey = n_nationkey
     GROUP BY n_name ORDER BY n_name
@@ -157,29 +185,47 @@ def revenue_by_nation_sql() -> str:
 
 
 def top_customers_by_spend(sf_dir: str, k: int = 10) -> pa.Table:
-    """Real-cardinality groupby (Ray shuffle) + sort + top-k (L2 analogue)."""
+    """Real-cardinality groupby (Ray shuffle) + sort + top-k (L2 analogue).
+
+    Spend accumulates as int cents (exact, order-independent) so the sort
+    key and output are deterministic."""
     from ray.data.aggregate import Count, Sum
+
+    def to_units(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "spend_i": _iunits(t["o_totalprice"].to_numpy(), 100.0),
+            }
+        )
 
     agg = (
         _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(to_units, batch_format="pyarrow")
         .groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="total_spend"),
+        .aggregate(Sum("spend_i", alias_name="spend_i"),
                    Count(alias_name="n_orders"))
-        .sort(["total_spend", "o_custkey"], descending=[True, False])
+        .sort(["spend_i", "o_custkey"], descending=[True, False])
         .limit(k)
     )
-    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    return t.set_column(
-        t.schema.get_field_index("n_orders"), "n_orders", t["n_orders"].cast(pa.int64())
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "o_custkey": df["o_custkey"],
+            "total_spend": df["spend_i"].to_numpy() / 100.0,
+            "n_orders": df["n_orders"].astype("int64"),
+        }
     )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def top_customers_sql(k: int = 10) -> str:
     return f"""
-    SELECT o_custkey, sum(o_totalprice) AS total_spend,
+    SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spend,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders GROUP BY o_custkey
-    ORDER BY total_spend DESC, o_custkey LIMIT {k}
+    ORDER BY sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) DESC, o_custkey LIMIT {k}
     """
 
 
@@ -194,16 +240,17 @@ def order_lineitem_join_stats(sf_dir: str) -> pa.Table:
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        ext = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
         t2 = pa.table(
             {
                 "o_orderpriority": t["o_orderpriority"],
-                "revenue": rev,
-                "n_lines": pa.array([1] * t.num_rows, pa.int64()),
+                "rev_i": _iunits(ext * (1.0 - disc) * 100.0, 100.0),
+                "n_lines": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
         return t2.group_by("o_orderpriority").aggregate(
-            [("revenue", "sum"), ("n_lines", "sum")]
+            [("rev_i", "sum"), ("n_lines", "sum")]
         )
 
     parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
@@ -211,7 +258,7 @@ def order_lineitem_join_stats(sf_dir: str) -> pa.Table:
     out = pd.DataFrame(
         {
             "o_orderpriority": g["o_orderpriority"],
-            "revenue": g["revenue_sum"],
+            "revenue": g["rev_i_sum"].to_numpy() / 10000.0,
             "n_lines": g["n_lines_sum"].astype("int64"),
         }
     ).sort_values("o_orderpriority")
@@ -221,7 +268,7 @@ def order_lineitem_join_stats(sf_dir: str) -> pa.Table:
 def order_lineitem_join_sql() -> str:
     return """
     SELECT o_orderpriority,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -239,12 +286,12 @@ def events_hourly(sf_dir: str) -> pa.Table:
             {
                 "event_type": t["event_type"],
                 "hour": hour,
-                "n_events": pa.array([1] * t.num_rows, pa.int64()),
-                "sum_value": t["value"],
+                "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "val_i": _iunits(t["value"].to_numpy(), 100.0),
             }
         )
         return t2.group_by(["event_type", "hour"]).aggregate(
-            [("n_events", "sum"), ("sum_value", "sum")]
+            [("n_events", "sum"), ("val_i", "sum")]
         )
 
     parts = (
@@ -258,7 +305,7 @@ def events_hourly(sf_dir: str) -> pa.Table:
             "event_type": g["event_type"],
             "hour": g["hour"],
             "n_events": g["n_events_sum"].astype("int64"),
-            "sum_value": g["sum_value_sum"],
+            "sum_value": g["val_i_sum"].to_numpy() / 100.0,
         }
     ).sort_values(["event_type", "hour"])
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -267,7 +314,8 @@ def events_hourly(sf_dir: str) -> pa.Table:
 def events_hourly_sql() -> str:
     return """
     SELECT event_type, date_trunc('hour', ts) AS hour,
-           CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sum_value
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
     FROM events GROUP BY event_type, date_trunc('hour', ts)
     ORDER BY event_type, hour
     """
@@ -277,48 +325,79 @@ def top_users_by_value(sf_dir: str, k: int = 25) -> pa.Table:
     """Per-user rollup (real-cardinality Ray groupby shuffle) + top-k."""
     from ray.data.aggregate import Count, Sum
 
+    def to_units(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "val_i": _iunits(t["value"].to_numpy(), 100.0),
+            }
+        )
+
     agg = (
         _t(sf_dir, "events", ["user_id", "value"])
+        .map_batches(to_units, batch_format="pyarrow")
         .groupby("user_id")
-        .aggregate(Sum("value", alias_name="total_value"),
+        .aggregate(Sum("val_i", alias_name="val_i"),
                    Count(alias_name="n_events"))
-        .sort(["total_value", "user_id"], descending=[True, False])
+        .sort(["val_i", "user_id"], descending=[True, False])
         .limit(k)
     )
-    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    return t.set_column(
-        t.schema.get_field_index("n_events"), "n_events", t["n_events"].cast(pa.int64())
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "user_id": df["user_id"],
+            "total_value": df["val_i"].to_numpy() / 100.0,
+            "n_events": df["n_events"].astype("int64"),
+        }
     )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def top_users_sql(k: int = 25) -> str:
     return f"""
-    SELECT user_id, sum(value) AS total_value, CAST(count(*) AS BIGINT) AS n_events
+    SELECT user_id,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
-    ORDER BY total_value DESC, user_id LIMIT {k}
+    ORDER BY sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) DESC, user_id LIMIT {k}
     """
 
 
 def parts_by_brand(sf_dir: str) -> pa.Table:
-    """Simple dimension rollup (groupby + avg)."""
-    from ray.data.aggregate import Count, Mean
+    """Simple dimension rollup (groupby + avg) — avg from exact int cents."""
+    from ray.data.aggregate import Count, Sum
+
+    def to_units(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "price_i": _iunits(t["p_retailprice"].to_numpy(), 100.0),
+            }
+        )
 
     agg = (
         _t(sf_dir, "part", ["p_brand", "p_retailprice"])
+        .map_batches(to_units, batch_format="pyarrow")
         .groupby("p_brand")
         .aggregate(Count(alias_name="n_parts"),
-                   Mean("p_retailprice", alias_name="avg_price"))
+                   Sum("price_i", alias_name="price_i"))
         .sort("p_brand")
     )
-    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    return t.set_column(
-        t.schema.get_field_index("n_parts"), "n_parts", t["n_parts"].cast(pa.int64())
+    df = agg.to_pandas()
+    n = df["n_parts"].to_numpy().astype(np.float64)
+    out = pd.DataFrame(
+        {
+            "p_brand": df["p_brand"],
+            "n_parts": df["n_parts"].astype("int64"),
+            "avg_price": df["price_i"].to_numpy() / 100.0 / n,
+        }
     )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def parts_by_brand_sql() -> str:
     return """
     SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
-           avg(p_retailprice) AS avg_price
+           CAST(sum(CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price
     FROM part GROUP BY p_brand ORDER BY p_brand
     """

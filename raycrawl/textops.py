@@ -145,7 +145,9 @@ def lang_source_distribution_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
-# quality scoring (rows-only — ratios are not cleanly SQL-expressible)
+# quality scoring (SQL-checkable: the corpus is ASCII, so Python's unicode
+# \w/\s classes coincide with the oracle's explicit ASCII classes, and every
+# ratio is a single int/int division — bit-identical across engines)
 # ---------------------------------------------------------------------------
 
 def quality_score_batch(t: pa.Table) -> pa.Table:
@@ -182,10 +184,37 @@ def quality_score_batch(t: pa.Table) -> pa.Table:
 
 
 def quality_scores(sf_dir: str):
-    """Per-doc quality score Dataset (rows-only correctness check)."""
+    """Per-doc quality score Dataset (oracle: quality_scores_sql)."""
     return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         quality_score_batch, batch_format="pyarrow"
     )
+
+
+def quality_scores_sql() -> str:
+    stoplist = ",".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+    WITH d AS (SELECT doc_id, text,
+                      regexp_extract_all(lower(text), '[a-z0-9_]+') AS words
+               FROM documents),
+    s AS (SELECT doc_id, len(words) AS nw,
+                 len(list_filter(words, w -> w IN ({stoplist}))) AS nstop,
+                 len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]')) AS npunct,
+                 length(text) AS nchars,
+                 coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS wchars,
+                 len(regexp_extract_all(text, '[A-Z]')) AS nupper
+          FROM d),
+    r AS (SELECT doc_id,
+                 CASE WHEN nw > 0 THEN nstop / nw ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN nchars > 0 THEN npunct / nchars ELSE 0.0 END AS punct_density,
+                 CASE WHEN nw > 0 THEN wchars / nw ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN nchars > 0 THEN nupper / nchars ELSE 0.0 END AS upper_ratio
+          FROM s)
+    SELECT doc_id, stop_ratio, punct_density, mean_word_len, upper_ratio,
+           0.4 * least(greatest(stop_ratio / 0.4, 0.0), 1.0)
+         + 0.3 * least(greatest(1.0 - punct_density * 5, 0.0), 1.0)
+         + 0.3 * least(greatest(mean_word_len / 8.0, 0.0), 1.0) AS quality
+    FROM r ORDER BY doc_id
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -218,17 +247,43 @@ def langid(sf_dir: str):
     )
 
 
-# ---------------------------------------------------------------------------
-# document fingerprinting (rows-only)
-# ---------------------------------------------------------------------------
+def langid_sql() -> str:
+    """Mirror of langid_batch: same trigram counts (non-overlapping, like
+    str.count), same ratio, same strictly-greater argmax with dict-order
+    tie-break (en, de, fr, es), same CJK-codepoint zh short-circuit."""
 
-_FP_BASE = np.uint64(1099511628211)
+    def score(lang: str) -> str:
+        terms = " + ".join(
+            f"(length(low) - length(replace(low, '{g}', ''))) / {len(g)}"
+            for g in _LANG_HINTS[lang]
+        )
+        return f"({terms}) / (length(low) + 1)"
+
+    return f"""
+    WITH d AS (SELECT doc_id, text, lower(text) AS low FROM documents),
+    s AS (SELECT doc_id, text, {score('en')} AS s_en, {score('de')} AS s_de,
+                 {score('fr')} AS s_fr, {score('es')} AS s_es
+          FROM d)
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+                WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+                WHEN s_de > s_en THEN 'de'
+                ELSE 'en' END AS lang_pred
+    FROM s ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (SQL-checkable: gram hash is md5_u64, DuckDB's
+# md5_number_lower, so the oracle recomputes the min independently)
+# ---------------------------------------------------------------------------
 
 
 def fingerprint_batch(t: pa.Table, k: int = 8) -> pa.Table:
-    """Winnowing-style fingerprint: min rolling hash over token k-grams
+    """Winnowing-style fingerprint: min md5-derived hash over token k-grams
     (content-defined; stable under whitespace-preserving edits elsewhere)."""
-    from raycrawl.kernels import hash64_int
+    from raycrawl.kernels import md5_u64
 
     texts = t["text"].to_pylist()
     fps = np.zeros(len(texts), dtype=np.uint64)
@@ -236,16 +291,12 @@ def fingerprint_batch(t: pa.Table, k: int = 8) -> pa.Table:
     for i, s in enumerate(texts):
         toks = s.split()
         if len(toks) < k:
-            fps[i] = np.uint64(hash64_int(" ".join(toks)))
+            fps[i] = np.uint64(md5_u64(" ".join(toks)))
             ngrams[i] = 1 if toks else 0
             continue
-        hs = np.fromiter(
-            (hash64_int(" ".join(toks[j : j + k])) for j in range(len(toks) - k + 1)),
-            np.uint64,
-            len(toks) - k + 1,
-        )
-        fps[i] = hs.min()
-        ngrams[i] = len(hs)
+        fps[i] = min(md5_u64(" ".join(toks[j : j + k]))
+                     for j in range(len(toks) - k + 1))
+        ngrams[i] = len(toks) - k + 1
     return pa.table(
         {
             "doc_id": t["doc_id"],
@@ -259,3 +310,20 @@ def fingerprints(sf_dir: str):
     return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow"
     )
+
+
+def fingerprints_sql(k: int = 8) -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(CASE WHEN len(toks) < {k}
+                             THEN [array_to_string(toks, ' ')]
+                             ELSE list_transform(range(1, len(toks) - {k} + 2),
+                                                 i -> array_to_string(toks[i:i+{k - 1}], ' '))
+                        END) AS gr
+          FROM t)
+    SELECT doc_id, min(md5_number_lower(gr)) AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_ngrams
+    FROM g GROUP BY doc_id ORDER BY doc_id
+    """

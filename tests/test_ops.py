@@ -116,3 +116,16 @@ def test_entry_contract_smoke():
     for name in ["crawl_progress", "q1_pricing_summary", "token_stats_by_lang"]:
         res = qs[name](SF)
         assert res is not None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_distributed_matches_bruteforce():
+    """The distributed shingle-self-join path is exact: identical pair set
+    AND identical jaccard values to the quadratic in-memory oracle."""
+    from raycrawl.dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_exact
+
+    got = ngram_jaccard_pairs(SF, threshold=0.6).to_pandas()
+    exact = ngram_jaccard_pairs_exact(SF, threshold=0.6).to_pandas()
+    got_m = {(r.a, r.b): r.jaccard for r in got.itertuples()}
+    exact_m = {(r.a, r.b): r.jaccard for r in exact.itertuples()}
+    assert got_m == exact_m

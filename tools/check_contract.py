@@ -31,14 +31,17 @@ def to_pandas(obj) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: sort columns by name, sort rows, and
+    compare values EXACTLY (the driver hashes values — float sums that
+    differ at ULP level fail it, so no rounding here)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
         elif str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
+        elif str(df[c].dtype) == "uint64":
+            pass  # keep exact
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -71,15 +74,17 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            ours = canon(to_pandas(fn(sf_dir)))
+            raw = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL  {name}: ray query raised {type(e).__name__}: {e}")
             failures += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"ROWS  {name}: {len(ours)} rows, cols={list(ours.columns)} ({dt:.1f}s)")
+            # rows-only queries may carry binary columns — don't canon them
+            print(f"ROWS  {name}: {len(raw)} rows, cols={list(raw.columns)} ({dt:.1f}s)")
             continue
+        ours = canon(raw)
         try:
             theirs = canon(con.sql(oracles[name]).df())
         except Exception as e:
@@ -94,7 +99,7 @@ def main() -> int:
         if not problems:
             try:
                 pd.testing.assert_frame_equal(
-                    ours, theirs, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9
+                    ours, theirs, check_dtype=False, check_exact=True
                 )
             except AssertionError as e:
                 problems.append("values: " + str(e).split("\n")[0])
