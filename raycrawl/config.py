@@ -48,4 +48,13 @@ class CrawlConfig:
     auto_backend_threshold: int = 2_000_000
     bloom_bits_per_key: int = 12
 
+    # Corpus layout: broadcast (default; small corpora) vs host-hash-
+    # partitioned Parquet (the 100 TB shape — fetch tasks load only the
+    # partitions their rows touch through a per-worker LRU; the frontier is
+    # hash-repartitioned on the same key for locality). Oracle-equal to
+    # broadcast by pytest.
+    corpus_partitioned: bool = False
+    corpus_partitions: int = 32
+    corpus_cache_parts: int = 8
+
     extra: dict = field(default_factory=dict)

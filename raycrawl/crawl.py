@@ -305,7 +305,8 @@ def _finish_barrier(rdir: str, seen_handles, nodes_path: str, edges_path: str):
 
 
 def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
-                           prev, rdir, seed_id: str) -> dict:
+                           prev, rdir, seed_id: str,
+                           frontier_table: pa.Table | None = None):
     """Small-round fast path: identical semantics (same stage function, same
     shard actors, same artifacts) executed in the driver process — a round
     with a few hundred frontier rows costs more in executor startup than in
@@ -315,7 +316,14 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
     import pyarrow.dataset as pads
     import ray
 
-    frontier = pads.dataset(_parquet_files([prev])).to_table()
+    frontier = (frontier_table if frontier_table is not None
+                else pads.dataset(_parquet_files([prev])).to_table())
+    from raycrawl.fetch import PartitionedCorpus, host_partition_ids
+
+    if isinstance(corpus_ref, PartitionedCorpus) and frontier.num_rows:
+        # partition-major order → each batch touches ~1 corpus partition
+        parts = host_partition_ids(frontier["name"], corpus_ref.n_parts)
+        frontier = frontier.take(pa.array(np.argsort(parts, kind="stable")))
     nodes_path, edges_path = _begin_round(rdir, r, seen_handles, seed_id)
     fn = functools.partial(
         fetch_expand_batch, corpus_ref=corpus_ref, seen_handles=seen_handles,
@@ -347,12 +355,12 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
         pa.compute.equal(ro["status"], "PENDING"),
     )
     f_retry = ro.filter(pmask).select(FRONTIER_SCHEMA.names)
-    _write_table_chunked(
-        cast_table(pa.concat_tables([cast_table(f_new, FRONTIER_SCHEMA),
-                                     cast_table(f_retry, FRONTIER_SCHEMA)]),
-                   FRONTIER_SCHEMA),
-        os.path.join(rdir, "frontier"),
+    next_frontier = cast_table(
+        pa.concat_tables([cast_table(f_new, FRONTIER_SCHEMA),
+                          cast_table(f_retry, FRONTIER_SCHEMA)]),
+        FRONTIER_SCHEMA,
     )
+    _write_table_chunked(next_frontier, os.path.join(rdir, "frontier"))
 
     pstat = ro.filter(pa.compute.equal(ro["row_type"], "parent"))["status"].to_pylist()
     counters = dict(
@@ -370,11 +378,12 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
         json.dump(counters, f)
     with open(os.path.join(rdir, "_DONE"), "w") as f:
         f.write("ok")
-    return counters
+    return counters, next_frontier
 
 
 def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
-               corpus_ref, seen_handles, seed_id: str) -> dict:
+               corpus_ref, seen_handles, seed_id: str,
+               frontier_table: pa.Table | None = None):
     """Execute BFS round r from round r-1's frontier. Idempotent: the round
     dir is rebuilt from scratch.
 
@@ -402,41 +411,113 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
 
     import pyarrow.dataset as pads0
 
-    n_front = pads0.dataset(_parquet_files([prev])).count_rows()
+    n_front = (frontier_table.num_rows if frontier_table is not None
+               else pads0.dataset(_parquet_files([prev])).count_rows())
     if n_front <= cfg.small_round_threshold and cfg.politeness_delay_ms == 0:
         return _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref,
-                                      seen_handles, prev, rdir, seed_id)
+                                      seen_handles, prev, rdir, seed_id,
+                                      frontier_table=frontier_table)
 
-    frontier = _read(prev)
+    if frontier_table is not None and cfg.politeness_delay_ms == 0:
+        # in-memory handoff from the previous round: skip the checkpoint
+        # read entirely (the parquet copy exists for durability/resume only)
+        import ray
+        import ray.data as rd
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n_blocks = max(1, min(4 * ncpu,
+                              (n_front + cfg.fetch_batch_size - 1)
+                              // cfg.fetch_batch_size))
+        per = (n_front + n_blocks - 1) // n_blocks
+        frontier = rd.from_arrow(
+            [frontier_table.slice(off, per)
+             for off in range(0, n_front, per)]
+        )
+    else:
+        frontier = _read(prev)
+
+    from raycrawl.fetch import PartitionedCorpus
+
+    if isinstance(corpus_ref, PartitionedCorpus) and cfg.politeness_delay_ms == 0:
+        # partitioned corpus: co-locate frontier rows by corpus partition so
+        # a fetch task pages in ~1 partition instead of thrashing the LRU.
+        # A range exchange (sort on the partition id) gives the same
+        # co-location as a hash exchange without requiring the global
+        # HASH_SHUFFLE strategy, and partition-major row order inside each
+        # block means the fetch loop's LRU sees each partition exactly once.
+        n_parts = corpus_ref.n_parts
+
+        def add_cpart(t: pa.Table) -> pa.Table:
+            from raycrawl.fetch import host_partition_ids
+
+            return t.append_column(
+                "cpart", pa.array(host_partition_ids(t["name"], n_parts), pa.int64())
+            )
+
+        frontier = (
+            frontier.map_batches(add_cpart, batch_format="pyarrow")
+            .sort("cpart")
+            .map_batches(lambda t: t.select(FRONTIER_SCHEMA.names),
+                         batch_format="pyarrow")
+        )
     if cfg.politeness_delay_ms > 0:
-        # host-partition the frontier so one host lands in one fetch worker
-        # (global per-host budget); priority order inside fetch_expand.
-        frontier = frontier.add_column(
-            "host", lambda df: df["name"].map(host_of), batch_format="pandas"
-        ).sort("host").map_batches(
-            lambda t: t.select(FRONTIER_SCHEMA.names), batch_format="pyarrow"
+        # host-partition the frontier so one host lands in exactly ONE fetch
+        # task (global per-host budget; priority order inside fetch_expand):
+        # vectorized Arrow host projection + a range exchange on host — no
+        # pandas conversion, no per-row Python .map(); sort's range
+        # partitioning co-locates equal hosts just like a hash exchange.
+        import pyarrow.compute as pc_
+
+        def add_host(t: pa.Table) -> pa.Table:
+            host = pc_.list_element(
+                pc_.split_pattern(t["name"], ":", max_splits=1), 0
+            )
+            return t.append_column("host", host)
+
+        frontier = (
+            frontier.map_batches(add_host, batch_format="pyarrow")
+            .sort("host")
+            .map_batches(lambda t: t.select(FRONTIER_SCHEMA.names),
+                         batch_format="pyarrow")
         )
 
     nodes_path, edges_path = _begin_round(rdir, r, seen_handles, seed_id)
 
-    # P1: fused fetch+extract+J1+normalize+DNS+lifecycle → round_out delta
-    round_out = frontier.map_batches(
-        functools.partial(
-            fetch_expand_batch,
-            corpus_ref=corpus_ref,
-            seen_handles=seen_handles,
-            max_attempts=cfg.max_attempts,
-            max_dns_depth=cfg.max_dns_depth,
-            round_no=r,
-            politeness_delay_ms=cfg.politeness_delay_ms,
-            respect_robots=cfg.respect_robots,
-            enrich=cfg.enrich,
-        ),
-        batch_format="pyarrow",
-        batch_size=cfg.fetch_batch_size,
-    )
+    # P1: fused fetch+extract+J1+normalize+DNS+lifecycle → round_out delta.
+    # offer() RPCs are side-effecting, so Ray-level task retries are OFF for
+    # this stage (a silently replayed task would double its edge rows); on
+    # any task failure the WHOLE round re-runs once — begin_round resets all
+    # per-round shard state, so the rebuild is exact.
+    def _execute_fetch_stage():
+        round_out = frontier.map_batches(
+            functools.partial(
+                fetch_expand_batch,
+                corpus_ref=corpus_ref,
+                seen_handles=seen_handles,
+                max_attempts=cfg.max_attempts,
+                max_dns_depth=cfg.max_dns_depth,
+                round_no=r,
+                politeness_delay_ms=cfg.politeness_delay_ms,
+                respect_robots=cfg.respect_robots,
+                enrich=cfg.enrich,
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+            max_retries=0,
+        )
+        _write_ds(round_out, ro_path, ROUND_OUT_SCHEMA)
+
+    import time as _time
+
+    t0 = _time.perf_counter()
     ro_path = os.path.join(rdir, "round_out")
-    _write_ds(round_out, ro_path, ROUND_OUT_SCHEMA)
+    try:
+        _execute_fetch_stage()
+    except Exception:
+        shutil.rmtree(ro_path, ignore_errors=True)
+        _begin_round(rdir, r, seen_handles, seed_id)  # reset shard round state
+        _execute_fetch_stage()
+    t_fetch = _time.perf_counter() - t0
 
     # barrier (async): shards close edge partitions + resolve winners while
     # the driver computes the retry set from the parents just written
@@ -458,6 +539,7 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     )
 
     stats = ray.get(commit_refs)
+    t_barrier = _time.perf_counter() - t0 - t_fetch
     for path, schema in ((nodes_path, NODES_SCHEMA), (edges_path, EDGES_SCHEMA)):
         if not any(f.endswith(".parquet") for f in os.listdir(path)):
             pq.write_table(schema.empty_table(),
@@ -471,6 +553,7 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     # assembled on the driver (chunk-written) while the delta is modest,
     # else as a Dataset execution
     n_new = int(sum(s["new_nodes"] for s in stats))
+    next_frontier = None
     if n_new <= 6_000_000:
         nt = pads.dataset(_parquet_files([nodes_path])).to_table(
             columns=FRONTIER_SCHEMA.names + ["status"]
@@ -481,9 +564,8 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
             ),
             FRONTIER_SCHEMA,
         )
-        _write_table_chunked(
-            pa.concat_tables([f_new_t, f_retry_t]), os.path.join(rdir, "frontier")
-        )
+        next_frontier = pa.concat_tables([f_new_t, f_retry_t])
+        _write_table_chunked(next_frontier, os.path.join(rdir, "frontier"))
     else:
         import ray.data as rd
 
@@ -511,7 +593,7 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     # counters (pstat/stats computed above)
     counters = dict(
         round=r,
-        frontier_size=pads.dataset(prev).count_rows(),
+        frontier_size=n_front,
         parents_completed=sum(s == "COMPLETED" for s in pstat),
         parents_failed=sum(s == "FAILED" for s in pstat),
         retries_requeued=sum(s == "PENDING" for s in pstat),
@@ -519,12 +601,15 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
         edges_created=int(sum(s["edges_written"] for s in stats)
                           + sum(len(s["seed_rows"]) for s in stats)),
         seen_size=int(sum(s["seen_size"] for s in stats)),
+        t_fetch_s=round(t_fetch, 3),
+        t_barrier_s=round(t_barrier, 3),
+        t_frontier_s=round(_time.perf_counter() - t0 - t_fetch - t_barrier, 3),
     )
     with open(os.path.join(rdir, "counters.json"), "w") as f:
         json.dump(counters, f)
     with open(os.path.join(rdir, "_DONE"), "w") as f:
         f.write("ok")
-    return counters
+    return counters, next_frontier
 
 
 STATUS_CODE = {"PENDING": 0, "ROBOTS_BLOCKED": 1, "FAILED": 2, "COMPLETED": 3,
@@ -768,10 +853,6 @@ def crawl(
 
     cfg = cfg or CrawlConfig()
     meta_path = os.path.join(ckpt_dir, "crawl.json")
-    if corpus_table is None and corpus_ref is not None:
-        corpus_table = ray.get(corpus_ref)
-    if corpus_table is None:
-        corpus_table = build_fetch_corpus(corpus_dir)
 
     if resume and os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -789,13 +870,35 @@ def crawl(
     rn, rp = normalize_url(seed_url)
     seed_id = rp + rn
 
-    if not os.path.exists(os.path.join(_round_dir(ckpt_dir, 0), "_DONE")):
-        _bootstrap(ckpt_dir, corpus_table, seed_url, depth, crawl_id, cfg)
+    if cfg.corpus_partitioned:
+        # 100 TB corpus layout: nothing ever broadcasts; the bootstrap loads
+        # only the root's host partition, fetch tasks page partitions in
+        # through a per-worker LRU (fetch.py PartitionedCorpus).
+        from raycrawl.fetch import (PartitionedCorpus, ensure_partitioned_corpus,
+                                    host_partition_ids)
 
-    if corpus_ref is None:
-        corpus_ref = ray.put(corpus_table)
-    seen = _make_seen_actors(cfg, expected_keys=corpus_table.num_rows * 4)
-    if corpus_table.num_rows > 50_000:
+        part_dir = ensure_partitioned_corpus(corpus_dir, cfg.corpus_partitions)
+        pcorpus = PartitionedCorpus.open(part_dir, cfg.corpus_cache_parts)
+        boot_table = pcorpus.partition_table(
+            int(host_partition_ids([rn], pcorpus.n_parts)[0])
+        )
+        if not os.path.exists(os.path.join(_round_dir(ckpt_dir, 0), "_DONE")):
+            _bootstrap(ckpt_dir, boot_table, seed_url, depth, crawl_id, cfg)
+        corpus_ref = pcorpus
+        expected_rows = pcorpus.num_rows
+    else:
+        if corpus_table is None and corpus_ref is not None:
+            corpus_table = ray.get(corpus_ref)
+        if corpus_table is None:
+            corpus_table = build_fetch_corpus(corpus_dir)
+        if not os.path.exists(os.path.join(_round_dir(ckpt_dir, 0), "_DONE")):
+            _bootstrap(ckpt_dir, corpus_table, seed_url, depth, crawl_id, cfg)
+        if corpus_ref is None:
+            corpus_ref = ray.put(corpus_table)
+        expected_rows = corpus_table.num_rows
+
+    seen = _make_seen_actors(cfg, expected_keys=expected_rows * 4)
+    if expected_rows > 50_000:
         # big-corpus crawls: pre-pay heavy imports + per-worker corpus index
         # in every worker before round 1 (workers persist across rounds)
         _warm_workers(corpus_ref)
@@ -808,31 +911,44 @@ def crawl(
         r += 1
     import pyarrow.dataset as pads
 
+    # Restore the committed set incrementally: per round, per parquet file,
+    # vectorized Arrow filter + hash — never a whole-history Python list on
+    # the driver. bulk_load calls for round r overlap with reading r+1
+    # (refs awaited lazily in a sliding window).
+    pending_refs: list = []
     for rr in range(0, last_done + 1):
-        t = pads.dataset(os.path.join(_round_dir(ckpt_dir, rr), "nodes")).to_table(
-            columns=["node_id", "node_type"]
-        )
-        ids = [
-            i for i, k in zip(t["node_id"].to_pylist(), t["node_type"].to_pylist())
-            if k == "URL"  # J1 matches only :URL nodes (job.rs:148)
-        ]
-        if ids:
-            hi, lo = hash128(ids)
+        for f in _parquet_files([os.path.join(_round_dir(ckpt_dir, rr), "nodes")]):
+            t = pq.read_table(f, columns=["node_id", "node_type"])
+            # J1 matches only :URL nodes (job.rs:148)
+            t = t.filter(pa.compute.equal(t["node_type"], "URL"))
+            if t.num_rows == 0:
+                continue
+            hi, lo = hash128(t["node_id"].combine_chunks())
             shard = (hi % np.uint64(len(seen))).astype(np.int64)
-            ray.get([
-                seen[int(s)].bulk_load.remote(hi[shard == s], lo[shard == s])
-                for s in np.unique(shard)
-            ])
+            for s in np.unique(shard):
+                m = shard == s
+                pending_refs.append(seen[int(s)].bulk_load.remote(hi[m], lo[m]))
+            if len(pending_refs) > 4 * len(seen):
+                ready, pending_refs = pending_refs[: 2 * len(seen)], pending_refs[2 * len(seen):]
+                ray.get(ready)
+    if pending_refs:
+        ray.get(pending_refs)
 
     cancelled = os.path.isdir(os.path.join(ckpt_dir, "cancel"))
     r = last_done
+    fr_table: pa.Table | None = None  # in-memory handoff round→round
     while not cancelled:
-        fdir = os.path.join(_round_dir(ckpt_dir, r), "frontier")
-        fsize = pads.dataset(fdir).to_table().num_rows if os.path.isdir(fdir) else 0
+        if fr_table is not None:
+            fsize = fr_table.num_rows
+        else:
+            fdir = os.path.join(_round_dir(ckpt_dir, r), "frontier")
+            fsize = (pads.dataset(fdir).count_rows()
+                     if os.path.isdir(fdir) else 0)
         if fsize == 0 or r >= max_rounds:
             break
-        _run_round(ckpt_dir, r + 1, crawl_id, cfg, corpus_ref, seen,
-                   seed_id=seed_id)
+        _, fr_table = _run_round(ckpt_dir, r + 1, crawl_id, cfg, corpus_ref,
+                                 seen, seed_id=seed_id,
+                                 frontier_table=fr_table)
         r += 1
         if cancel_after_round is not None and r >= cancel_after_round:
             _cancel(ckpt_dir, r, crawl_id)

@@ -4,18 +4,21 @@ The reference fetches the live web with a pooled ``reqwest`` client, one URL
 per worker iteration (shared/src/crawler.rs:18-51; client
 feeder/src/main.rs:33-36; 8 workers, web-crawler/values.yaml:45).  Here
 "fetching" ``http_type + name`` is a hash lookup of the frontier row against
-the frozen page corpus — an explicit broadcast hash join:
+the frozen page corpus, in one of two layouts:
 
-- the driver ``ray.put``s the pages table ONCE (zero-copy Arrow in the
-  object store); each *worker process* maps it on first use and builds a
-  key→row-index dict, cached at module level — Ray worker processes persist
-  across tasks and rounds, so the index is built once per worker, not per
-  batch and not per round (the reason the hot stage can be stateless tasks
-  instead of an actor pool);
-- at the 100 TB design point the broadcast side is replaced by a
-  host-hash-partitioned corpus (each fetch partition loads only
-  ``hash(host) % P == its`` Parquet partitions); the per-row logic is
-  unchanged.
+- **broadcast** (small corpus): the driver ``ray.put``s the pages table
+  ONCE (zero-copy Arrow in the object store); each *worker process* maps it
+  on first use and builds a key→row-index dict, cached at module level —
+  Ray worker processes persist across tasks and rounds, so the index is
+  built once per worker, not per batch and not per round;
+- **host-hash-partitioned** (the 100 TB design point — the whole corpus can
+  never broadcast): ``ensure_partitioned_corpus`` writes the pages once as
+  P Parquet partitions keyed by ``hash128(host) % P``; each fetch task
+  loads ONLY the partitions its rows touch, through a per-worker LRU of
+  partition indexes (``PartitionedCorpus``). The crawl driver hash-
+  repartitions each round's frontier on the same key so a task touches ~1
+  partition. Per-row fetch semantics are identical — a pytest asserts the
+  two layouts produce oracle-equal crawls.
 
 Politeness / per-host budget (north-star feature; the reference has none —
 SURVEY §2.6 L1) lives here too: per-worker host clocks spacing fetches by
@@ -26,8 +29,13 @@ when politeness is on.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 import time
+from collections import OrderedDict
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -38,6 +46,7 @@ STATUS_ROBOTS = 999
 
 # per-worker-process caches (persist across tasks/rounds)
 _CORPUS_CACHE: dict = {}
+_PART_CACHE: OrderedDict = OrderedDict()  # (part_dir, p) -> (index, html_col)
 _ROBOTS_CACHE: dict[str, bool] = {}
 _HOST_CLOCK: dict[str, float] = {}
 
@@ -87,6 +96,120 @@ def get_corpus_index(corpus_ref):
     _CORPUS_CACHE.clear()  # one corpus live at a time per worker
     _CORPUS_CACHE[key] = (index, table["html"])
     return _CORPUS_CACHE[key]
+
+
+def _hosts_of_names(names: pa.Array) -> pa.Array:
+    """Vectorized host projection: name up to the first ':' (the extractor
+    only captures host(:port), so this is exact)."""
+    import pyarrow.compute as pc
+
+    return pc.list_element(pc.split_pattern(names, ":", max_splits=1), 0)
+
+
+def host_partition_ids(names, n_parts: int) -> np.ndarray:
+    """hash128(host) % P for a name column — THE corpus partition key,
+    shared by the partition writer, the frontier repartition, and the
+    fetch-time lookup."""
+    from raycrawl.kernels import hash128
+
+    if not isinstance(names, (pa.Array, pa.ChunkedArray)):
+        names = pa.array(list(names), pa.string())
+    if isinstance(names, pa.ChunkedArray):
+        names = names.combine_chunks()
+    hi, _ = hash128(_hosts_of_names(names))
+    return (hi % np.uint64(n_parts)).astype(np.int64)
+
+
+def ensure_partitioned_corpus(corpus_dir: str, n_parts: int = 32,
+                              out_root: str = "/tmp/raycrawl_corpus_parts") -> str:
+    """Write (once, cached) the host-hash-partitioned layout of a corpus:
+    ``part-PPP.parquet`` holds the pages whose host hashes to partition P,
+    plus ``meta.json`` (n_parts, num_rows). This is the on-disk shape the
+    100 TB deployment keeps its page store in; at test scale we derive it
+    from the flat pages.parquet."""
+    tag = hashlib.md5(os.path.abspath(corpus_dir).encode()).hexdigest()[:12]
+    out = os.path.join(out_root, f"{tag}_p{n_parts}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    table = build_fetch_corpus(corpus_dir)
+    part = host_partition_ids(table["name"], n_parts)
+    for p in range(n_parts):
+        idx = np.flatnonzero(part == p)
+        pq.write_table(table.take(pa.array(idx, pa.int64())),
+                       os.path.join(out, f"part-{p:03d}.parquet"))
+    with open(os.path.join(out, "meta.json"), "w") as f:
+        json.dump(dict(n_parts=n_parts, num_rows=table.num_rows), f)
+    with open(os.path.join(out, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return out
+
+
+class PartitionedCorpus:
+    """Picklable fetch-corpus handle for the partitioned layout. Tiny (a
+    path + a count) — ships by value into every task; the data moves only
+    partition-by-partition, on demand, into a per-worker LRU."""
+
+    def __init__(self, part_dir: str, n_parts: int, num_rows: int,
+                 cache_parts: int = 8):
+        self.part_dir = part_dir
+        self.n_parts = n_parts
+        self.num_rows = num_rows
+        self.cache_parts = cache_parts
+
+    @classmethod
+    def open(cls, part_dir: str, cache_parts: int = 8) -> "PartitionedCorpus":
+        with open(os.path.join(part_dir, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(part_dir, meta["n_parts"], meta["num_rows"], cache_parts)
+
+    def batch_parts(self, names) -> np.ndarray:
+        return host_partition_ids(names, self.n_parts)
+
+    def slot(self, p: int):
+        """(key128→row-index dict, html column) for partition p, via the
+        per-worker LRU (partition parquet read + index build on miss)."""
+        key = (self.part_dir, int(p))
+        hit = _PART_CACHE.get(key)
+        if hit is not None:
+            _PART_CACHE.move_to_end(key)
+            return hit
+        table = pq.read_table(os.path.join(self.part_dir, f"part-{int(p):03d}.parquet"))
+        from raycrawl.kernels import hash128
+
+        keys = corpus_key_strings(
+            table["name"].combine_chunks(), table["http_type"].combine_chunks()
+        )
+        hi, lo = hash128(keys)
+        index = dict(zip(zip(hi.tolist(), lo.tolist()), range(len(hi))))
+        _PART_CACHE[key] = (index, table["html"])
+        while len(_PART_CACHE) > self.cache_parts:
+            _PART_CACHE.popitem(last=False)
+        return _PART_CACHE[key]
+
+    def partition_table(self, p: int) -> pa.Table:
+        return pq.read_table(os.path.join(self.part_dir, f"part-{int(p):03d}.parquet"))
+
+
+class BroadcastCorpus:
+    """Uniform fetch-corpus interface over the broadcast layout."""
+
+    def __init__(self, corpus_ref):
+        self.corpus_ref = corpus_ref
+
+    def batch_parts(self, names) -> None:
+        return None
+
+    def slot(self, p: int = 0):
+        return get_corpus_index(self.corpus_ref)
+
+
+def get_fetcher(corpus_ref):
+    """corpus_ref (ObjectRef | pa.Table | PartitionedCorpus) → fetcher with
+    ``batch_parts``/``slot``."""
+    if isinstance(corpus_ref, PartitionedCorpus):
+        return corpus_ref
+    return BroadcastCorpus(corpus_ref)
 
 
 def robots_blocked(host: str) -> bool:

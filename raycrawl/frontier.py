@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 
 from raycrawl import sim
-from raycrawl.fetch import STATUS_ROBOTS, fetch_one, get_corpus_index
+from raycrawl.fetch import STATUS_ROBOTS, fetch_one, get_fetcher
 from raycrawl.kernels import hash128, normalize_url
 from raycrawl.seen import SeenRouter
 
@@ -221,7 +221,8 @@ def fetch_expand_batch(
     are offered to their hash(node_id) shard for the J2 MERGE at the round
     barrier.
     """
-    index, html_col = get_corpus_index(corpus_ref)
+    fetcher = get_fetcher(corpus_ref)
+    parts_arr = fetcher.batch_parts(batch["name"])  # None for broadcast
     router = SeenRouter(seen_handles)
     n = batch.num_rows
     names = batch["name"].to_pylist()
@@ -235,13 +236,23 @@ def fetch_expand_batch(
     if politeness_delay_ms > 0:
         # priority: (depth, name) — per-host queue order (north-star L1)
         order.sort(key=lambda i: (depths[i], names[i]))
+    if parts_arr is not None:
+        # partitioned corpus: visit rows partition-major (stable, so the
+        # politeness priority survives within a partition) — one LRU slot
+        # load per touched partition instead of thrash
+        order.sort(key=lambda i: parts_arr[i])
 
     from raycrawl.fetch import corpus_key_strings
 
     khi, klo = hash128(corpus_key_strings(batch["name"], batch["http_type"]))
     fetched = [None] * n
     pages = [None] * n
+    cur_part, index, html_col = None, None, None
     for i in order:
+        p = int(parts_arr[i]) if parts_arr is not None else 0
+        if p != cur_part:
+            index, html_col = fetcher.slot(p)
+            cur_part = p
         attempt = int(attempts[i] or 0) + 1
         fetched[i] = fetch_one(
             index, html_col, names[i], protos[i], (int(khi[i]), int(klo[i])), attempt,

@@ -169,6 +169,10 @@ class SeenShardImpl:
     actor RPC *is* the shuffle, and the write is distributed (no driver
     funnel)."""
 
+    # winner payload tuple layout (order matters for commit_round)
+    _PAYLOAD_COLS = ("crawl_id", "name", "http_type", "node_id", "depth",
+                     "requested_depth", "ip", "domain", "request_time_ms")
+
     def __init__(self, shard_id: int, backend: str = "set",
                  expected_keys: int = 1_000_000, bits_per_key: int = 12):
         self.shard_id = shard_id
@@ -259,23 +263,33 @@ class SeenShardImpl:
         self._edge_buf_rows += edges.num_rows
         self._flush_edges()
 
-        # --- winner tracking: rank-compare first, extract a row's payload
-        # only when it improves the dict (extractions ≈ new keys, not offer
-        # volume) ---
-        khi = table["khi"].to_numpy(zero_copy_only=False).tolist()
-        klo = table["klo"].to_numpy(zero_copy_only=False).tolist()
-        depth = table["depth"].to_numpy(zero_copy_only=False).tolist()
-        phash = table["phash"].to_numpy(zero_copy_only=False).tolist()
-        cols = {name: table[name] for name in
-                ("crawl_id", "name", "http_type", "node_id", "depth",
-                 "requested_depth", "ip", "domain", "request_time_ms")}
+        # --- winner tracking, vectorized: np.lexsort by (khi, klo, depth,
+        # phash) + group-first gives this OFFER's winner per key in C speed;
+        # only those rows (≈ distinct keys, not offer volume) are extracted
+        # to Python and merged against the dict ---
+        khi = table["khi"].to_numpy(zero_copy_only=False)
+        klo = table["klo"].to_numpy(zero_copy_only=False)
+        depth_np = table["depth"].to_numpy(zero_copy_only=False).astype(np.int64)
+        phash = table["phash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((phash, depth_np, klo, khi))
+        shi, slo = khi[order], klo[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
+        w_idx = order[first]
+
+        wt = table.take(pa.array(w_idx, pa.int64()))
+        wcols = [wt[name].to_pylist() for name in self._PAYLOAD_COLS]
+        whi = khi[w_idx].tolist()
+        wlo = klo[w_idx].tolist()
+        wdepth = depth_np[w_idx].tolist()
+        wphash = phash[w_idx].tolist()
         W = self._winners
-        for j in range(n):
-            key = (khi[j], klo[j])
-            rank = (depth[j], phash[j])
+        for j in range(len(w_idx)):
+            key = (whi[j], wlo[j])
+            rank = (wdepth[j], wphash[j])
             cur = W.get(key)
             if cur is None or rank < cur[0]:
-                W[key] = (rank, {k: c[j].as_py() for k, c in cols.items()})
+                W[key] = (rank, tuple(c[j] for c in wcols))
         return len(W)
 
     def commit_round(self) -> dict:
@@ -311,6 +325,8 @@ class SeenShardImpl:
                 from raycrawl.frontier import NODES_SCHEMA
 
                 rows = [r for _, r in fresh]
+                pidx = {name: i for i, name in enumerate(self._PAYLOAD_COLS)}
+                d_i, rq_i = pidx["depth"], pidx["requested_depth"]
                 cols = {}
                 for f in NODES_SCHEMA:
                     if f.name == "node_type":
@@ -318,8 +334,7 @@ class SeenShardImpl:
                     elif f.name == "status":
                         cols[f.name] = pa.array(
                             [
-                                "COMPLETED" if r["depth"] == r["requested_depth"]
-                                else "PENDING"
+                                "COMPLETED" if r[d_i] == r[rq_i] else "PENDING"
                                 for r in rows
                             ],
                             f.type,
@@ -329,7 +344,7 @@ class SeenShardImpl:
                     elif f.name == "round":
                         cols[f.name] = pa.array([self._round_no] * new_count, f.type)
                     else:
-                        cols[f.name] = pa.array([r[f.name] for r in rows], f.type)
+                        cols[f.name] = pa.array([r[pidx[f.name]] for r in rows], f.type)
                 pq.write_table(
                     pa.table(cols, schema=NODES_SCHEMA),
                     f"{self._nodes_path}/shard-{self.shard_id:03d}.parquet",

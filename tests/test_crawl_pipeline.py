@@ -131,3 +131,17 @@ def test_depth_one_no_rounds(tiny_corpus, tmp_path):
     assert res.rounds_run == 0
     o = oracle_crawl(tiny_corpus, s["url"], 1, crawl_id="t")
     _compare(res, o)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_corpus_crawl_oracle_equal(tiny_corpus, tmp_path):
+    """The host-hash-partitioned fetch layout (the 100 TB shape: no corpus
+    broadcast, per-worker partition LRU, frontier hash-repartitioned on the
+    corpus key) is semantics-identical to the broadcast layout."""
+    s = _seeds(tiny_corpus)[0]
+    cfg = CrawlConfig(corpus_partitioned=True, corpus_partitions=8,
+                      corpus_cache_parts=3, small_round_threshold=4)
+    res = _run(tiny_corpus, s["url"], int(s["depth"]), str(tmp_path / "ckp"),
+               cfg=cfg)
+    o = oracle_crawl(tiny_corpus, s["url"], int(s["depth"]), crawl_id="t")
+    _compare(res, o)
