@@ -15,6 +15,7 @@ here (or in raycrawl) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -111,6 +112,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q(_demo_nodes(), "demo0")
 
+    def crawl_progress_live(_sf):
+        # IN-PROGRESS lifecycle (feeder job.rs:41-51): progress of a crawl
+        # frozen mid-round — pending set is claimed, so it reports as
+        # in_progress and the crawl as 'running'
+        _ensure_demo()
+        from raycrawl.demo import live_ckpt
+        from raycrawl.live import live_progress
+
+        return live_progress(live_ckpt(), "demolive")
+
+    def crawl_round_counters(_sf):
+        # live metrics stream analogue (manager ws.rs:25-53): per-round
+        # counters of a finished crawl as a queryable Dataset
+        _ensure_demo()
+        from raycrawl.demo import demo_ckpts
+        from raycrawl.live import round_counters
+
+        return round_counters(demo_ckpts()[0])
+
     return {
         # --- crawl read-side (A1-A4, S5 — SURVEY §2.5, §2.1) ---
         "crawl_progress": crawl_progress,
@@ -122,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_export_edges": graph_edges,
         "crawl_nodes_by_depth": nodes_by_depth,
         "crawl_domain_rollup": domain_rollup,
+        "crawl_progress_live": crawl_progress_live,    # A5/M10 IN-PROGRESS
+        "crawl_round_counters": crawl_round_counters,  # A5 metrics stream
         # --- relational operator coverage over sf views ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -264,6 +286,58 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY domain ORDER BY domain
     """
 
+    # live snapshot recomputed independently from the ROUND deltas (not
+    # final/): creation rows + keep-last parent status updates, then the
+    # claim overlay (round 2 is claimed in the fixture, so every PENDING
+    # URL is IN-PROGRESS — see raycrawl/live.py for why claimed == pending)
+    from raycrawl.demo import live_ckpt
+
+    live_nodes_glob = os.path.join(live_ckpt(), "round=*", "nodes", "*.parquet")
+    live_upd_glob = os.path.join(live_ckpt(), "round=*", "round_out", "*.parquet")
+    crawl_progress_live = f"""
+    WITH c AS (SELECT * FROM read_parquet('{live_nodes_glob}')),
+         uprk AS (SELECT node_id, status,
+                         row_number() OVER (PARTITION BY node_id ORDER BY round DESC) AS rn
+                  FROM read_parquet('{live_upd_glob}') WHERE row_type = 'parent'),
+         lu AS (SELECT node_id, status FROM uprk WHERE rn = 1),
+         snap AS (SELECT c.crawl_id, c.node_type, c.http_type, c.name,
+                         c.requested_depth,
+                         CASE WHEN c.node_type = 'URL'
+                                   AND coalesce(lu.status, c.status) = 'PENDING'
+                              THEN 'IN-PROGRESS'
+                              ELSE coalesce(lu.status, c.status) END AS status
+                  FROM c LEFT JOIN lu ON c.node_id = lu.node_id),
+         u AS (SELECT * FROM snap WHERE node_type = 'URL' AND crawl_id = 'demolive'),
+         r AS (SELECT * FROM snap WHERE node_type = 'ROOT' AND crawl_id = 'demolive'),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS total, {status_sums} FROM u)
+    SELECT 'demolive' AS crawl_id,
+           CASE WHEN agg.pending = 0 AND agg.in_progress = 0 THEN
+             CASE WHEN agg.cancelled > 0 AND agg.completed = 0 THEN 'cancelled' ELSE 'completed' END
+           ELSE 'running' END AS status,
+           agg.total, agg.completed, agg.pending, agg.in_progress, agg.failed,
+           agg.cancelled,
+           r.http_type || r.name AS root_url,
+           CAST(r.requested_depth AS BIGINT) AS requested_depth
+    FROM agg, r
+    """
+
+    from raycrawl.demo import demo_ckpts as _dc
+
+    counters_glob = os.path.join(_dc()[0], "round=*", "counters.json")
+    crawl_round_counters = f"""
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(frontier_size AS BIGINT) AS frontier_size,
+           CAST(parents_completed AS BIGINT) AS parents_completed,
+           CAST(parents_failed AS BIGINT) AS parents_failed,
+           CAST(retries_requeued AS BIGINT) AS retries_requeued,
+           CAST(nodes_created AS BIGINT) AS nodes_created,
+           CAST(edges_created AS BIGINT) AS edges_created,
+           CAST(seen_size AS BIGINT) AS seen_size
+    FROM read_json_auto('{counters_glob}', union_by_name = true,
+                        hive_partitioning = false)
+    WHERE round >= 1 ORDER BY round
+    """
+
     return {
         "crawl_progress": crawl_progress,
         "crawl_list": crawl_list,
@@ -274,6 +348,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_export_edges": graph_export_edges,
         "crawl_nodes_by_depth": nodes_by_depth,
         "crawl_domain_rollup": domain_rollup,
+        "crawl_progress_live": crawl_progress_live,
+        "crawl_round_counters": crawl_round_counters,
         "q1_pricing_summary": relational.q1_oracle_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "top_customers_by_spend": relational.top_customers_sql(),

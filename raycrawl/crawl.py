@@ -273,13 +273,21 @@ def _warm_workers(corpus_ref) -> None:
 
 
 def _begin_round(rdir: str, r: int, seen_handles, seed_id: str):
-    """Open per-shard edge partitions + reset round state on every shard."""
+    """Open per-shard edge partitions + reset round state on every shard.
+
+    Also stamps ``_CLAIMED`` in the round dir — the batch analogue of the
+    feeder's per-URL PENDING→IN-PROGRESS claim (feeder/src/job.rs:41-51):
+    while ``_CLAIMED`` exists without ``_DONE``, every PENDING node in the
+    committed snapshot (== exactly the frontier being fetched) is
+    IN-PROGRESS to live readers (raycrawl.live)."""
     import ray
 
     nodes_path = os.path.join(rdir, "nodes")
     edges_path = os.path.join(rdir, "edges")
     os.makedirs(nodes_path, exist_ok=True)
     os.makedirs(edges_path, exist_ok=True)
+    with open(os.path.join(rdir, "_CLAIMED"), "w") as f:
+        f.write("ok")
     ray.get([
         h.begin_round.remote(nodes_path, edges_path, r, seed_id)
         for h in seen_handles
@@ -636,21 +644,22 @@ def read_edges(ckpt_dir: str):
     return parts.union(rd.read_parquet(m["round_edge_files"]))
 
 
-def _finalize(ckpt: str, rounds: int, cancelled: bool) -> None:
-    """Compact: creation deltas + status updates → final/nodes, final/edges.
+def compacted_nodes(ckpt: str, rounds: int):
+    """Current node rows after ``rounds`` committed rounds: creation deltas
+    + keep-last status updates, as a (lazy) Dataset. Shared by ``_finalize``
+    (the terminal compaction) and ``raycrawl.live`` (mid-crawl snapshots —
+    the reference's live Bolt reads, crawl_service.rs:68-134).
 
-    Fully vectorized: the last status update per node is found by a native
-    ``Max`` over an integer encoding of (round, status, attempts) — no
-    per-group Python — then applied with a hash join (``Dataset.join``).
+    Fully vectorized: the last status update per node is found either by a
+    driver-side pandas keep-last (below a 5M-row gate) or a native ``Max``
+    over an integer encoding of (round, status, attempts) — no per-group
+    Python — then applied with a broadcast map inside ``map_batches``.
     """
     import pyarrow.dataset as pads
     import ray.data as rd
     from ray.data.aggregate import Max
 
-    pads_field = pads.field
     pc_ = pa.compute
-    fdir = os.path.join(ckpt, "final")
-    shutil.rmtree(fdir, ignore_errors=True)
 
     node_files = _parquet_files(
         [os.path.join(_round_dir(ckpt, r), "nodes") for r in range(rounds + 1)]
@@ -746,7 +755,18 @@ def _finalize(ckpt: str, rounds: int, cancelled: bool) -> None:
         final_nodes = creates.map_batches(apply_bcast, batch_format="pyarrow")
     else:
         final_nodes = creates
-    _write_ds(final_nodes, os.path.join(fdir, "nodes"), NODES_SCHEMA)
+    return final_nodes
+
+
+def _finalize(ckpt: str, rounds: int, cancelled: bool) -> None:
+    """Compact: creation deltas + status updates → final/nodes, final/edges."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    fdir = os.path.join(ckpt, "final")
+    shutil.rmtree(fdir, ignore_errors=True)
+    _write_ds(compacted_nodes(ckpt, rounds), os.path.join(fdir, "nodes"),
+              NODES_SCHEMA)
 
     # Edges: bootstrap delta (round 0, all src == seed/ROOT id) + per-round
     # edge partitions written by the seen shards at each barrier. Edges are
@@ -870,6 +890,10 @@ def crawl(
     rn, rp = normalize_url(seed_url)
     seed_id = rp + rn
 
+    import time as _time
+
+    _ph = {}  # coarse phase timers, dumped to ckpt/phases.json for tuning
+    _t = _time.perf_counter()
     if cfg.corpus_partitioned:
         # 100 TB corpus layout: nothing ever broadcasts; the bootstrap loads
         # only the root's host partition, fetch tasks page partitions in
@@ -897,11 +921,17 @@ def crawl(
             corpus_ref = ray.put(corpus_table)
         expected_rows = corpus_table.num_rows
 
+    _ph["corpus_boot_s"] = round(_time.perf_counter() - _t, 2)
+    _t = _time.perf_counter()
     seen = _make_seen_actors(cfg, expected_keys=expected_rows * 4)
+    _ph["actors_s"] = round(_time.perf_counter() - _t, 2)
+    _t = _time.perf_counter()
     if expected_rows > 50_000:
         # big-corpus crawls: pre-pay heavy imports + per-worker corpus index
         # in every worker before round 1 (workers persist across rounds)
         _warm_workers(corpus_ref)
+    _ph["warm_s"] = round(_time.perf_counter() - _t, 2)
+    _t = _time.perf_counter()
 
     # restore seen state from all completed rounds
     last_done = 0
@@ -933,6 +963,7 @@ def crawl(
                 ray.get(ready)
     if pending_refs:
         ray.get(pending_refs)
+    _ph["restore_s"] = round(_time.perf_counter() - _t, 2)
 
     cancelled = os.path.isdir(os.path.join(ckpt_dir, "cancel"))
     r = last_done
@@ -954,6 +985,10 @@ def crawl(
             _cancel(ckpt_dir, r, crawl_id)
             cancelled = True
 
+    _t = _time.perf_counter()
     _finalize(ckpt_dir, r, cancelled)
+    _ph["finalize_s"] = round(_time.perf_counter() - _t, 2)
+    with open(os.path.join(ckpt_dir, "phases.json"), "w") as f:
+        json.dump(_ph, f)
     return CrawlResult(crawl_id=crawl_id, ckpt_dir=ckpt_dir, rounds_run=r,
                        cancelled=cancelled)

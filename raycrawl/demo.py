@@ -7,7 +7,12 @@ provisioned here once per process boot (cached under /tmp, idempotent):
 
 - three crawls over the tiny synthetic corpus (seeds 0/1/2), the third
   cancelled after round 1 → status variety for list/filter queries;
-- crawl ids are fixed ("demo0".."demo2") so the SQL strings can embed them.
+- crawl ids are fixed ("demo0".."demo2") so the SQL strings can embed them;
+- one crawl ("demolive", under ck_live) frozen MID-ROUND: run to round 1,
+  then round 2 is claimed (``_CLAIMED`` stamped) but never committed — the
+  deterministic fixture for the IN-PROGRESS lifecycle / live-progress
+  queries (raycrawl.live; reference feeder/src/job.rs:41-51 claim +
+  manager/src/routes/ws.rs:25-53 stream).
 
 ``ensure_demo_crawls`` requires an initialized Ray session — the driver
 guarantees one before calling ``queries()`` / ``oracle_sql()``.
@@ -33,12 +38,16 @@ def edges_glob() -> str:
     return os.path.join(DEMO_BASE, "ck*", "final", "edges", "*.parquet")
 
 
+def live_ckpt() -> str:
+    return os.path.join(DEMO_BASE, "ck_live")
+
+
 def ensure_demo_crawls() -> list[str]:
     import pyarrow.parquet as pq
 
     from raycrawl.config import CrawlConfig
     from raycrawl.corpus import ensure_corpus
-    from raycrawl.crawl import crawl
+    from raycrawl.crawl import _round_dir, crawl
 
     corpus = ensure_corpus("tiny")
     seeds = pq.read_table(os.path.join(corpus, "seeds.parquet")).to_pylist()
@@ -54,4 +63,15 @@ def ensure_demo_crawls() -> list[str]:
                 cancel_after_round=1 if i == 2 else None,
             )
         out.append(ck)
+
+    # mid-round fixture: committed through round 1, round 2 claimed
+    lk = live_ckpt()
+    claim = os.path.join(_round_dir(lk, 2), "_CLAIMED")
+    if not os.path.exists(claim):
+        s = seeds[0]
+        crawl(corpus, s["url"], int(s["depth"]), lk, cfg=cfg,
+              crawl_id="demolive", resume=False, max_rounds=1)
+        os.makedirs(os.path.dirname(claim), exist_ok=True)
+        with open(claim, "w") as f:
+            f.write("ok")
     return out

@@ -1,0 +1,125 @@
+"""Live (mid-crawl) progress surface — the rebuild's analogue of the
+reference's IN-PROGRESS lifecycle and 2 s progress WebSocket
+(feeder/src/job.rs:41-51 claims a PENDING URL and marks it IN-PROGRESS;
+manager/src/routes/ws.rs:25-53 pushes per-crawl status counts every 2 s).
+
+Round-batched claim semantics: the feeder claims one URL at a time, so at
+any instant its IN-PROGRESS set is the claimed-but-unfinished URLs. This
+engine claims a whole BFS round at once — ``_begin_round`` stamps
+``_CLAIMED`` in the round dir; the round barrier stamps ``_DONE``. Between
+the two, the in-flight set is exactly the round's frontier, and the
+frontier equals EVERY PENDING node of the committed snapshot (leaves are
+born COMPLETED, M6; depth-guarded children never commit PENDING past the
+requested depth, M5; retry parents stay PENDING and re-enter the frontier,
+M11). So the live overlay is a pure vectorized status rewrite inside
+``map_batches`` — no lookup table, no broadcast, no extra shuffle — and it
+stays exact at any frontier size.
+
+Consistency: committed round dirs are immutable (``_DONE`` is the last
+write), and the open round's partial output is never read — a live query
+always sees the state as of the last round barrier, like the reference's
+Bolt reads see Neo4j's last committed transaction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raycrawl.crawl import _round_dir, compacted_nodes
+
+COUNTER_COLS = [
+    "round", "frontier_size", "parents_completed", "parents_failed",
+    "retries_requeued", "nodes_created", "edges_created", "seen_size",
+]
+
+
+def last_done_round(ckpt_dir: str) -> int:
+    r = -1
+    while os.path.exists(os.path.join(_round_dir(ckpt_dir, r + 1), "_DONE")):
+        r += 1
+    return r
+
+
+def open_round(ckpt_dir: str) -> int | None:
+    """Round currently claimed-but-uncommitted, else None."""
+    r = last_done_round(ckpt_dir) + 1
+    rdir = _round_dir(ckpt_dir, r)
+    if os.path.exists(os.path.join(rdir, "_CLAIMED")) and not os.path.exists(
+        os.path.join(rdir, "_DONE")
+    ):
+        return r
+    return None
+
+
+def live_nodes(ckpt_dir: str):
+    """Current node rows mid-crawl, with the IN-PROGRESS overlay, as a lazy
+    Dataset (streams; never materializes the crawl on the driver)."""
+    last = last_done_round(ckpt_dir)
+    if last < 0:
+        raise FileNotFoundError(f"no committed rounds under {ckpt_dir}")
+    snap = compacted_nodes(ckpt_dir, last)
+    if open_round(ckpt_dir) is None:
+        return snap
+
+    def claim(t: pa.Table) -> pa.Table:
+        claimed = pc.and_(
+            pc.equal(t["node_type"], "URL"), pc.equal(t["status"], "PENDING")
+        )
+        st = pc.if_else(claimed, pa.scalar("IN-PROGRESS"), t["status"])
+        return t.set_column(t.schema.get_field_index("status"), "status", st)
+
+    return snap.map_batches(claim, batch_format="pyarrow")
+
+
+def live_progress(ckpt_dir: str, crawl_id: str) -> pa.Table:
+    """A1+A2 over the live snapshot — the ws.rs payload for one poll tick.
+    Nonzero ``in_progress`` whenever a round is in flight."""
+    from raycrawl.queries import crawl_progress
+
+    return crawl_progress(live_nodes(ckpt_dir), crawl_id)
+
+
+def round_counters(ckpt_dir: str):
+    """Per-round crawl metrics (frontier size, parent outcomes, new
+    nodes/edges, seen-filter size) as a Dataset — the queryable stream the
+    reference surfaces over its WebSocket. One row per committed round."""
+    import ray.data as rd
+
+    rows = []
+    for r in range(1, last_done_round(ckpt_dir) + 1):
+        cpath = os.path.join(_round_dir(ckpt_dir, r), "counters.json")
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                c = json.load(f)
+            rows.append({k: int(c[k]) for k in COUNTER_COLS})
+    schema = pa.schema([(k, pa.int64()) for k in COUNTER_COLS])
+    table = (pa.Table.from_pylist(rows, schema=schema)
+             if rows else schema.empty_table())
+    return rd.from_arrow(table)
+
+
+def progress_stream(ckpt_dir: str, crawl_id: str, interval_s: float = 2.0,
+                    max_polls: int | None = None):
+    """Generator yielding ``live_progress`` dicts until the crawl leaves the
+    'running' state — the 2 s WebSocket loop (ws.rs:25-53) as an iterator a
+    monitoring process can consume while ``crawl()`` runs elsewhere."""
+    import time
+
+    polls = 0
+    while True:
+        try:
+            row = live_progress(ckpt_dir, crawl_id).to_pylist()
+        except FileNotFoundError:
+            row = []
+        if row:
+            yield row[0]
+            if row[0]["status"] != "running":
+                return
+        polls += 1
+        if max_polls is not None and polls >= max_polls:
+            return
+        time.sleep(interval_s)

@@ -263,15 +263,11 @@ def graph_export_nodes(nodes_ds, crawl_id: str):
 
 def graph_export_edges(edges_ds, crawl_id: str):
     """S5 edge projection: source/target ids."""
-    return edges_ds.map_batches(
-        lambda t: pa.table(
-            {
-                "source": t.filter(pc.equal(t["crawl_id"], crawl_id))["src"],
-                "target": t.filter(pc.equal(t["crawl_id"], crawl_id))["dst"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["crawl_id"], crawl_id))
+        return pa.table({"source": t["src"], "target": t["dst"]})
+
+    return edges_ds.map_batches(project, batch_format="pyarrow")
 
 
 def nodes_by_depth(nodes_ds, crawl_id: str):
