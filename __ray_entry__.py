@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_similar_threshold": ann.similar_above_threshold,
         "embedding_lsh_topk": ann.lsh_topk,                # rows-only (approx)
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "embedding_neardup_pairs_lsh": dedup.embedding_neardup_pairs_lsh,
     }
 
 
@@ -370,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": ann.brute_force_topk_sql(),
         "embedding_similar_threshold": ann.similar_above_threshold_sql(),
         "embedding_neardup_pairs": dedup.embedding_neardup_sql(),
+        "embedding_neardup_pairs_lsh": dedup.embedding_neardup_lsh_sql(),
         # rows-only (non-SQL-expressible by nature): media_features
         # (channel stats over RNG-seeded payload bodies) and
         # embedding_lsh_topk (approximate — recall measured in pytest

@@ -155,15 +155,9 @@ def _signatures(m: np.ndarray) -> np.ndarray:
     return sig
 
 
-def lsh_topk(sf_dir: str, query_id: int = 0, k: int = 20,
-             probe_hamming: int = 2) -> pa.Table:
-    """Approximate top-k: scan only rows whose LSH signature is within
-    ``probe_hamming`` bits of the query's (multiprobe). Same output schema
-    as brute_force_topk; recall measured in tests."""
-    q = query_vector(sf_dir, query_id)
-    qn = (q / max(np.linalg.norm(q), 1e-12)).astype(np.float32)
-    qsig = int(_signatures(qn[None, :].astype(np.float32))[0])
-    # acceptable signature set (multiprobe ≤ probe_hamming bit flips)
+def _accept_set(qsig: int, probe_hamming: int) -> set[int]:
+    """Multiprobe signature set: every signature within ``probe_hamming``
+    bit flips of the query's."""
     from itertools import combinations
 
     accept = {qsig}
@@ -173,28 +167,92 @@ def lsh_topk(sf_dir: str, query_id: int = 0, k: int = 20,
             for i in flips:
                 v ^= 1 << i
             accept.add(v)
+    return accept
+
+
+def ensure_lsh_index(sf_dir: str,
+                     out_root: str = "/tmp/raycrawl_lsh") -> str:
+    """Build (once, cached) the PERSISTED signature index: the embeddings
+    table rewritten as hive-partitioned Parquet, one ``sig=N/`` directory
+    per random-hyperplane bucket. A query then READS only its candidate
+    buckets — pruning happens at the file listing, so query cost scales
+    with bucket size, not corpus size (the property a full-scan LSH
+    lacks). One streaming pass to build; no driver materialization."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(out_root, f"{tag}_p{_N_PLANES}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+
+    def add_sig(t: pa.Table) -> pa.Table:
+        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        sig = _signatures(m.astype(np.float32))
+        return t.append_column("sig", pa.array(sig.astype(np.int64), pa.int64()))
+
+    (
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(add_sig, batch_format="pyarrow")
+        .write_parquet(out, partition_cols=["sig"])
+    )
+    with open(os.path.join(out, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return out
+
+
+def lsh_topk(sf_dir: str, query_id: int = 0, k: int = 20,
+             probe_hamming: int = 2) -> pa.Table:
+    """Approximate top-k over the persisted signature index: list the
+    ≤ C(_N_PLANES, ≤probe_hamming) candidate bucket directories, read ONLY
+    those, exact-rank within. Same output schema as brute_force_topk;
+    recall measured in tests (identical candidates to a full multiprobe
+    scan by construction — same planes, same signatures)."""
+    import ray.data as rd
+
+    q = query_vector(sf_dir, query_id)
+    qn64 = q / max(np.linalg.norm(q), 1e-12)
+    qsig = int(_signatures(qn64[None, :].astype(np.float32))[0])
+    accept = _accept_set(qsig, probe_hamming)
+
+    idx = ensure_lsh_index(sf_dir)
+    bucket_files = []
+    for s in sorted(accept):
+        d = os.path.join(idx, f"sig={s}")
+        if os.path.isdir(d):
+            bucket_files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+    if not bucket_files:
+        return empty
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy()
         m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
-        sig = _signatures(m.astype(np.float32))
-        cand = np.fromiter((int(s) in accept for s in sig), bool, len(sig))
-        cand &= ids != query_id
-        if not cand.any():
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "cos": pa.array([], pa.float64())})
-        cos = m[cand] @ (q / max(np.linalg.norm(q), 1e-12))
-        return pa.table({"vec_id": pa.array(ids[cand], pa.int64()),
+        mask = ids != query_id
+        if not mask.any():
+            return empty
+        cos = m[mask] @ qn64
+        ids = ids[mask]
+        if len(ids) > k:  # per-bucket partial top-k; driver merges partials
+            order = np.lexsort((ids, -cos))[:k]
+            ids, cos = ids[order], cos[order]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
                          "cos": pa.array(cos, pa.float64())})
 
     parts = (
-        _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        rd.read_parquet(bucket_files, columns=["vec_id", "embedding"])
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
     if len(parts) == 0:
-        return pa.table({"vec_id": pa.array([], pa.int64()),
-                         "cos": pa.array([], pa.float64())})
+        return empty
     order = np.lexsort((parts["vec_id"].to_numpy(), -parts["cos"].to_numpy()))[:k]
     out = parts.iloc[order]
     return pa.table(

@@ -56,8 +56,12 @@ FRONTIER_SCHEMA = pa.schema(
     ]
 )
 
-class CrawlFailed(Exception):
-    pass
+from raycrawl.errors import FetchFailed, InvalidDepth, fetch_error  # noqa: E402
+
+# Deprecated alias: root-bootstrap fetch failures now raise the typed
+# errors from raycrawl.errors (M10 HTTP surface); FetchFailed keeps the
+# historical catch-all behavior for callers that caught CrawlFailed.
+CrawlFailed = FetchFailed
 
 
 def _round_dir(ckpt: str, r: int) -> str:
@@ -149,26 +153,37 @@ def _bootstrap(ckpt: str, corpus_table: pa.Table, seed_url: str, depth: int,
     crawl_service.rs:17-65): fetch root, extract, DNS fan-out, ROOT node +
     depth-1 children (NO J1; MERGE-only dedup, first occurrence wins)."""
     if not 1 <= depth <= cfg.max_crawl_depth:
-        raise ValueError(f"depth must be between 1 and {cfg.max_crawl_depth}")
+        # 400 BAD_REQUEST (routes/crawl.rs:28-42; M9) — also a ValueError
+        raise InvalidDepth(f"depth must be between 1 and {cfg.max_crawl_depth}")
     rname, rproto = normalize_url(seed_url)
-    names = corpus_table["name"].to_pylist()
-    protos = corpus_table["http_type"].to_pylist()
-    index = {(n, p): i for i, (n, p) in enumerate(zip(names, protos))}
-    idx = index.get((rname, rproto))
+    # locate the root row with a vectorized Arrow compare — never a Python
+    # dict over the whole corpus (serial O(N) on the driver)
+    mask = pa.compute.and_(
+        pa.compute.equal(corpus_table["name"], rname),
+        pa.compute.equal(corpus_table["http_type"], rproto),
+    )
+    hit = pa.compute.indices_nonzero(mask)
+    idx = int(hit[0].as_py()) if len(hit) else None
     status = sim.fetch_status(rname, rproto, 1, idx is not None)
     if status != sim.STATUS_OK:
-        raise CrawlFailed(f"root fetch failed: HTTP {status}")
+        # typed per crawler_error_to_status: 404 → 404, else → 502 (M10)
+        raise fetch_error(status, rproto + rname)
     rstats = dns_synth.get_network_stats(rname, cfg.max_dns_depth)
     if rstats is None:
-        raise CrawlFailed("root DNS resolution failed")
+        raise FetchFailed(f"root DNS resolution failed: {rname}")
     relapsed = sim.fetch_elapsed_ms(rname, rproto)
     raw = extract_urls(decode_html(corpus_table["html"][idx].as_py()))
+
+    import datetime
 
     root_row = dict(
         crawl_id=crawl_id, name=rname, http_type=rproto, node_id=rproto + rname,
         node_type="ROOT", depth=0, requested_depth=depth, status="root",
         attempts=0, ip=rstats[1], domain=rstats[0], request_time_ms=relapsed,
         round=0,
+        # created_at: ROOT-only, like the reference's crawl submission
+        # timestamp (neo4j-graph-model.md:22; crawl_service.rs sets now())
+        created_at=datetime.datetime.now(datetime.timezone.utc).isoformat(),
     )
     nodes: dict[str, dict] = {}
     edges: set[tuple[str, str]] = set()
@@ -272,6 +287,15 @@ def _warm_workers(corpus_ref) -> None:
 
 
 
+def _status_counts(col) -> dict[str, int]:
+    """Vectorized status histogram of an Arrow string column."""
+    vc = pa.compute.value_counts(col)
+    return {
+        str(v): int(c)
+        for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+    }
+
+
 def _begin_round(rdir: str, r: int, seen_handles, seed_id: str):
     """Open per-shard edge partitions + reset round state on every shard.
 
@@ -370,13 +394,15 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
     )
     _write_table_chunked(next_frontier, os.path.join(rdir, "frontier"))
 
-    pstat = ro.filter(pa.compute.equal(ro["row_type"], "parent"))["status"].to_pylist()
+    pstat = _status_counts(
+        ro.filter(pa.compute.equal(ro["row_type"], "parent"))["status"]
+    )
     counters = dict(
         round=r,
         frontier_size=frontier.num_rows,
-        parents_completed=sum(s == "COMPLETED" for s in pstat),
-        parents_failed=sum(s == "FAILED" for s in pstat),
-        retries_requeued=sum(s == "PENDING" for s in pstat),
+        parents_completed=pstat.get("COMPLETED", 0),
+        parents_failed=pstat.get("FAILED", 0),
+        retries_requeued=pstat.get("PENDING", 0),
         nodes_created=int(sum(s["new_nodes"] for s in stats)),
         edges_created=int(sum(s["edges_written"] for s in stats)
                           + sum(len(s["seed_rows"]) for s in stats)),
@@ -538,7 +564,7 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     ro_t = pads.dataset(_parquet_files([ro_path])).to_table(
         columns=FRONTIER_SCHEMA.names + ["status"]
     )
-    pstat = ro_t["status"].to_pylist()
+    pstat = _status_counts(ro_t["status"])
     f_retry_t = cast_table(
         ro_t.filter(pa.compute.equal(ro_t["status"], "PENDING")).select(
             FRONTIER_SCHEMA.names
@@ -602,9 +628,9 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     counters = dict(
         round=r,
         frontier_size=n_front,
-        parents_completed=sum(s == "COMPLETED" for s in pstat),
-        parents_failed=sum(s == "FAILED" for s in pstat),
-        retries_requeued=sum(s == "PENDING" for s in pstat),
+        parents_completed=pstat.get("COMPLETED", 0),
+        parents_failed=pstat.get("FAILED", 0),
+        retries_requeued=pstat.get("PENDING", 0),
         nodes_created=int(sum(s["new_nodes"] for s in stats)),
         edges_created=int(sum(s["edges_written"] for s in stats)
                           + sum(len(s["seed_rows"]) for s in stats)),
@@ -623,6 +649,11 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
 STATUS_CODE = {"PENDING": 0, "ROBOTS_BLOCKED": 1, "FAILED": 2, "COMPLETED": 3,
                "CANCELLED": 4}
 CODE_STATUS = {v: k for k, v in STATUS_CODE.items()}
+
+# status-update volume above which compacted_nodes switches from the
+# driver-side numpy keep-last to the distributed encoded-Max groupby
+# (tests force 0 to exercise the distributed path on small crawls)
+UPDATE_DRIVER_GATE = 5_000_000
 
 
 
@@ -651,9 +682,12 @@ def compacted_nodes(ckpt: str, rounds: int):
     the reference's live Bolt reads, crawl_service.rs:68-134).
 
     Fully vectorized: the last status update per node is found either by a
-    driver-side pandas keep-last (below a 5M-row gate) or a native ``Max``
-    over an integer encoding of (round, status, attempts) — no per-group
-    Python — then applied with a broadcast map inside ``map_batches``.
+    driver-side numpy keep-last on 128-bit node hashes (below a 5M-row
+    gate) or a native ``Max`` over an integer encoding of (round, status,
+    attempts) — no per-group Python. Both paths produce the same compact
+    broadcast payload — a SORTED structured (hi,lo) key array + int8
+    status codes + int32 attempts (~25 B/updated node, no strings) — and
+    every worker applies it with one ``np.searchsorted`` per batch.
     """
     import pyarrow.dataset as pads
     import ray.data as rd
@@ -674,30 +708,35 @@ def compacted_nodes(ckpt: str, rounds: int):
         upd_dirs.append(cancel_dir)
     upd_files = _parquet_files(upd_dirs)
 
+    key_dt = np.dtype([("hi", "u8"), ("lo", "u8")])
+    status_names = np.array(list(STATUS_CODE.keys()))
+
     if upd_files:
         # Last status update per node. Updates ≈ fetched parents (≤ Σ
-        # frontier sizes) — orders of magnitude fewer than creates. Below
-        # the gate: one driver-side columnar read + vectorized pandas
-        # keep-last (C speed); above it: encoded-Max Ray groupby (the
-        # distributed path). The result broadcasts as two pandas Series
-        # (arrow-backed; ~0.2s unpickle per worker vs seconds for dicts).
-        import pandas as pd
+        # frontier sizes) — orders of magnitude fewer than creates.
         import ray
 
         upd_ds = pads.dataset(upd_files)
-        if upd_ds.count_rows() <= 5_000_000:
+        if upd_ds.count_rows() <= UPDATE_DRIVER_GATE:
             ut = upd_ds.to_table(
                 columns=["row_type", "node_id", "status", "attempts", "round"]
             )
             ut = ut.filter(pc_.equal(ut["row_type"], "parent"))
-            udf = ut.select(["node_id", "status", "attempts", "round"]).to_pandas()
-            udf = udf.sort_values("round", kind="stable").drop_duplicates(
-                "node_id", keep="last"
-            )
-            status_s = pd.Series(udf["status"].to_numpy(), index=udf["node_id"])
-            att_s = pd.Series(
-                udf["attempts"].to_numpy().astype("int32"), index=udf["node_id"]
-            )
+            hi, lo = hash128(ut["node_id"].combine_chunks())
+            rno = ut["round"].to_numpy(zero_copy_only=False).astype(np.int64)
+            codes_all = pc_.index_in(
+                ut["status"], value_set=pa.array(list(STATUS_CODE.keys()))
+            ).to_numpy(zero_copy_only=False).astype(np.int8)
+            atts_all = ut["attempts"].to_numpy(zero_copy_only=False).astype(np.int32)
+            order = np.lexsort((rno, lo, hi))  # key asc, round asc within key
+            shi, slo = hi[order], lo[order]
+            is_last = np.ones(len(order), dtype=bool)
+            if len(order):
+                is_last[:-1] = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
+            keys = np.empty(int(is_last.sum()), dtype=key_dt)
+            keys["hi"], keys["lo"] = shi[is_last], slo[is_last]
+            codes = codes_all[order][is_last]
+            atts = atts_all[order][is_last]
         else:
             def encode(t: pa.Table) -> pa.Table:
                 t = t.filter(pc_.equal(t["row_type"], "parent"))
@@ -719,34 +758,35 @@ def compacted_nodes(ckpt: str, rounds: int):
                 .map_batches(encode, batch_format="pyarrow")
                 .groupby("node_id")
                 .aggregate(Max("enc", alias_name="enc"))
-                .to_pandas()
+                .to_arrow_refs()
             )
-            enc = last["enc"].to_numpy()
-            status_s = pd.Series(
-                [CODE_STATUS[int(c)] for c in (enc >> 10) & 0xF],
-                index=last["node_id"],
-            )
-            att_s = pd.Series((enc & 0x3FF).astype("int32"), index=last["node_id"])
+            last = pa.concat_tables([ray.get(ref) for ref in last])
+            enc = last["enc"].to_numpy(zero_copy_only=False)
+            hi, lo = hash128(last["node_id"].combine_chunks())
+            order = np.lexsort((lo, hi))
+            keys = np.empty(len(order), dtype=key_dt)
+            keys["hi"], keys["lo"] = hi[order], lo[order]
+            codes = ((enc >> 10) & 0xF).astype(np.int8)[order]
+            atts = (enc & 0x3FF).astype(np.int32)[order]
 
-        upd_ref = ray.put((status_s, att_s))
+        upd_ref = ray.put((keys, codes, atts))
 
         def apply_bcast(t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            status_map, att_map = _bcast_get(upd_ref)
-            ids = pd.Series(t["node_id"].to_pandas())
-            st_upd = ids.map(status_map)
-            at_upd = ids.map(att_map)
-            is_url = pc_.equal(t["node_type"], "URL")
-            has = pc_.and_(pa.array(st_upd.notna().to_numpy()), is_url)
-            st = pc_.if_else(
-                has, pa.array(st_upd.fillna("").astype(str)), t["status"]
-            )
-            att = pc_.if_else(
-                has,
-                pa.array(at_upd.fillna(0).to_numpy().astype("int32"), pa.int32()),
-                t["attempts"],
-            )
+            keys, codes, atts = _bcast_get(upd_ref)
+            qhi, qlo = hash128(t["node_id"].combine_chunks())
+            q = np.empty(len(qhi), dtype=keys.dtype)
+            q["hi"], q["lo"] = qhi, qlo
+            if len(keys):
+                pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+                found = keys[pos] == q
+            else:
+                pos = np.zeros(len(q), dtype=np.int64)
+                found = np.zeros(len(q), dtype=bool)
+            is_url = pc_.equal(t["node_type"], "URL").to_numpy(zero_copy_only=False)
+            m = found & is_url
+            has = pa.array(m)
+            st = pc_.if_else(has, pa.array(status_names[codes[pos]]), t["status"])
+            att = pc_.if_else(has, pa.array(atts[pos], pa.int32()), t["attempts"])
             t = t.set_column(t.schema.get_field_index("status"), "status", st)
             return t.set_column(
                 t.schema.get_field_index("attempts"), "attempts", att

@@ -599,3 +599,125 @@ def embedding_neardup_sql(threshold: float = 0.45) -> str:
     WHERE list_cosine_similarity(x.v, y.v) >= {threshold}
     ORDER BY a, b
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed embedding near-dup — the 100 TB scale path
+# ---------------------------------------------------------------------------
+#
+# ``embedding_neardup_pairs`` above is EXACT but O(N²/B) — the right oracle,
+# the wrong asymptotics. This variant is classic multi-table hyperplane LSH
+# (the MinHash-banding construction transplanted to cosine space): L=8
+# tables of r=4 hyperplanes each; a pair is a candidate iff it collides in
+# ANY table, and the exact cosine is verified only inside a bucket. Compute
+# is L·Σ|bucket|² ≈ L·N²/2^r per table and the shuffle key is (table, sig),
+# so it parallelizes by bucket. Approximate by construction (pairs that
+# collide in no table are missed; collision probability at cosine c is
+# 1-(1-(1-θ/π)^r)^L — ≈0.98 at c=0.8), yet fully DETERMINISTIC: signatures
+# are sign(embedding · plane) with fixed seeded planes, so DuckDB can
+# recompute the identical buckets from plane literals embedded in the SQL
+# (no normalization: sign(m·p) == sign(m̂·p), which sidesteps rounding
+# differences entirely).
+
+_NDP_TABLES = 8
+_NDP_R = 4
+_NDP_PLANES_CACHE: dict[int, np.ndarray] = {}
+
+
+def _ndp_planes(dim: int) -> np.ndarray:
+    """(L·r, dim) float64 hyperplanes; values generated as float32 so the
+    SQL literals round-trip exactly."""
+    p = _NDP_PLANES_CACHE.get(dim)
+    if p is None:
+        rng = np.random.default_rng(0xD0D0)
+        p = rng.normal(size=(_NDP_TABLES * _NDP_R, dim)).astype(np.float32).astype(np.float64)
+        _NDP_PLANES_CACHE[dim] = p
+    return p
+
+
+def _ndp_sigs(m: np.ndarray) -> np.ndarray:
+    """(n, L) int64 per-table signatures of raw (unnormalized) vectors."""
+    planes = _ndp_planes(m.shape[1])
+    bits = (m @ planes.T) > 0  # (n, L*r)
+    sigs = np.zeros((len(m), _NDP_TABLES), dtype=np.int64)
+    for t in range(_NDP_TABLES):
+        for b in range(_NDP_R):
+            sigs[:, t] |= bits[:, t * _NDP_R + b].astype(np.int64) << b
+    return sigs
+
+
+def embedding_neardup_pairs_lsh(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+    """(a, b, cosine) pairs with cosine ≥ threshold that collide in ≥1 of
+    the L signature tables. Explode rows per table → groupby((table, sig))
+    → exact within-bucket matmul → pair dedup (a pair can collide in
+    several tables)."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        sigs = _ndp_sigs(m)  # (n, L)
+        n = len(m)
+        idx = np.tile(np.arange(n), _NDP_TABLES)
+        table_no = np.repeat(np.arange(_NDP_TABLES), n)
+        key = table_no * (1 << _NDP_R) + sigs[idx, table_no]
+        rep = t.take(pa.array(idx, pa.int64()))
+        return rep.append_column("bkey", pa.array(key, pa.int64()))
+
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        m = np.stack(g["embedding"].to_pylist()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+        if len(ai) == 0:
+            return empty
+        a, b = ids[ai], ids[bj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"a": pa.array(lo, pa.int64()), "b": pa.array(hi, pa.int64()),
+             "cosine": pa.array(np.round(sims[ai, bj], 6), pa.float64())}
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return empty
+    # cross-table pair dedup; the pair set is the (small) final result
+    out = out.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embedding_neardup_lsh_sql(threshold: float = 0.45, dim: int = 64) -> str:
+    """DuckDB recomputes the SAME L bucket tables from plane literals:
+    pair qualifies iff any of the L per-table signatures match — exactly
+    the any-table collision rule of the Ray pipeline."""
+    planes = _ndp_planes(dim)
+
+    def sig_expr(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {list(map(float, planes[t * _NDP_R + b]))}) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(_NDP_R)
+        )
+
+    sig_cols = ", ".join(f"{sig_expr(t)} AS s{t}" for t in range(_NDP_TABLES))
+    any_match = " OR ".join(f"x.s{t} = y.s{t}" for t in range(_NDP_TABLES))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT vec_id, v, {sig_cols} FROM e)
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+    FROM s x JOIN s y ON x.vec_id < y.vec_id
+    WHERE ({any_match})
+      AND list_cosine_similarity(x.v, y.v) >= {threshold}
+    ORDER BY a, b
+    """

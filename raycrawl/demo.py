@@ -39,7 +39,9 @@ def edges_glob() -> str:
 
 
 def live_ckpt() -> str:
-    return os.path.join(DEMO_BASE, "ck_live")
+    # named so the finished-crawl oracle glob (ck*/final/...) can't match
+    # this fixture's own final/ dir
+    return os.path.join(DEMO_BASE, "live_ck")
 
 
 def ensure_demo_crawls() -> list[str]:

@@ -83,6 +83,10 @@ NODES_SCHEMA = pa.schema(
         ("domain", pa.string()),
         ("request_time_ms", pa.float64()),
         ("round", pa.int32()),
+        # ROOT-only (docs/neo4j-graph-model.md:13-23): crawl submission
+        # time, ISO-8601 UTC; null on URL rows exactly as the reference
+        # puts created_at only on ROOT
+        ("created_at", pa.string()),
     ]
 )
 

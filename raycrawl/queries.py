@@ -105,13 +105,38 @@ def _roots(nodes_ds):
     )
 
 
-def crawl_progress(nodes_ds, crawl_id: str) -> pa.Table:
-    """A1+A2: GET /crawls/:id (crawl_service.rs:68-134)."""
+def require_crawl(nodes_ds, crawl_id: str) -> None:
+    """L3 existence probe: the reference's ``MATCH (r:ROOT {crawl_id}) …
+    LIMIT 1`` check (graph_service.rs:15-21); unknown ids surface as 404
+    (raycrawl.errors.CrawlNotFound) instead of silently-empty results.
+    A LIMIT-1 ``filter`` — the streaming executor stops the scan at the
+    first matching block."""
+    from raycrawl.errors import CrawlNotFound
+
+    def probe(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(pc.equal(t["node_type"], "ROOT"),
+                    pc.equal(t["crawl_id"], crawl_id))
+        ).select(["node_id"])
+
+    hits = nodes_ds.map_batches(probe, batch_format="pyarrow").limit(1).count()
+    if hits == 0:
+        raise CrawlNotFound(crawl_id)
+
+
+def crawl_progress(nodes_ds, crawl_id: str, strict: bool = False) -> pa.Table:
+    """A1+A2: GET /crawls/:id (crawl_service.rs:68-134). ``strict`` turns
+    an unknown crawl_id into CrawlNotFound/404 (the manager's behavior)
+    instead of an empty table."""
     counts = status_count_table(nodes_ds).to_pandas()
     counts = counts[counts["crawl_id"] == crawl_id]
     roots = _roots(nodes_ds)
     roots = roots[roots["crawl_id"] == crawl_id]
     if len(roots) == 0:
+        if strict:
+            from raycrawl.errors import CrawlNotFound
+
+            raise CrawlNotFound(crawl_id)
         return _progress_schema().empty_table()
     root = roots.iloc[0]
     if len(counts) == 0:
@@ -195,10 +220,13 @@ def list_crawls(nodes_ds, status_filter: str | None = None, limit: int = 20,
     return pa.Table.from_pylist(rows, schema=schema)
 
 
-def crawl_stats(nodes_ds, crawl_id: str) -> pa.Table:
+def crawl_stats(nodes_ds, crawl_id: str, strict: bool = False) -> pa.Table:
     """A4: GET /crawls/:id/stats (crawl_service.rs:238-286): totals,
     count(DISTINCT domain), max(current_depth), status counts."""
     from ray.data.aggregate import Count, Max
+
+    if strict:
+        require_crawl(nodes_ds, crawl_id)
 
     urls = nodes_ds.map_batches(
         lambda t: t.filter(
@@ -241,9 +269,12 @@ def crawl_stats(nodes_ds, crawl_id: str) -> pa.Table:
     )
 
 
-def graph_export_nodes(nodes_ds, crawl_id: str):
+def graph_export_nodes(nodes_ds, crawl_id: str, strict: bool = False):
     """S5: GET /crawls/:id/graph — node projection (graph_service.rs:8-110):
     id = http_type+name, label = name, ROOT status literal 'root'."""
+    if strict:
+        require_crawl(nodes_ds, crawl_id)
+
     def project(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["crawl_id"], crawl_id))
         is_root = pc.equal(t["node_type"], "ROOT")

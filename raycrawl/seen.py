@@ -343,6 +343,9 @@ class SeenShardImpl:
                         cols[f.name] = pa.array([0] * new_count, f.type)
                     elif f.name == "round":
                         cols[f.name] = pa.array([self._round_no] * new_count, f.type)
+                    elif f.name == "created_at":
+                        # ROOT-only property (neo4j-graph-model.md:13-23)
+                        cols[f.name] = pa.nulls(new_count, f.type)
                     else:
                         cols[f.name] = pa.array([r[pidx[f.name]] for r in rows], f.type)
                 pq.write_table(

@@ -145,3 +145,17 @@ def test_partitioned_corpus_crawl_oracle_equal(tiny_corpus, tmp_path):
                cfg=cfg)
     o = oracle_crawl(tiny_corpus, s["url"], int(s["depth"]), crawl_id="t")
     _compare(res, o)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_finalize_distributed_update_path(tiny_corpus, tmp_path, monkeypatch):
+    """Force the >gate encoded-Max groupby path of compacted_nodes and
+    assert it produces the same final tables as the driver-side keep-last
+    (i.e. still oracle-equal)."""
+    from raycrawl import crawl as crawl_mod
+
+    monkeypatch.setattr(crawl_mod, "UPDATE_DRIVER_GATE", 0)
+    s = _seeds(tiny_corpus)[0]
+    res = _run(tiny_corpus, s["url"], int(s["depth"]), str(tmp_path / "ckd"))
+    o = oracle_crawl(tiny_corpus, s["url"], int(s["depth"]), crawl_id="t")
+    _compare(res, o)

@@ -129,3 +129,22 @@ def test_ngram_jaccard_distributed_matches_bruteforce():
     got_m = {(r.a, r.b): r.jaccard for r in got.itertuples()}
     exact_m = {(r.a, r.b): r.jaccard for r in exact.itertuples()}
     assert got_m == exact_m
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_lsh_neardup_subset_and_recall():
+    """LSH-bucketed near-dup pairs ⊆ exact pairs (same threshold), with
+    usable recall at 6 planes; cosines match the exact query's."""
+    from raycrawl.dedup import embedding_neardup_pairs, embedding_neardup_pairs_lsh
+
+    exact = embedding_neardup_pairs(SF, threshold=0.45).to_pandas()
+    lsh = embedding_neardup_pairs_lsh(SF, threshold=0.45).to_pandas()
+    epairs = {(a, b): c for a, b, c in
+              zip(exact["a"], exact["b"], exact["cosine"])}
+    lpairs = {(a, b): c for a, b, c in zip(lsh["a"], lsh["b"], lsh["cosine"])}
+    assert set(lpairs) <= set(epairs)
+    for k, v in lpairs.items():
+        assert abs(v - epairs[k]) < 1e-9
+    if len(epairs):
+        # near-dup pairs have high cosine, so most collide in some bucket
+        assert len(lpairs) / len(epairs) >= 0.3
