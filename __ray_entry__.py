@@ -51,7 +51,7 @@ def entry() -> Any:
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from raycrawl import ann, dedup, multimodal, relational, textops
+    from raycrawl import ann, dedup, multimodal, relational, sessions, textops
 
     def _demo_nodes():
         _ensure_demo()
@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "top_users_by_value": relational.top_users_by_value,
         "parts_by_brand": relational.parts_by_brand,
+        # --- windowed / temporal custom operators over events ---
+        "user_sessions": sessions.user_sessions,
+        "purchase_asof_click": sessions.purchase_asof_click,
         # --- text analysis over documents ---
         "token_stats_by_lang": textops.token_stats_by_lang,
         "lang_source_distribution": textops.lang_source_distribution,
@@ -180,7 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    from raycrawl import ann, dedup, multimodal, relational, textops
+    from raycrawl import ann, dedup, multimodal, relational, sessions, textops
     from raycrawl.demo import edges_glob, nodes_glob
 
     _ensure_demo()
@@ -358,6 +361,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.events_hourly_sql(),
         "top_users_by_value": relational.top_users_sql(),
         "parts_by_brand": relational.parts_by_brand_sql(),
+        "user_sessions": sessions.user_sessions_sql(),
+        "purchase_asof_click": sessions.purchase_asof_click_sql(),
         "token_stats_by_lang": textops.token_stats_by_lang_sql(),
         "lang_source_distribution": textops.lang_source_distribution_sql(),
         "quality_scores": textops.quality_scores_sql(),

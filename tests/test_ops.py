@@ -148,3 +148,52 @@ def test_embedding_lsh_neardup_subset_and_recall():
     if len(epairs):
         # near-dup pairs have high cosine, so most collide in some bucket
         assert len(lpairs) / len(epairs) >= 0.3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_user_sessions_invariants():
+    """Sessionization: events partition exactly into sessions; every
+    intra-session gap ≤ 30 min; session break gaps > 30 min."""
+    import pyarrow.parquet as pq
+
+    from raycrawl.sessions import user_sessions
+
+    s = user_sessions(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    assert s["n_events"].sum() == len(ev)
+    per_user = ev.groupby("user_id").size()
+    assert (s.groupby("user_id")["n_events"].sum() == per_user).all()
+    assert (s["duration_us"] >= 0).all()
+    assert (s["end_us"] - s["start_us"] == s["duration_us"]).all()
+    # consecutive sessions of one user are separated by > 30 min
+    for uid, g in s.groupby("user_id"):
+        g = g.sort_values("session_id")
+        gaps = g["start_us"].to_numpy()[1:] - g["end_us"].to_numpy()[:-1]
+        assert (gaps > 30 * 60_000_000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_purchase_asof_click_semantics():
+    """As-of join: matched click is the max click ts ≤ purchase ts of the
+    same user (checked against a brute-force pandas recomputation)."""
+    import pyarrow.parquet as pq
+
+    from raycrawl.sessions import purchase_asof_click
+
+    got = purchase_asof_click(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    purchases = ev[ev["event_type"] == "purchase"]
+    clicks = ev[ev["event_type"] == "click"]
+    assert len(got) == len(purchases)
+    by_user = {u: g.sort_values("us") for u, g in clicks.groupby("user_id")}
+    for row in got.sample(min(len(got), 200), random_state=0).itertuples():
+        cand = by_user.get(row.user_id)
+        cand = cand[cand["us"] <= row.purchase_us] if cand is not None else None
+        if cand is None or len(cand) == 0:
+            assert row.click_event_id != row.click_event_id  # NaN
+        else:
+            assert row.click_us == cand["us"].max()
