@@ -200,6 +200,113 @@ _NO_ENRICH = dict(n_tokens=None, quality=None, simhash=None,
                   fingerprint=None, minhash0=None, lang_pred=None)
 
 
+def enrich_pages(htmls: list) -> list:
+    """Batched ``enrich_page``: identical outputs (asserted by pytest), one
+    order of magnitude fewer hash calls. ALL pages' token windows hash in
+    ONE ``hash128`` call; simhash/rolling-fingerprint/minhash-lane arrays
+    are computed globally and reduced per page with C-level slice ops —
+    the per-page Python that remains is tag-strip/split/regex (the
+    irreducible parse) and the tiny quality/langid scalars.
+
+    ``htmls[i] is None`` (failed fetch / enrich off) → ``None`` out.
+    """
+    from raycrawl.dedup import _MERSENNE, _PERM_A, _PERM_B
+    from raycrawl.kernels import hash128
+    from raycrawl.textops import _LANG_HINTS, STOPWORDS, WORD_RE
+
+    n = len(htmls)
+    out: list = [None] * n
+    idxs = [i for i in range(n) if htmls[i] is not None]
+    if not idxs:
+        return out
+
+    texts = [_TAG_RE.sub("", htmls[i]) for i in idxs]
+    token_lists = [t.split() for t in texts]
+    windows = [t[:_MAX_TOKENS] for t in token_lists]
+    lens = np.array([len(w) for w in windows], dtype=np.int64)
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+
+    flat = [tok for w in windows for tok in w]
+    if flat:
+        th_all, _ = hash128(flat)
+    else:
+        th_all = np.empty(0, dtype=np.uint64)
+    T = len(th_all)
+
+    # simhash: per-token bit matrix → one segmented reduce (reduceat over
+    # the nonempty pages' start offsets; empty pages contribute no tokens,
+    # so consecutive nonempty segments are adjacent in the flat array).
+    # acc = 2*ones_count - len, computed per page below.
+    nz = np.flatnonzero(lens)
+    if T:
+        bits16 = np.unpackbits(
+            th_all.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int16)
+        ones_cnt = np.add.reduceat(bits16, starts[nz], axis=0)  # (n_nz, 64)
+        nz_pos = {int(p): j for j, p in enumerate(nz)}
+    # rolling k-gram fingerprint array (global; a slice [start, start+len-K]
+    # stays inside its page by construction)
+    K = _FP_K
+    if T >= K:
+        with np.errstate(over="ignore"):
+            roll = th_all[: T - K + 1].copy()
+            for j in range(1, K):
+                roll = roll * _FP_MULT ^ th_all[j : T - K + 1 + j]
+    else:
+        roll = np.empty(0, dtype=np.uint64)
+    # minhash lane: 3-gram shingles → perm-0 values (min unaffected by the
+    # de-dup the signature path does)
+    if T >= 3:
+        with np.errstate(over="ignore"):
+            sh3 = (th_all[:-2] * _FP_MULT
+                   ^ th_all[1:-1] * np.uint64(1099511628211) ^ th_all[2:])
+            p0 = (sh3 * _PERM_A[0] + _PERM_B[0]) % _MERSENNE
+    else:
+        p0 = np.empty(0, dtype=np.uint64)
+
+    for j, i in enumerate(idxs):
+        text = texts[j]
+        n_tok = len(token_lists[j])
+        ln = int(lens[j])
+        s = int(starts[j])
+
+        wtext = " ".join(windows[j])
+        words = WORD_RE.findall(wtext.lower())
+        nw = len(words)
+        stop_ratio = sum(w in STOPWORDS for w in words) / nw if nw else 0.0
+        mean_wl = sum(map(len, words)) / nw if nw else 0.0
+        quality = (0.5 * min(stop_ratio / 0.4, 1.0)
+                   + 0.5 * min(mean_wl / 8.0, 1.0))
+
+        if ln:
+            acc = 2 * ones_cnt[nz_pos[j]].astype(np.int32) - ln
+            sim_bits = np.packbits((acc > 0).astype(np.uint8),
+                                   bitorder="little")
+            simhash = int(np.frombuffer(sim_bits.tobytes(),
+                                        dtype=np.uint64)[0])
+            seg_min = int(th_all[s : s + ln].min())
+            fingerprint = (int(roll[s : s + ln - K + 1].min())
+                           if ln >= K else seg_min)
+            minhash0 = (int(p0[s : s + ln - 2].min())
+                        if ln >= 3 else seg_min)
+        else:
+            simhash, fingerprint, minhash0 = 0, 0, 0
+
+        low = text[:_LANGID_CHARS].lower()
+        best, best_score = "en", -1.0
+        for lang, grams in _LANG_HINTS.items():
+            if not grams:
+                continue
+            score = sum(low.count(g) for g in grams) / (len(low) + 1)
+            if score > best_score:
+                best, best_score = lang, score
+        out[i] = dict(n_tokens=n_tok, quality=quality, simhash=simhash,
+                      fingerprint=fingerprint, minhash0=minhash0,
+                      lang_pred=best)
+    return out
+
+
 def fetch_expand_batch(
     batch: pa.Table,
     *,
@@ -265,9 +372,7 @@ def fetch_expand_batch(
             want_html=enrich,
         )
     if enrich:
-        for i in range(n):
-            if fetched[i][4] is not None:
-                pages[i] = enrich_page(fetched[i][4])
+        pages = enrich_pages([f[4] for f in fetched])
 
     # J1 for the whole batch in one vectorized membership query
     flat: list[str] = []

@@ -146,3 +146,24 @@ def test_normalize_arrow_matches_scalar(urls):
     names, protos = normalize_urls_arrow(pa.array(urls, pa.string()))
     expected = [normalize_url(u) for u in urls]
     assert list(zip(names.to_pylist(), protos.to_pylist())) == expected
+
+
+def test_enrich_pages_equals_enrich_page():
+    """The batched featurizer is value-identical to the per-page one."""
+    from raycrawl.frontier import enrich_page, enrich_pages
+
+    htmls = [
+        "<html><body>The quick brown fox jumps over the lazy dog. " * 40
+        + "</body></html>",
+        "<p>short</p>",
+        None,
+        "<div>" + " ".join(f"tok{i} the and of" for i in range(200)) + "</div>",
+        "",                      # empty page → zero features
+        "<b>uno dos tres el la de que y en un ser se no haber por</b>",
+    ]
+    got = enrich_pages(htmls)
+    for h, g in zip(htmls, got):
+        if h is None:
+            assert g is None
+        else:
+            assert g == enrich_page(h), h[:60]
