@@ -39,12 +39,17 @@ def _run_headline(num_cpus: int, tag: str) -> dict:
     seed = pq.read_table(os.path.join(corpus, "seeds.parquet")).to_pylist()[0]
     corpus_table = build_fetch_corpus(corpus)  # untimed driver-side load
 
+    partitioned = os.environ.get("RAYCRAWL_BENCH_PARTITIONED") == "1"
     cfg = CrawlConfig(
         enrich=True,
         # shards scale with cluster size, as a real N-node deployment would
         num_seen_shards=max(8, num_cpus // 2),
         seen_backend="sortedruns",
         fetch_batch_size=1024,
+        # 100 TB corpus layout (no broadcast; per-worker partition LRU)
+        corpus_partitioned=partitioned,
+        corpus_partitions=64,
+        corpus_cache_parts=16,
     )
     ck = f"/tmp/raycrawl_bench/ck_{tag}_{num_cpus}"
     shutil.rmtree(ck, ignore_errors=True)

@@ -275,9 +275,12 @@ def _warm_workers(corpus_ref) -> None:
     ncpu = int(ray.cluster_resources().get("CPU", 8))
 
     def warm(batch):
-        from raycrawl.fetch import get_corpus_index
+        from raycrawl.fetch import PartitionedCorpus, get_corpus_index
 
-        get_corpus_index(corpus_ref)
+        if isinstance(corpus_ref, PartitionedCorpus):
+            corpus_ref.slot(0)  # imports + one partition into the LRU
+        else:
+            get_corpus_index(corpus_ref)
         return batch
 
     rd.range(ncpu * 8, override_num_blocks=ncpu * 8).map_batches(
