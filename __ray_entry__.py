@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (stubbed codec) ---
         "media_features": multimodal.media_features,       # rows-only (RNG body stats)
         "media_summary": multimodal.media_summary,
+        "video_sample_summary": multimodal.video_sample_summary,
+        "audio_window_summary": multimodal.audio_window_summary,
         # --- similarity search over embeddings ---
         "embedding_topk": ann.brute_force_topk,
         "embedding_similar_threshold": ann.similar_above_threshold,
@@ -373,6 +375,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
         "simhash_neardup_pairs": dedup.simhash_neardup_sql(),
         "media_summary": multimodal.media_summary_sql(),
+        "video_sample_summary": multimodal.video_sample_summary_sql(),
+        "audio_window_summary": multimodal.audio_window_summary_sql(),
         "embedding_topk": ann.brute_force_topk_sql(),
         "embedding_similar_threshold": ann.similar_above_threshold_sql(),
         "embedding_neardup_pairs": dedup.embedding_neardup_sql(),
