@@ -105,11 +105,11 @@ _DNS_CACHE: dict[tuple[str, int], tuple[str, str] | None] = {}
 
 
 def _dns(name: str, max_depth: int):
-    from raycrawl import dns_synth
-
     k = (name, max_depth)
     v = _DNS_CACHE.get(k, "?")
     if v == "?":
+        from raycrawl import dns_synth
+
         v = dns_synth.get_network_stats(name, max_depth)
         _DNS_CACHE[k] = v
     return v
@@ -384,14 +384,86 @@ def fetch_expand_batch(
     else:
         seen_mask = np.empty(0, dtype=bool)
 
-    # columnar assembly: parent rows + child rows built as per-column lists
+    # ---- children, fully vectorized (the per-CHILD volume is branching ×
+    # the per-PARENT volume, so no Python work may scale with it) ----
+    # normalize + per-parent dedup + DNS-drop of the unseen candidates;
+    # parent statuses then need only the per-parent counts.
+    import pyarrow.compute as pc_
+
+    counts = np.array([len(f[3]) for f in fetched], dtype=np.int64)
+    parent_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    unseen_idx = (np.flatnonzero(~seen_mask) if len(seen_mask)
+                  else np.empty(0, dtype=np.int64))
+    n_new = (np.bincount(parent_of[unseen_idx], minlength=n)
+             if len(unseen_idx) else np.zeros(n, dtype=np.int64))
+
+    child_tbl = None
+    n_children = np.zeros(n, dtype=np.int64)
+    if len(unseen_idx):
+        from raycrawl.kernels import normalize_urls_arrow
+
+        flat_arr = pa.array(flat, pa.string())
+        cand_arr = flat_arr.take(pa.array(unseen_idx))
+        parent_sub = parent_of[unseen_idx]
+        cnames, cprotos = normalize_urls_arrow(cand_arr)
+        node_ids_c = pc_.binary_join_element_wise(cprotos, cnames, "")
+        chi, clo = hash128(node_ids_c)
+        # per-parent normalized dedup (set semantics): group-first over
+        # (parent, key128)
+        gorder = np.lexsort((clo, chi, parent_sub))
+        spar, shi2, slo2 = parent_sub[gorder], chi[gorder], clo[gorder]
+        gfirst = np.ones(len(gorder), dtype=bool)
+        gfirst[1:] = ((spar[1:] != spar[:-1]) | (shi2[1:] != shi2[:-1])
+                      | (slo2[1:] != slo2[:-1]))
+        didx = gorder[gfirst]
+        dpar = parent_sub[didx]
+        # DNS per deduped candidate (per-worker cache; dropped on failure,
+        # job.rs:325-329)
+        dnames = cnames.take(pa.array(didx)).to_pylist()
+        ip_list: list = []
+        dom_list: list = []
+        keep = np.ones(len(didx), dtype=bool)
+        for j, nm in enumerate(dnames):
+            st = _dns(nm, max_dns_depth)
+            if st is None:
+                keep[j] = False
+            else:
+                dom_list.append(st[0])
+                ip_list.append(st[1])
+        kmask = keep
+        kidx = didx[kmask]
+        kpar = dpar[kmask]
+        n_children = np.bincount(kpar, minlength=n)
+        if len(kidx):
+            sel = pa.array(kidx)
+            cpidx = pa.array(kpar)
+            pids_arr = pc_.binary_join_element_wise(
+                batch["http_type"].combine_chunks(),
+                batch["name"].combine_chunks(), ""
+            )
+            elapsed_np = np.array([f[1] for f in fetched], dtype=np.float64)
+            child_tbl = pa.table(
+                {
+                    "crawl_id": batch["crawl_id"].combine_chunks().take(cpidx),
+                    "name": cnames.take(sel),
+                    "http_type": cprotos.take(sel),
+                    "node_id": node_ids_c.take(sel),
+                    "depth": pc_.add(
+                        batch["depth"].combine_chunks().take(cpidx),
+                        pa.scalar(1, pa.int32()),
+                    ).cast(pa.int32()),
+                    "requested_depth":
+                        batch["requested_depth"].combine_chunks().take(cpidx),
+                    "ip": pa.array(ip_list, pa.string()),
+                    "domain": pa.array(dom_list, pa.string()),
+                    "request_time_ms": pa.array(elapsed_np[kpar], pa.float64()),
+                    "parent_id": pids_arr.take(cpidx),
+                }
+            )
+
+    # ---- parent lifecycle rows (one per frontier row — Python loop is
+    # bounded by the frontier, not the branching) ----
     P: dict[str, list] = {f.name: [] for f in ROUND_OUT_SCHEMA}
-    C: dict[str, list] = {
-        k: []
-        for k in ("crawl_id", "name", "http_type", "node_id", "depth",
-                   "requested_depth", "ip", "domain", "request_time_ms",
-                   "parent_id")
-    }
 
     def parent_row(i, pid, status_code, elapsed, pstat, att, feats):
         P["row_type"].append("parent")
@@ -416,11 +488,10 @@ def fetch_expand_batch(
         P["minhash0"].append(feats["minhash0"])
         P["lang_pred"].append(feats["lang_pred"])
 
-    pos = 0
     for i in range(n):
         name, proto = names[i], protos[i]
         pid = proto + name
-        status, elapsed, _n_ext, cands = fetched[i][:4]
+        status, elapsed = fetched[i][0], fetched[i][1]
         attempt = int(attempts[i] or 0) + 1
         feats = pages[i] or _NO_ENRICH
         if status != sim.STATUS_OK:
@@ -434,58 +505,17 @@ def fetch_expand_batch(
                 pstat, att = "PENDING", attempt         # re-enqueue, job.rs:117-121
             parent_row(i, pid, status, elapsed, pstat, att, feats)
             continue
-
-        k = len(cands)
-        mask = seen_mask[pos : pos + k]
-        pos += k
-        new_urls = [c for c, s in zip(cands, mask) if not s]
         # success does NOT bump attempts (validate_job increments only on
         # error; COMPLETED stores the old counter — job.rs:104-121)
         att = attempt - 1
-        if not new_urls:
-            parent_row(i, pid, status, elapsed, "COMPLETED", att, feats)
-            continue
-        normalized = {normalize_url(u) for u in new_urls}
-        children = []
-        for cname, cproto in sorted(normalized):
-            st = _dns(cname, max_dns_depth)
-            if st is None:
-                continue
-            children.append((cname, cproto, st[1], st[0]))
-        if not children:
+        if n_new[i] > 0 and n_children[i] == 0:
+            # every new link was DNS-dropped → FAILED (job.rs:325-343)
             parent_row(i, pid, status, elapsed, "FAILED", att, feats)
-            continue
-        parent_row(i, pid, status, elapsed, "COMPLETED", att, feats)
-        for cname, cproto, ip, dom in children:
-            C["crawl_id"].append(crawl_ids[i])
-            C["name"].append(cname)
-            C["http_type"].append(cproto)
-            C["node_id"].append(cproto + cname)
-            C["depth"].append(depths[i] + 1)
-            C["requested_depth"].append(reqd[i])
-            C["ip"].append(ip)
-            C["domain"].append(dom)
-            C["request_time_ms"].append(elapsed)
-            C["parent_id"].append(pid)
+        else:
+            parent_row(i, pid, status, elapsed, "COMPLETED", att, feats)
 
     offer_refs = []
-    child_tbl = None
-    nc = len(C["node_id"])
-    if nc:
-        child_tbl = pa.table(
-            {
-                "crawl_id": pa.array(C["crawl_id"], pa.string()),
-                "name": pa.array(C["name"], pa.string()),
-                "http_type": pa.array(C["http_type"], pa.string()),
-                "node_id": pa.array(C["node_id"], pa.string()),
-                "depth": pa.array(C["depth"], pa.int32()),
-                "requested_depth": pa.array(C["requested_depth"], pa.int32()),
-                "ip": pa.array(C["ip"], pa.string()),
-                "domain": pa.array(C["domain"], pa.string()),
-                "request_time_ms": pa.array(C["request_time_ms"], pa.float64()),
-                "parent_id": pa.array(C["parent_id"], pa.string()),
-            }
-        )
+    if child_tbl is not None:
         ohi, olo = hash128(child_tbl["node_id"])
         phash, _ = hash128(child_tbl["parent_id"])
         child_tbl = child_tbl.append_column("phash", pa.array(phash, pa.uint64()))
