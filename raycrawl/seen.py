@@ -277,19 +277,28 @@ class SeenShardImpl:
         first[1:] = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
         w_idx = order[first]
 
-        wt = table.take(pa.array(w_idx, pa.int64()))
-        wcols = [wt[name].to_pylist() for name in self._PAYLOAD_COLS]
         whi = khi[w_idx].tolist()
         wlo = klo[w_idx].tolist()
         wdepth = depth_np[w_idx].tolist()
         wphash = phash[w_idx].tolist()
         W = self._winners
-        for j in range(len(w_idx)):
-            key = (whi[j], wlo[j])
-            rank = (wdepth[j], wphash[j])
-            cur = W.get(key)
-            if cur is None or rank < cur[0]:
-                W[key] = (rank, tuple(c[j] for c in wcols))
+        # pass 1 — rank-compare only (dict gets, no payload work): find the
+        # rows that actually improve the dict. In steady state most offered
+        # keys are already known or worse, so the expensive Arrow→Python
+        # payload extraction below touches ~new-winner rows, not offer
+        # volume.
+        improving = [
+            j for j in range(len(w_idx))
+            if (cur := W.get((whi[j], wlo[j]))) is None
+            or (wdepth[j], wphash[j]) < cur[0]
+        ]
+        if improving:
+            wt = table.take(pa.array(w_idx[np.asarray(improving)], pa.int64()))
+            wcols = [wt[name].to_pylist() for name in self._PAYLOAD_COLS]
+            for jj, j in enumerate(improving):
+                W[(whi[j], wlo[j])] = (
+                    (wdepth[j], wphash[j]), tuple(c[jj] for c in wcols)
+                )
         return len(W)
 
     def commit_round(self) -> dict:
