@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": ann.brute_force_topk,
         "embedding_similar_threshold": ann.similar_above_threshold,
         "embedding_lsh_topk": ann.lsh_topk,                # rows-only (approx)
+        "embedding_ivf_topk": ann.ivf_topk,                # rows-only (approx)
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         "embedding_neardup_pairs_lsh": dedup.embedding_neardup_pairs_lsh,
     }
@@ -383,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs_lsh": dedup.embedding_neardup_lsh_sql(),
         # rows-only (non-SQL-expressible by nature): media_features
         # (channel stats over RNG-seeded payload bodies) and
-        # embedding_lsh_topk (approximate — recall measured in pytest
-        # against the oracled brute-force baseline instead)
+        # embedding_lsh_topk / embedding_ivf_topk (approximate — recall and
+        # full-probe exactness measured in pytest against the oracled
+        # brute-force baseline instead)
     }

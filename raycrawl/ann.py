@@ -261,3 +261,143 @@ def lsh_topk(sf_dir: str, query_id: int = 0, k: int = 20,
             "cos": pa.array(np.round(out["cos"].to_numpy(), 6), pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def _kmeans_centroids(sample: np.ndarray, n_centroids: int,
+                      iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd) on a normalized sample.
+    Seeded init; empty cells keep their previous centroid. The sample is
+    small by construction (train-on-sample, FAISS-style) so this is a
+    driver-side O(sample × n_centroids) loop, independent of corpus size."""
+    rng = np.random.default_rng(0x1FF5EED)
+    n = len(sample)
+    k = min(n_centroids, n)
+    init = rng.choice(n, size=k, replace=False)
+    C = sample[init].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                v = sample[m].mean(axis=0)
+            else:
+                v = C[j]
+            C[j] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ensure_ivf_index(sf_dir: str, n_centroids: int = 16,
+                     sample_cap: int = 20_000,
+                     out_root: str = "/tmp/raycrawl_ivf"):
+    """Build (once, cached) the persisted IVF index: train centroids on a
+    deterministic sample (vec_id stride — no shuffle, no full
+    materialization), then one streaming assign pass writing the corpus as
+    hive-partitioned Parquet, one ``cell=N/`` directory per centroid.
+    Queries read only their ``nprobe`` nearest cells — pruning at the file
+    listing, like ensure_lsh_index. Returns (index_dir, centroids)."""
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(out_root, f"{tag}_c{n_centroids}")
+    cfile = os.path.join(out, "centroids.npy")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out, np.load(cfile)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    total = pq_.ParquetFile(path).metadata.num_rows
+    stride = max(1, total // sample_cap)
+
+    def pick_sample(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        return t.take(pa.array(np.flatnonzero(ids % stride == 0)))
+
+    sample_tbl = (
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(pick_sample, batch_format="pyarrow")
+        .to_pandas()  # bounded: ≤ sample_cap rows by stride construction
+    )
+    sample = _normalize(np.stack(sample_tbl["embedding"].to_numpy()).astype(np.float64))
+    C = _kmeans_centroids(sample, n_centroids)
+    np.save(cfile, C)
+
+    def assign_cell(t: pa.Table) -> pa.Table:
+        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        cell = np.argmax(m @ C.T, axis=1).astype(np.int64)
+        return t.append_column("cell", pa.array(cell, pa.int64()))
+
+    (
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(assign_cell, batch_format="pyarrow")
+        .write_parquet(out, partition_cols=["cell"])
+    )
+    with open(os.path.join(out, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return out, C
+
+
+def ivf_topk(sf_dir: str, query_id: int = 0, k: int = 20,
+             nprobe: int = 4, n_centroids: int = 16) -> pa.Table:
+    """Approximate cosine top-k over the persisted IVF index: rank centroids
+    vs the query, read ONLY the ``nprobe`` nearest cell directories,
+    exact-rank within (per-batch partial top-k, driver merge of ≤
+    nprobe × k rows). ``nprobe == n_centroids`` degenerates to the exact
+    scan — pytest pins that equality against brute_force_topk; recall at
+    partial probes is measured separately."""
+    import ray.data as rd
+
+    q = query_vector(sf_dir, query_id)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    idx, C = ensure_ivf_index(sf_dir, n_centroids=n_centroids)
+    cells = np.argsort(-(C @ qn))[:nprobe]
+
+    cell_files = []
+    for c in sorted(int(c) for c in cells):
+        d = os.path.join(idx, f"cell={c}")
+        if os.path.isdir(d):
+            cell_files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+    if not cell_files:
+        return empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        mask = ids != query_id
+        if not mask.any():
+            return empty
+        cos = m[mask] @ qn
+        ids = ids[mask]
+        if len(ids) > k:
+            order = np.lexsort((ids, -cos))[:k]
+            ids, cos = ids[order], cos[order]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cos": pa.array(cos, pa.float64())})
+
+    parts = (
+        rd.read_parquet(cell_files, columns=["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return empty
+    order = np.lexsort((parts["vec_id"].to_numpy(), -parts["cos"].to_numpy()))[:k]
+    sel = parts.iloc[order]
+    return pa.table(
+        {
+            "vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
+            "cos": pa.array(np.round(sel["cos"].to_numpy(), 6), pa.float64()),
+        }
+    )

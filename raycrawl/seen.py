@@ -189,6 +189,12 @@ class SeenShardImpl:
         # winner tracking: (khi, klo) -> (depth, phash, row dict). Bounded
         # by the shard's NEW-node count, not by offer volume.
         self._winners: dict = {}
+        # replay guard: content keys of offers already applied this round.
+        # offer() is called from inside retryable map_batches tasks — on a
+        # task retry the replayed offers must not re-append edge rows (the
+        # edge buffer is append-only; _finalize assumes non-seed edges are
+        # globally distinct). One small tuple per offer slice per round.
+        self._offer_keys: set = set()
 
     def contains(self, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
         """Membership against the committed (round-start) snapshot only."""
@@ -212,6 +218,7 @@ class SeenShardImpl:
         self._edge_buf, self._edge_buf_rows, self._edge_count = [], 0, 0
         self._seed_rows = []
         self._winners = {}
+        self._offer_keys = set()
 
     def _flush_edges(self, force: bool = False) -> None:
         import pyarrow as pa
@@ -243,6 +250,25 @@ class SeenShardImpl:
         n = table.num_rows
         if n == 0:
             return 0
+        # --- replay guard (task-retry idempotency) ---
+        # A frontier row belongs to exactly one map_batches task per round,
+        # so an offer slice's (khi, klo, phash, depth) multiset is unique
+        # within the round; an identical key can only be a Ray task retry
+        # replaying a slice that already landed. Fold the deterministic key
+        # columns into an order-independent 192-bit content key and drop
+        # exact replays before any state is touched.
+        khi = table["khi"].to_numpy(zero_copy_only=False)
+        klo = table["klo"].to_numpy(zero_copy_only=False)
+        depth_np = table["depth"].to_numpy(zero_copy_only=False).astype(np.int64)
+        phash = table["phash"].to_numpy(zero_copy_only=False)
+        mix = khi * np.uint64(0x9E3779B97F4A7C15)
+        mix ^= klo * np.uint64(0xC2B2AE3D27D4EB4F)
+        mix ^= phash * np.uint64(0x165667B19E3779F9)
+        mix ^= depth_np.astype(np.uint64) * np.uint64(0x27D4EB2F165667C5)
+        okey = (n, int(np.bitwise_xor.reduce(mix)), int(mix.sum(dtype=np.uint64)))
+        if okey in self._offer_keys:
+            return len(self._winners)
+        self._offer_keys.add(okey)
         # --- edges ---
         edges = pa.table(
             {
@@ -267,10 +293,6 @@ class SeenShardImpl:
         # phash) + group-first gives this OFFER's winner per key in C speed;
         # only those rows (≈ distinct keys, not offer volume) are extracted
         # to Python and merged against the dict ---
-        khi = table["khi"].to_numpy(zero_copy_only=False)
-        klo = table["klo"].to_numpy(zero_copy_only=False)
-        depth_np = table["depth"].to_numpy(zero_copy_only=False).astype(np.int64)
-        phash = table["phash"].to_numpy(zero_copy_only=False)
         order = np.lexsort((phash, depth_np, klo, khi))
         shi, slo = khi[order], klo[order]
         first = np.ones(n, dtype=bool)

@@ -197,3 +197,26 @@ def test_purchase_asof_click_semantics():
             assert row.click_event_id != row.click_event_id  # NaN
         else:
             assert row.click_us == cand["us"].max()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_full_probe_equals_bruteforce_and_partial_recall():
+    """IVF with nprobe == n_centroids is an exact scan with a different
+    plan — identical to brute force; nprobe=4/16 must still keep useful
+    recall (the query's own cell holds its best neighbors)."""
+    from raycrawl.ann import brute_force_topk, ivf_topk
+
+    bf = brute_force_topk(SF, k=20).to_pandas()
+    full = ivf_topk(SF, k=20, nprobe=16, n_centroids=16).to_pandas()
+    assert full["vec_id"].tolist() == bf["vec_id"].tolist()
+    assert np.allclose(full["cos"].to_numpy(), bf["cos"].to_numpy())
+
+    approx = ivf_topk(SF, k=20, nprobe=4, n_centroids=16).to_pandas()
+    assert len(approx) == 20
+    recall = len(set(approx["vec_id"]) & set(bf["vec_id"])) / 20
+    assert recall >= 0.5
+    # approximate results are true cosines of real rows (sound)
+    bf_all = dict(zip(bf["vec_id"], bf["cos"]))
+    for v, c in zip(approx["vec_id"], approx["cos"]):
+        if v in bf_all:
+            assert abs(bf_all[v] - c) < 1e-9

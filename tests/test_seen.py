@@ -114,3 +114,42 @@ def test_shard_offer_commit_winner_and_snapshot(tmp_path):
     assert by_id["HTTPS://A.COM"]["status"] == "PENDING"
     # committed now
     assert shard.contains(qhi, qlo).all()
+
+
+def test_shard_offer_replay_is_dropped(tmp_path):
+    """Task-retry idempotency: re-offering the exact same slice (a Ray
+    map_batches retry replaying its side effects) must not duplicate edge
+    rows or change winners; a *different* slice of the same size must still
+    be applied."""
+    shard = SeenShardImpl(0, backend="set")
+    out_dir = tmp_path / "nodes"
+    out_dir.mkdir()
+    edge_dir = tmp_path / "edges"
+    edge_dir.mkdir()
+    shard.begin_round(str(out_dir), str(edge_dir), 1, "HTTPS://SEED")
+
+    t = _offer_table([
+        dict(name="A.COM", node_id="HTTPS://A.COM", depth=2, parent_id="P1"),
+        dict(name="B.COM", node_id="HTTPS://B.COM", depth=3, parent_id="P2"),
+    ])
+    shard.offer(t)
+    shard.offer(t)  # replay: dropped
+    # same row count, different content: applied
+    shard.offer(_offer_table([
+        dict(name="C.COM", node_id="HTTPS://C.COM", depth=2, parent_id="P1"),
+        dict(name="D.COM", node_id="HTTPS://D.COM", depth=3, parent_id="P2"),
+    ]))
+    stats = shard.commit_round()
+    assert stats["edges_written"] + len(stats["seed_rows"]) == 4
+    assert stats["new_nodes"] == 4
+
+    # replay guard resets per round: the same slice next round is fresh
+    shard.begin_round(str(out_dir), str(edge_dir), 2, "HTTPS://SEED")
+    t2 = _offer_table([
+        dict(name="E.COM", node_id="HTTPS://E.COM", depth=4, parent_id="P3"),
+    ])
+    shard.offer(t2)
+    shard.begin_round(str(out_dir), str(edge_dir), 3, "HTTPS://SEED")
+    shard.offer(t2)
+    stats = shard.commit_round()
+    assert stats["edges_written"] + len(stats["seed_rows"]) == 1
