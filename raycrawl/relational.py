@@ -184,11 +184,31 @@ def revenue_by_nation_sql() -> str:
     """
 
 
+def _topk_desc(ds, val_col: str, key_col: str, k: int) -> pd.DataFrame:
+    """Top-k by (val desc, key asc) WITHOUT a global sort: per-block partial
+    top-k inside map_batches (each block emits ≤ k rows), then a driver
+    merge of the tiny partials — the post-groupby Dataset never moves
+    through a second all-to-all sort shuffle."""
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows > k:
+            order = np.lexsort((t[key_col].to_numpy(),
+                                -t[val_col].to_numpy()))[:k]
+            t = t.take(pa.array(order))
+        return t
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((parts[key_col].to_numpy(),
+                        -parts[val_col].to_numpy()))[:k]
+    return parts.iloc[order].reset_index(drop=True)
+
+
 def top_customers_by_spend(sf_dir: str, k: int = 10) -> pa.Table:
-    """Real-cardinality groupby (Ray shuffle) + sort + top-k (L2 analogue).
+    """Real-cardinality groupby (Ray shuffle) + partial top-k (L2 analogue).
 
     Spend accumulates as int cents (exact, order-independent) so the sort
-    key and output are deterministic."""
+    key and output are deterministic; the top-k is per-block partials +
+    driver merge, not a global sort."""
     from ray.data.aggregate import Count, Sum
 
     def to_units(t: pa.Table) -> pa.Table:
@@ -205,10 +225,8 @@ def top_customers_by_spend(sf_dir: str, k: int = 10) -> pa.Table:
         .groupby("o_custkey")
         .aggregate(Sum("spend_i", alias_name="spend_i"),
                    Count(alias_name="n_orders"))
-        .sort(["spend_i", "o_custkey"], descending=[True, False])
-        .limit(k)
     )
-    df = agg.to_pandas()
+    df = _topk_desc(agg, "spend_i", "o_custkey", k)
     out = pd.DataFrame(
         {
             "o_custkey": df["o_custkey"],
@@ -322,7 +340,8 @@ def events_hourly_sql() -> str:
 
 
 def top_users_by_value(sf_dir: str, k: int = 25) -> pa.Table:
-    """Per-user rollup (real-cardinality Ray groupby shuffle) + top-k."""
+    """Per-user rollup (real-cardinality Ray groupby shuffle) + per-block
+    partial top-k merged on the driver (no global sort shuffle)."""
     from ray.data.aggregate import Count, Sum
 
     def to_units(t: pa.Table) -> pa.Table:
@@ -339,10 +358,8 @@ def top_users_by_value(sf_dir: str, k: int = 25) -> pa.Table:
         .groupby("user_id")
         .aggregate(Sum("val_i", alias_name="val_i"),
                    Count(alias_name="n_events"))
-        .sort(["val_i", "user_id"], descending=[True, False])
-        .limit(k)
     )
-    df = agg.to_pandas()
+    df = _topk_desc(agg, "val_i", "user_id", k)
     out = pd.DataFrame(
         {
             "user_id": df["user_id"],
