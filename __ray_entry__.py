@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "top_users_by_value": relational.top_users_by_value,
         "parts_by_brand": relational.parts_by_brand,
+        "top_events_per_user": relational.top_events_per_user,
+        "customers_without_urgent_orders": relational.customers_without_urgent_orders,
+        "documents_hash_sample": relational.documents_hash_sample,
         # --- windowed / temporal custom operators over events ---
         "user_sessions": sessions.user_sessions,
         "purchase_asof_click": sessions.purchase_asof_click,
@@ -364,6 +367,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.events_hourly_sql(),
         "top_users_by_value": relational.top_users_sql(),
         "parts_by_brand": relational.parts_by_brand_sql(),
+        "top_events_per_user": relational.top_events_per_user_sql(),
+        "customers_without_urgent_orders": relational.customers_without_urgent_orders_sql(),
+        "documents_hash_sample": relational.documents_hash_sample_sql(),
         "user_sessions": sessions.user_sessions_sql(),
         "purchase_asof_click": sessions.purchase_asof_click_sql(),
         "token_stats_by_lang": textops.token_stats_by_lang_sql(),

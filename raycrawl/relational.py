@@ -418,3 +418,147 @@ def parts_by_brand_sql() -> str:
            CAST(sum(CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price
     FROM part GROUP BY p_brand ORDER BY p_brand
     """
+
+
+def _events_group_topk(t: pa.Table, k: int) -> pa.Table:
+    """Vectorized per-group top-k of one table: lexsort by (user, -value,
+    event_id), rank-within-group via group-start subtraction, keep rank<k.
+    C-speed regardless of group count — no Python per-group loop."""
+    uid = t["user_id"].to_numpy()
+    val = t["value"].to_numpy()
+    eid = t["event_id"].to_numpy()
+    order = np.lexsort((eid, -val, uid))
+    u, v, e = uid[order], val[order], eid[order]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    lens = np.diff(np.r_[starts, len(u)])
+    rank = np.arange(len(u)) - np.repeat(starts, lens)
+    keep = rank < k
+    return pa.table(
+        {
+            "user_id": pa.array(u[keep], pa.int64()),
+            "rnk": pa.array(rank[keep] + 1, pa.int64()),
+            "event_id": pa.array(e[keep], pa.int64()),
+            "value": pa.array(v[keep], pa.float64()),
+        }
+    )
+
+
+def top_events_per_user(sf_dir: str, k: int = 3) -> pa.Table:
+    """Grouped top-k — the window-function analogue
+    (ROW_NUMBER() OVER (PARTITION BY user ORDER BY value DESC, event_id)).
+
+    Two-stage combiner plan: per-batch partial top-k per user inside
+    map_batches (each block shrinks to ≤ k rows per user — the shuffle
+    input is bounded by k × users, not event volume), then a hash-shuffled
+    ``groupby(user).map_groups`` finalizes ranks per user. ``value`` is
+    copied verbatim (no float arithmetic), so the driver's value hash is
+    deterministic. Tiebreak: value DESC, event_id ASC.
+    """
+    final = (
+        _t(sf_dir, "events", ["event_id", "user_id", "value"])
+        .map_batches(lambda t: _events_group_topk(t, k).drop_columns(["rnk"]),
+                     batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(lambda t: _events_group_topk(t, k),
+                    batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = final.sort_values(["user_id", "rnk"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def top_events_per_user_sql(k: int = 3) -> str:
+    return f"""
+    SELECT user_id, rnk, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events) WHERE rnk <= {k}
+    ORDER BY user_id, rnk
+    """
+
+
+def customers_without_urgent_orders(sf_dir: str) -> pa.Table:
+    """Anti-semi-join: customers with no '1-URGENT'-priority order.
+
+    Same broadcast anti-join shape as the crawl's seen-filter prefilter
+    (SURVEY §2.4 J1): the build side is DISTINCT custkeys of the filtered
+    fact table — bounded by customer cardinality, not order volume — built
+    with per-batch np.unique partials, unioned once on the driver, shipped
+    via a single ray.put; probe batches drop matches with a searchsorted
+    membership test. No shuffle on either side.
+    """
+    import ray
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], "1-URGENT")
+        ck = t.filter(m)["o_custkey"].to_numpy()
+        return pa.table({"k": pa.array(np.unique(ck), pa.int64())})
+
+    parts = (
+        _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(urgent_keys, batch_format="pyarrow")
+        .to_pandas()
+    )
+    have = np.unique(parts["k"].to_numpy())
+    ref = ray.put(have)
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        ck = t["c_custkey"].to_numpy()
+        pos = np.clip(np.searchsorted(keys, ck), 0, max(len(keys) - 1, 0))
+        hit = (keys[pos] == ck) if len(keys) else np.zeros(len(ck), bool)
+        return t.filter(pa.array(~hit))
+
+    out = (
+        _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def customers_without_urgent_orders_sql() -> str:
+    return """
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """
+
+
+def documents_hash_sample(sf_dir: str, pct: int = 20) -> pa.Table:
+    """Deterministic hash sampling: keep a document iff
+    (doc_id * 2654435761) % 2^32 < 2^32 × pct/100 (Knuth multiplicative
+    hash). Embarrassingly parallel — a stateless per-batch filter, stable
+    across runs, partitionings and cluster sizes, and exactly mirrored in
+    SQL. int64 arithmetic is overflow-safe for doc_id < 2^31 (the driver
+    tables); at larger id spaces the constant folds into uint64 wraparound
+    on the Ray side and hugeint on the oracle side."""
+    thresh = np.int64((np.uint64(1) << np.uint64(32)) * pct // 100)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = (ids * np.int64(2654435761)) % np.int64(1 << 32)
+        return t.filter(pa.array(h < thresh))
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def documents_hash_sample_sql(pct: int = 20) -> str:
+    thresh = (1 << 32) * pct // 100
+    return f"""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 < {thresh}
+    ORDER BY doc_id
+    """

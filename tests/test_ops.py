@@ -220,3 +220,38 @@ def test_ivf_full_probe_equals_bruteforce_and_partial_recall():
     for v, c in zip(approx["vec_id"], approx["cos"]):
         if v in bf_all:
             assert abs(bf_all[v] - c) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_topk_antijoin_sample_match_duckdb():
+    """The three window/anti-join/sampling operators match DuckDB exactly
+    (values verbatim — no float arithmetic on any of these paths)."""
+    import duckdb
+
+    from raycrawl.relational import (
+        customers_without_urgent_orders,
+        customers_without_urgent_orders_sql,
+        documents_hash_sample,
+        documents_hash_sample_sql,
+        top_events_per_user,
+        top_events_per_user_sql,
+    )
+
+    con = duckdb.connect()
+    for t in ["customer", "orders", "events", "documents"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    for fn, sql in [
+        (top_events_per_user, top_events_per_user_sql()),
+        (customers_without_urgent_orders, customers_without_urgent_orders_sql()),
+        (documents_hash_sample, documents_hash_sample_sql()),
+    ]:
+        got = fn(SF).to_pandas()
+        want = con.execute(sql).df()
+        assert got.shape == want.shape and got.shape[0] > 0
+        for c in got.columns:
+            if got[c].dtype.kind in "fi":
+                assert np.array_equal(got[c].to_numpy(), want[c].to_numpy())
+            else:
+                assert (got[c].astype(str) == want[c].astype(str)).all()
