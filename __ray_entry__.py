@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": relational.top_events_per_user,
         "customers_without_urgent_orders": relational.customers_without_urgent_orders,
         "documents_hash_sample": relational.documents_hash_sample,
+        "events_value_quantiles": relational.events_value_quantiles,
         # --- windowed / temporal custom operators over events ---
         "user_sessions": sessions.user_sessions,
         "purchase_asof_click": sessions.purchase_asof_click,
@@ -370,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_user": relational.top_events_per_user_sql(),
         "customers_without_urgent_orders": relational.customers_without_urgent_orders_sql(),
         "documents_hash_sample": relational.documents_hash_sample_sql(),
+        "events_value_quantiles": relational.events_value_quantiles_sql(),
         "user_sessions": sessions.user_sessions_sql(),
         "purchase_asof_click": sessions.purchase_asof_click_sql(),
         "token_stats_by_lang": textops.token_stats_by_lang_sql(),

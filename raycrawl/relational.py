@@ -555,6 +555,64 @@ def documents_hash_sample(sf_dir: str, pct: int = 20) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def events_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
+    """Distributed EXACT quantiles per event_type — no sampling, no sketch.
+
+    The values are 2-decimal fixed-point by construction, so the full value
+    distribution compresses losslessly into a (event_type, value_i)
+    histogram whose size is bounded by distinct values, not row count:
+    per-batch partial counts → Ray hash-shuffled groupby sum → tiny driver
+    cumsum per type picking the discrete-quantile rank ceil(q·n)−1 (DuckDB
+    ``quantile_disc`` semantics, pinned by test). value_i/100.0 reproduces
+    the original doubles bit-for-bit (correctly-rounded division), so the
+    driver's value hash matches the oracle exactly."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"],
+                "value_i": _iunits(t["value"].to_numpy(), 100.0),
+                "cnt": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return t2.group_by(["event_type", "value_i"]).aggregate([("cnt", "sum")])
+
+    hist = (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "value_i"])
+        .aggregate(Sum("cnt_sum", alias_name="cnt"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("value_i")
+        cum = g["cnt"].to_numpy().cumsum()
+        vals = g["value_i"].to_numpy()
+        n = int(cum[-1])
+        row = {"event_type": et, "n_events": n}
+        for q in qs:
+            r = max(0, math.ceil(q * n) - 1)
+            row[f"q{int(q * 100)}"] = vals[np.searchsorted(cum, r + 1)] / 100.0
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_value_quantiles_sql(qs=(0.25, 0.5, 0.75, 0.95)) -> str:
+    cols = ",\n           ".join(
+        f"quantile_disc(value, {q}) AS q{int(q * 100)}" for q in qs
+    )
+    return f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           {cols}
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
 def documents_hash_sample_sql(pct: int = 20) -> str:
     thresh = (1 << 32) * pct // 100
     return f"""

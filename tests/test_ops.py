@@ -255,3 +255,28 @@ def test_grouped_topk_antijoin_sample_match_duckdb():
                 assert np.array_equal(got[c].to_numpy(), want[c].to_numpy())
             else:
                 assert (got[c].astype(str) == want[c].astype(str)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_value_quantiles_match_duckdb():
+    """Histogram-based distributed quantiles reproduce DuckDB quantile_disc
+    exactly (rank = ceil(q*n)-1 over the per-type sorted values)."""
+    import duckdb
+
+    from raycrawl.relational import (
+        events_value_quantiles,
+        events_value_quantiles_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    got = events_value_quantiles(SF).to_pandas()
+    want = con.execute(events_value_quantiles_sql()).df()
+    assert got.shape == want.shape
+    for c in got.columns:
+        if got[c].dtype.kind in "fi":
+            assert np.array_equal(got[c].to_numpy(), want[c].to_numpy())
+        else:
+            assert (got[c] == want[c]).all()
