@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_urgent_orders": relational.customers_without_urgent_orders,
         "documents_hash_sample": relational.documents_hash_sample,
         "events_value_quantiles": relational.events_value_quantiles,
+        "events_hourly_moving_avg": relational.events_hourly_moving_avg,
+        "events_user_distinct": relational.events_user_distinct,
         # --- windowed / temporal custom operators over events ---
         "user_sessions": sessions.user_sessions,
         "purchase_asof_click": sessions.purchase_asof_click,
@@ -372,6 +374,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_urgent_orders": relational.customers_without_urgent_orders_sql(),
         "documents_hash_sample": relational.documents_hash_sample_sql(),
         "events_value_quantiles": relational.events_value_quantiles_sql(),
+        "events_hourly_moving_avg": relational.events_hourly_moving_avg_sql(),
+        "events_user_distinct": relational.events_user_distinct_sql(),
         "user_sessions": sessions.user_sessions_sql(),
         "purchase_asof_click": sessions.purchase_asof_click_sql(),
         "token_stats_by_lang": textops.token_stats_by_lang_sql(),

@@ -591,7 +591,7 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     # else as a Dataset execution
     n_new = int(sum(s["new_nodes"] for s in stats))
     next_frontier = None
-    if n_new <= 6_000_000:
+    if n_new <= FRONTIER_DRIVER_GATE:
         nt = pads.dataset(_parquet_files([nodes_path])).to_table(
             columns=FRONTIER_SCHEMA.names + ["status"]
         )
@@ -657,6 +657,10 @@ CODE_STATUS = {v: k for k, v in STATUS_CODE.items()}
 # driver-side numpy keep-last to the distributed encoded-Max groupby
 # (tests force 0 to exercise the distributed path on small crawls)
 UPDATE_DRIVER_GATE = 5_000_000
+
+# new-node volume above which the next-round frontier is assembled as a
+# streaming Dataset execution instead of a driver-side Arrow concat
+FRONTIER_DRIVER_GATE = 6_000_000
 
 
 

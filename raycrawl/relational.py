@@ -339,6 +339,144 @@ def events_hourly_sql() -> str:
     """
 
 
+def events_hourly_moving_avg(sf_dir: str, window: int = 3) -> pa.Table:
+    """Sliding-window aggregate (window-function family): 3-bucket moving
+    average of hourly event value per event_type.
+
+    The distributed part is the tumbling-hour rollup (identical plan to
+    events_hourly — partial + combine over a bounded bucket space); the
+    window pass then runs over the pre-aggregated rollup, whose size is
+    bounded by hours × types, not event volume, so a vectorized driver
+    rolling-sum is the scale-correct plan (a per-event shuffle would be
+    strictly worse). Sums stay int64 until one final division mirrored in
+    the oracle's window expression."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": hour,
+                "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "val_i": _iunits(t["value"].to_numpy(), 100.0),
+            }
+        )
+        return t2.group_by(["event_type", "hour"]).aggregate(
+            [("n_events", "sum"), ("val_i", "sum")]
+        )
+
+    parts = (
+        _t(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = (
+        parts.groupby(["event_type", "hour"], as_index=False)
+        .sum()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    vi = g["val_i_sum"].to_numpy()
+    ne = g["n_events_sum"].to_numpy()
+    # per-type rolling sums over the ordered hour buckets
+    ma_vi = np.empty(len(g), dtype=np.int64)
+    ma_ne = np.empty(len(g), dtype=np.int64)
+    for _, idx in g.groupby("event_type").indices.items():
+        v, n = vi[idx], ne[idx]
+        cv, cn = np.concatenate(([0], v.cumsum())), np.concatenate(([0], n.cumsum()))
+        lo = np.maximum(np.arange(len(v)) - (window - 1), 0)
+        hi = np.arange(len(v)) + 1
+        ma_vi[idx] = cv[hi] - cv[lo]
+        ma_ne[idx] = cn[hi] - cn[lo]
+    out = pd.DataFrame(
+        {
+            "event_type": g["event_type"],
+            "hour": g["hour"],
+            "n_events": ne.astype(np.int64),
+            "sum_value": vi / 100.0,
+            "ma_value": ma_vi.astype(np.float64) / 100.0 / ma_ne,
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_hourly_moving_avg_sql(window: int = 3) -> str:
+    p = window - 1
+    return f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS val_i
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hour, n_events,
+           CAST(val_i AS DOUBLE) / 100.0 AS sum_value,
+           CAST(sum(val_i) OVER w AS DOUBLE) / 100.0
+             / sum(n_events) OVER w AS ma_value
+    FROM h
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN {p} PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, hour
+    """
+
+
+def events_user_distinct(sf_dir: str) -> pa.Table:
+    """Exact count(DISTINCT user) per event_type in ONE scan + ONE shuffle:
+    per-batch unique (type, user) pairs with partial event counts, a
+    hash-shuffled groupby on the pair (global dedup, carrying the count
+    sum), then per-batch partials over the deduped pairs — the final
+    driver combine sees only rows bounded by the type count."""
+    from ray.data.aggregate import Sum
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_id": t["user_id"],
+                "cnt": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return t2.group_by(["event_type", "user_id"]).aggregate([("cnt", "sum")])
+
+    def type_partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_users": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_events": t["cnt"],
+            }
+        )
+        return t2.group_by("event_type").aggregate(
+            [("n_users", "sum"), ("n_events", "sum")]
+        )
+
+    parts = (
+        _t(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("cnt_sum", alias_name="cnt"))
+        .map_batches(type_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = parts.groupby("event_type", as_index=False).sum().sort_values("event_type")
+    out = pd.DataFrame(
+        {
+            "event_type": g["event_type"],
+            "n_users": g["n_users_sum"].astype("int64"),
+            "n_events": g["n_events_sum"].astype("int64"),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_user_distinct_sql() -> str:
+    return """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
 def top_users_by_value(sf_dir: str, k: int = 25) -> pa.Table:
     """Per-user rollup (real-cardinality Ray groupby shuffle) + per-block
     partial top-k merged on the driver (no global sort shuffle)."""

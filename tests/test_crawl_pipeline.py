@@ -159,3 +159,17 @@ def test_finalize_distributed_update_path(tiny_corpus, tmp_path, monkeypatch):
     res = _run(tiny_corpus, s["url"], int(s["depth"]), str(tmp_path / "ckd"))
     o = oracle_crawl(tiny_corpus, s["url"], int(s["depth"]), crawl_id="t")
     _compare(res, o)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frontier_distributed_assembly_path(tiny_corpus, tmp_path, monkeypatch):
+    """Force the >gate streaming-Dataset frontier assembly (no driver-side
+    Arrow concat, next_frontier handed off via parquet instead of memory)
+    and assert the crawl is still oracle-equal."""
+    from raycrawl import crawl as crawl_mod
+
+    monkeypatch.setattr(crawl_mod, "FRONTIER_DRIVER_GATE", 0)
+    s = _seeds(tiny_corpus)[0]
+    res = _run(tiny_corpus, s["url"], int(s["depth"]), str(tmp_path / "ckf"))
+    o = oracle_crawl(tiny_corpus, s["url"], int(s["depth"]), crawl_id="t")
+    _compare(res, o)

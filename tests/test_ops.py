@@ -280,3 +280,34 @@ def test_events_value_quantiles_match_duckdb():
             assert np.array_equal(got[c].to_numpy(), want[c].to_numpy())
         else:
             assert (got[c] == want[c]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_moving_avg_and_distinct_match_duckdb():
+    """Sliding-window moving average and single-shuffle exact
+    count-distinct match DuckDB window/DISTINCT semantics exactly."""
+    import duckdb
+
+    from raycrawl.relational import (
+        events_hourly_moving_avg,
+        events_hourly_moving_avg_sql,
+        events_user_distinct,
+        events_user_distinct_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    for fn, sql in [
+        (events_hourly_moving_avg, events_hourly_moving_avg_sql()),
+        (events_user_distinct, events_user_distinct_sql()),
+    ]:
+        got = fn(SF).to_pandas()
+        want = con.execute(sql).df()
+        assert got.shape == want.shape and got.shape[0] > 0
+        for c in got.columns:
+            if got[c].dtype.kind in "fi":
+                assert np.array_equal(got[c].to_numpy(), want[c].to_numpy())
+            else:
+                assert (got[c].astype(str) == want[c].astype(str)).all()
