@@ -51,7 +51,8 @@ def entry() -> Any:
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from raycrawl import ann, dedup, multimodal, relational, sessions, textops
+    from raycrawl import (ann, dedup, multimodal, relational, sessions,
+                          sketches, textops, windows)
 
     def _demo_nodes():
         _ensure_demo()
@@ -158,9 +159,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": relational.events_value_quantiles,
         "events_hourly_moving_avg": relational.events_hourly_moving_avg,
         "events_user_distinct": relational.events_user_distinct,
+        "documents_stratified_sample": relational.documents_stratified_sample,
+        "orders_in_top_customer_periods": relational.orders_in_top_customer_periods,
         # --- windowed / temporal custom operators over events ---
         "user_sessions": sessions.user_sessions,
         "purchase_asof_click": sessions.purchase_asof_click,
+        "user_interarrival_stats": windows.user_interarrival_stats,
+        "events_type_rollup": windows.events_type_rollup,
+        "events_pivot_by_type": windows.events_pivot_by_type,
+        "events_user_hll": sketches.events_user_hll,       # rows-only (approx sketch)
         # --- text analysis over documents ---
         "token_stats_by_lang": textops.token_stats_by_lang,
         "lang_source_distribution": textops.lang_source_distribution,
@@ -192,7 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    from raycrawl import ann, dedup, multimodal, relational, sessions, textops
+    from raycrawl import (ann, dedup, multimodal, relational, sessions,
+                          textops, windows)
     from raycrawl.demo import edges_glob, nodes_glob
 
     _ensure_demo()
@@ -376,8 +384,13 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": relational.events_value_quantiles_sql(),
         "events_hourly_moving_avg": relational.events_hourly_moving_avg_sql(),
         "events_user_distinct": relational.events_user_distinct_sql(),
+        "documents_stratified_sample": relational.documents_stratified_sample_sql(),
+        "orders_in_top_customer_periods": relational.orders_in_top_customer_periods_sql(),
         "user_sessions": sessions.user_sessions_sql(),
         "purchase_asof_click": sessions.purchase_asof_click_sql(),
+        "user_interarrival_stats": windows.user_interarrival_stats_sql(),
+        "events_type_rollup": windows.events_type_rollup_sql(),
+        "events_pivot_by_type": windows.events_pivot_by_type_sql(),
         "token_stats_by_lang": textops.token_stats_by_lang_sql(),
         "lang_source_distribution": textops.lang_source_distribution_sql(),
         "quality_scores": textops.quality_scores_sql(),

@@ -758,3 +758,143 @@ def documents_hash_sample_sql(pct: int = 20) -> str:
     WHERE (doc_id * 2654435761) % 4294967296 < {thresh}
     ORDER BY doc_id
     """
+
+
+def documents_stratified_sample(sf_dir: str, per_lang: int = 40) -> pa.Table:
+    """Stratified fixed-size sampling: the ``per_lang`` documents with the
+    smallest Knuth hash per language — a deterministic uniform draw whose
+    size is equal across strata regardless of how skewed the language
+    distribution is (the fixed-rate cousin ``documents_hash_sample`` keeps
+    skew; training-data curation usually wants balanced strata).
+
+    Same combiner plan as grouped top-k: per-batch partial bottom-k per
+    lang (shuffle input ≤ k × langs per block, never document volume) →
+    ``groupby(lang).map_groups`` finalize. The hash order is mirrored in
+    SQL (ROW_NUMBER OVER (PARTITION BY lang ORDER BY hash, doc_id))."""
+
+    def bottomk(t: pa.Table, k: int) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy()
+        h = (ids * np.int64(2654435761)) % np.int64(1 << 32)
+        order = np.lexsort((ids, h, lang))
+        lg, hh, ii = lang[order], h[order], ids[order]
+        nc = t["n_chars"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, lg[1:] != lg[:-1]])
+        lens = np.diff(np.r_[starts, len(lg)])
+        rank = np.arange(len(lg)) - np.repeat(starts, lens)
+        keep = rank < k
+        return pa.table({
+            "lang": pa.array(lg[keep], pa.string()),
+            "doc_id": pa.array(ii[keep], pa.int64()),
+            "n_chars": pa.array(nc[keep], pa.int64()),
+        })
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(lambda t: bottomk(t, per_lang), batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(lambda t: bottomk(t, per_lang), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def documents_stratified_sample_sql(per_lang: int = 40) -> str:
+    return f"""
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rnk
+      FROM documents) WHERE rnk <= {per_lang}
+    ORDER BY lang, doc_id
+    """
+
+
+def orders_in_top_customer_periods(sf_dir: str, k: int = 5) -> pa.Table:
+    """Interval (range) join: total market activity during each top-k
+    customer's active period [min(o_orderdate), max(o_orderdate)].
+
+    Build side: top-k customers by total spend (exact int-cent partial
+    aggregate → driver top-k) with their date extents — k rows, broadcast
+    by closure capture. Probe side: orders stream once; per batch a
+    (rows × k) vectorized interval-containment mask (k is small by
+    construction, so the mask is the cheap direction of a range join —
+    the general N×M case is dedup.py-style bucketing). Intervals overlap,
+    so a shuffle-free broadcast probe is the only plan that avoids row
+    duplication per matched interval."""
+    import ray
+
+    def spend_extent(t: pa.Table) -> pa.Table:
+        t2 = pa.table({
+            "o_custkey": t["o_custkey"],
+            "spend_i": _iunits(t["o_totalprice"].to_numpy(), 100.0),
+            "lo": t["o_orderdate"],
+            "hi": t["o_orderdate"],
+        })
+        return t2.group_by("o_custkey").aggregate(
+            [("spend_i", "sum"), ("lo", "min"), ("hi", "max")])
+
+    parts = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(spend_extent, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = parts.groupby("o_custkey", as_index=False).agg(
+        spend_i=("spend_i_sum", "sum"), lo=("lo_min", "min"), hi=("hi_max", "max"))
+    top = g.sort_values(["spend_i", "o_custkey"],
+                        ascending=[False, True]).head(k)
+    keys = top["o_custkey"].to_numpy()
+    los = top["lo"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    his = top["hi"].to_numpy().astype("datetime64[us]").astype(np.int64)
+
+    def probe(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vi = _iunits(t["o_totalprice"].to_numpy(), 100.0).to_numpy()
+        inside = (d[:, None] >= los[None, :]) & (d[:, None] <= his[None, :])
+        return pa.table({
+            "o_custkey": pa.array(keys, pa.int64()),
+            "n_orders": pa.array(inside.sum(axis=0).astype(np.int64)),
+            "val_i": pa.array((inside * vi[:, None]).sum(axis=0).astype(np.int64)),
+        })
+
+    pr = (
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("o_custkey", as_index=False).sum()
+    )
+    merged = top.merge(pr, on="o_custkey")
+    out = pd.DataFrame({
+        "o_custkey": merged["o_custkey"].astype("int64"),
+        "cust_spend": merged["spend_i"].to_numpy() / 100.0,
+        "period_start": merged["lo"],
+        "period_end": merged["hi"],
+        "n_orders_in_period": merged["n_orders"].astype("int64"),
+        "value_in_period": merged["val_i"].to_numpy() / 100.0,
+    }).sort_values("o_custkey").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def orders_in_top_customer_periods_sql(k: int = 5) -> str:
+    return f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS spend_i,
+             min(o_orderdate) AS lo, max(o_orderdate) AS hi
+      FROM orders GROUP BY o_custkey),
+    top AS (
+      SELECT * FROM spend ORDER BY spend_i DESC, o_custkey LIMIT {k})
+    SELECT t.o_custkey,
+           CAST(t.spend_i AS DOUBLE) / 100.0 AS cust_spend,
+           t.lo AS period_start, t.hi AS period_end,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders_in_period,
+           CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS value_in_period
+    FROM top t JOIN orders o
+      ON o.o_orderdate BETWEEN t.lo AND t.hi
+    GROUP BY t.o_custkey, t.spend_i, t.lo, t.hi
+    ORDER BY t.o_custkey
+    """

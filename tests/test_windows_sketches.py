@@ -1,0 +1,122 @@
+"""Window-function family (windows.py), stratified sampling / interval
+join (relational.py additions) and the HyperLogLog sketch (sketches.py):
+DuckDB equality for every oracled query, error-envelope + merge laws for
+the approximate sketch."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+TABLES = ["events", "documents", "orders"]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _assert_oracle_equal(got, sql):
+    want = _duck(sql)
+    g, w = _canon(got.to_pandas()), _canon(want)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_user_interarrival_stats_oracle():
+    from raycrawl.windows import user_interarrival_stats, user_interarrival_stats_sql
+
+    _assert_oracle_equal(user_interarrival_stats(SF), user_interarrival_stats_sql())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_type_rollup_oracle():
+    from raycrawl.windows import events_type_rollup, events_type_rollup_sql
+
+    got = events_type_rollup(SF)
+    _assert_oracle_equal(got, events_type_rollup_sql())
+    # rollup invariant: each level re-sums to the grand total
+    df = got.to_pandas()
+    total = df[(df.event_type == "ALL")]["n_events"].iloc[0]
+    fine = df[(df.event_type != "ALL") & (df.dow >= 0)]["n_events"].sum()
+    mid = df[(df.event_type != "ALL") & (df.dow == -1)]["n_events"].sum()
+    assert fine == mid == total
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_pivot_by_type_oracle():
+    from raycrawl.windows import events_pivot_by_type, events_pivot_by_type_sql
+
+    _assert_oracle_equal(events_pivot_by_type(SF), events_pivot_by_type_sql())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_documents_stratified_sample_oracle_and_balance():
+    from raycrawl.relational import (documents_stratified_sample,
+                                     documents_stratified_sample_sql)
+
+    got = documents_stratified_sample(SF, per_lang=25)
+    _assert_oracle_equal(got, documents_stratified_sample_sql(per_lang=25))
+    # balanced strata: every language present in the data yields exactly
+    # min(per_lang, lang_count) rows
+    counts = got.to_pandas().groupby("lang").size()
+    assert (counts == 25).all()  # every sf0.001 lang has >= 25 docs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orders_in_top_customer_periods_oracle():
+    from raycrawl.relational import (orders_in_top_customer_periods,
+                                     orders_in_top_customer_periods_sql)
+
+    got = orders_in_top_customer_periods(SF, k=5)
+    _assert_oracle_equal(got, orders_in_top_customer_periods_sql(k=5))
+    df = got.to_pandas()
+    # intervals genuinely overlap at this scale → containment counts must
+    # each be >= the customer's own order count share and <= total orders
+    n_orders = _duck("SELECT count(*) AS n FROM orders")["n"].iloc[0]
+    assert (df["n_orders_in_period"] <= n_orders).all()
+    assert (df["n_orders_in_period"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_user_hll_envelope():
+    from raycrawl.sketches import events_user_hll
+
+    got = events_user_hll(SF).to_pandas()
+    exact = _duck("""SELECT event_type, count(DISTINCT user_id) AS n
+                     FROM events GROUP BY 1""").set_index("event_type")["n"]
+    assert len(got) == len(exact)
+    for r in got.itertuples():
+        e = int(exact[r.event_type])
+        assert abs(r.approx_users - e) <= max(1, 0.05 * e), r.event_type
+
+
+def test_hll_merge_laws_and_error():
+    from raycrawl.sketches import hll_estimate, hll_merge, hll_partial
+
+    keys = np.arange(200_000)
+    a = hll_partial(keys[:80_000])
+    b = hll_partial(keys[50_000:150_000])
+    c = hll_partial(keys[140_000:])
+    ab_c = hll_merge(hll_merge(a, b), c)
+    a_bc = hll_merge(a, hll_merge(b, c))
+    assert np.array_equal(ab_c, a_bc)                      # associative
+    assert np.array_equal(hll_merge(a, a), a)              # idempotent
+    est = hll_estimate(ab_c)
+    assert abs(est - 200_000) / 200_000 < 0.05             # error envelope
+    # disjoint unions only grow the estimate
+    assert hll_estimate(hll_merge(a, b)) >= hll_estimate(a) - 1e-9
