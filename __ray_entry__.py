@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textops.quality_scores,
         "langid": textops.langid,
         "doc_fingerprints": textops.fingerprints,
+        "tfidf_top_terms": textops.tfidf_top_terms,
         # --- dedup family ---
         "exact_dedup_groups": dedup.exact_dedup_groups,
         "minhash_neardup_pairs": dedup.minhash_neardup_pairs,
@@ -396,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": textops.quality_scores_sql(),
         "langid": textops.langid_sql(),
         "doc_fingerprints": textops.fingerprints_sql(),
+        "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "exact_dedup_groups": dedup.exact_dedup_sql(),
         "minhash_neardup_pairs": dedup.minhash_neardup_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),

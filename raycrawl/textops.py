@@ -327,3 +327,131 @@ def fingerprints_sql(k: int = 8) -> str:
            CAST(count(*) AS BIGINT) AS n_ngrams
     FROM g GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per language
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k terms per language by a rational TF-IDF score — the corpus
+    keyword extraction a curation pipeline runs to characterize sources.
+
+    score = tf × (N − df) / df, the log-free idf variant: a transcendental
+    ``ln`` is not bit-stable across engines (DuckDB's libm vs numpy's SIMD
+    log differ at ULP level and the driver hashes values exactly), while
+    integer tf·(N−df) followed by one correctly-rounded double division is
+    reproduced bit-for-bit by the mirrored SQL. Ubiquitous terms (df→N)
+    still score →0, which is the idf shape that matters.
+
+    Distributed plan (vocabulary is unbounded at 100 TB — nothing driver-
+    side ever scales with it):
+      1. tokenize per batch (polars extract_all over lowered text) →
+         per-batch partial (term, lang, tf, df_part); df_part counts
+         DISTINCT docs of the batch containing the term — exact globally
+         after summing, because each doc lives in exactly one batch.
+      2. ONE hash shuffle: groupby(term, lang) sums the partials (C-speed
+         Ray aggregate; no per-term Python).
+      3. per-term df: groupby(term) re-sum over the ≤|langs| rows, then a
+         distributed hash join back on term (both sides vocabulary-sized).
+      4. grouped top-k by lang: per-batch partial top-k (blocks shrink to
+         ≤ k×langs rows) → groupby(lang).map_groups finalize (|langs|
+         groups).
+    """
+    from ray.data.aggregate import Sum
+
+    n_docs = _t(sf_dir, "documents", ["doc_id"]).count()
+
+    def tokenize_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy()
+        toks = (pl.Series(t["text"].combine_chunks())
+                .str.to_lowercase().str.extract_all(r"[a-z0-9_]+"))
+        n_per_doc = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=True).drop_nulls()
+        df_ = pl.DataFrame({
+            "term": flat,
+            "lang": pl.Series(np.repeat(lang, n_per_doc)),
+            "doc": pl.Series(np.repeat(doc, n_per_doc)),
+        })
+        agg = df_.group_by(["term", "lang"]).agg(
+            tf=pl.len().cast(pl.Int64),
+            df_part=pl.col("doc").n_unique().cast(pl.Int64),
+        )
+        return agg.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("lang", pa.string()),
+            ("tf", pa.int64()), ("df_part", pa.int64())]))
+
+    import ray
+
+    # partition count tracks the cluster; tiny test sessions don't pay
+    # 16-way shuffle fixed costs, big clusters still spread the join
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    tl = (
+        _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .map_batches(tokenize_partial, batch_format="pyarrow")
+        .groupby(["term", "lang"])
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df_part", alias_name="df_l"))
+    )
+    df_per_term = tl.groupby("term").aggregate(Sum("df_l", alias_name="df"))
+    joined = tl.join(df_per_term, join_type="inner", on=("term",),
+                     num_partitions=n_parts)
+
+    def score_topk(t: pa.Table, kk: int) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        term = t["term"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy()
+        df = t["df"].to_numpy()
+        score = (tf * (n_docs - df)).astype(np.float64) / df
+        order = np.lexsort((term, -score, lang))
+        lg, sc = lang[order], score[order]
+        starts = np.flatnonzero(np.r_[True, lg[1:] != lg[:-1]])
+        lens = np.diff(np.r_[starts, len(lg)])
+        rank = np.arange(len(lg)) - np.repeat(starts, lens)
+        keep = rank < kk
+        return pa.table({
+            "lang": pa.array(lg[keep], pa.string()),
+            "rnk": pa.array(rank[keep] + 1, pa.int64()),
+            "term": pa.array(term[order][keep], pa.string()),
+            "tf": pa.array(tf[order][keep], pa.int64()),
+            "df": pa.array(df[order][keep], pa.int64()),
+            "score": pa.array(sc[keep], pa.float64()),
+        })
+
+    out = (
+        joined
+        .map_batches(lambda t: score_topk(t, k).drop_columns(["rnk"]),
+                     batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(lambda t: score_topk(t, k), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["lang", "rnk"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def tfidf_top_terms_sql(k: int = 10) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+      FROM documents),
+    tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.lang, tf.term, tf.tf, df.df,
+             CAST(tf.tf * ((SELECT n_docs FROM n) - df.df) AS DOUBLE) / df.df
+               AS score
+      FROM tf JOIN df USING (term))
+    SELECT lang, rnk, term, tf, df, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY score DESC, term) AS rnk
+      FROM scored) WHERE rnk <= {k}
+    ORDER BY lang, rnk
+    """

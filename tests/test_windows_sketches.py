@@ -120,3 +120,16 @@ def test_hll_merge_laws_and_error():
     assert abs(est - 200_000) / 200_000 < 0.05             # error envelope
     # disjoint unions only grow the estimate
     assert hll_estimate(hll_merge(a, b)) >= hll_estimate(a) - 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_top_terms_oracle():
+    from raycrawl.textops import tfidf_top_terms, tfidf_top_terms_sql
+
+    got = tfidf_top_terms(SF, k=8)
+    _assert_oracle_equal(got, tfidf_top_terms_sql(k=8))
+    df = got.to_pandas()
+    # per-lang ranks are 1..k and scores are non-increasing within a lang
+    for _, g in df.groupby("lang"):
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["score"]) <= 1e-12).all()
