@@ -201,101 +201,50 @@ _NO_ENRICH = dict(n_tokens=None, quality=None, simhash=None,
 
 
 def enrich_pages(htmls: list) -> list:
-    """Batched ``enrich_page``: identical outputs (asserted by pytest), but
-    the whole string pipeline — tag strip, tokenize, word split, stopword
-    membership, language n-gram counts — runs as vectorized polars/Arrow
-    kernels over ONE contiguous buffer per stage instead of per-page Python
-    strings. This matters beyond CPU count: per-page Python string churn is
-    memory-bandwidth traffic, and on bandwidth-constrained nodes the fetch
-    stage scales with bytes moved, not cores. The remaining per-page loop
-    only assembles precomputed array slots.
+    """Batched ``enrich_page``: identical outputs (asserted by pytest), one
+    order of magnitude fewer hash calls. ALL pages' token windows hash in
+    ONE ``hash128`` call; simhash/rolling-fingerprint/minhash-lane arrays
+    are computed globally and reduced per page with C-level slice ops —
+    the per-page Python that remains is tag-strip/split/regex (the
+    irreducible parse) and the tiny quality/langid scalars.
 
     ``htmls[i] is None`` (failed fetch / enrich off) → ``None`` out.
     """
-    import polars as pl
-
     from raycrawl.dedup import _MERSENNE, _PERM_A, _PERM_B
     from raycrawl.kernels import hash128
-    from raycrawl.textops import _LANG_HINTS, STOPWORDS
+    from raycrawl.textops import _LANG_HINTS, STOPWORDS, WORD_RE
 
     n = len(htmls)
     out: list = [None] * n
     idxs = [i for i in range(n) if htmls[i] is not None]
     if not idxs:
         return out
-    m = len(idxs)
 
-    s = pl.Series("h", [htmls[i] for i in idxs], dtype=pl.Utf8)
-    texts_s = s.str.replace_all(r"<[^>]+>", "")
-    toks = texts_s.str.extract_all(r"\S+")     # == text.split()
-    n_toks = toks.list.len().to_numpy().astype(np.int64)
-    win = toks.list.head(_MAX_TOKENS)
-    lens = win.list.len().to_numpy().astype(np.int64)
-    starts = np.zeros(m + 1, dtype=np.int64)
+    texts = [_TAG_RE.sub("", htmls[i]) for i in idxs]
+    token_lists = [t.split() for t in texts]
+    windows = [t[:_MAX_TOKENS] for t in token_lists]
+    lens = np.array([len(w) for w in windows], dtype=np.int64)
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
 
-    flat_s = win.explode(empty_as_null=True).drop_nulls()        # empty lists explode to null
-    if len(flat_s):
-        th_all, _ = hash128(flat_s.to_arrow())
+    flat = [tok for w in windows for tok in w]
+    if flat:
+        th_all, _ = hash128(flat)
     else:
         th_all = np.empty(0, dtype=np.uint64)
     T = len(th_all)
 
-    # ---- quality: words = WORD_RE.findall(" ".join(window).lower()) ----
-    # \w can't match the joining space, so per-token extract_all(\w+) over
-    # the lowered flat tokens concatenates to the same word sequence.
-    if T:
-        wl = flat_s.str.to_lowercase().str.extract_all(r"\w+")
-        w_per_tok = wl.list.len().to_numpy().astype(np.int64)
-        words_flat = wl.explode(empty_as_null=True).drop_nulls()
-        wlen = words_flat.str.len_chars().to_numpy().astype(np.int64)
-        stop_hit = words_flat.is_in(list(STOPWORDS)).to_numpy()
-        page_of_tok = np.repeat(np.arange(m, dtype=np.int64), lens)
-        page_of_word = np.repeat(page_of_tok, w_per_tok)
-        nw = np.bincount(page_of_word, minlength=m).astype(np.int64)
-        sum_wl = np.bincount(page_of_word, weights=wlen, minlength=m)
-        stop_cnt = np.bincount(page_of_word[stop_hit], minlength=m)
-    else:
-        nw = np.zeros(m, dtype=np.int64)
-        sum_wl = np.zeros(m)
-        stop_cnt = np.zeros(m)
-    nw_safe = np.maximum(nw, 1)
-    stop_ratio = np.where(nw > 0, stop_cnt / nw_safe, 0.0)
-    mean_wl = np.where(nw > 0, sum_wl / nw_safe, 0.0)
-    quality_arr = (0.5 * np.minimum(stop_ratio / 0.4, 1.0)
-                   + 0.5 * np.minimum(mean_wl / 8.0, 1.0))
-
-    # ---- language ID: gram counts over text[:_LANGID_CHARS].lower() ----
-    lows = texts_s.str.slice(0, _LANGID_CHARS).str.to_lowercase()
-    denom = lows.str.len_chars().to_numpy().astype(np.float64) + 1.0
-    best_lang = np.full(m, "en", dtype=object)
-    best_score = np.full(m, -1.0)
-    for lang, grams in _LANG_HINTS.items():
-        if not grams:
-            continue
-        total = np.zeros(m, dtype=np.int64)
-        for g in grams:
-            total += lows.str.count_matches(g, literal=True).to_numpy().astype(np.int64)
-        score = total / denom
-        better = score > best_score
-        best_score = np.where(better, score, best_score)
-        best_lang[better] = lang
-
     # simhash: per-token bit matrix → one segmented reduce (reduceat over
     # the nonempty pages' start offsets; empty pages contribute no tokens,
-    # so consecutive nonempty segments are adjacent in the flat array),
-    # then ONE packbits over the whole (n_nz, 64) sign matrix.
+    # so consecutive nonempty segments are adjacent in the flat array).
+    # acc = 2*ones_count - len, computed per page below.
     nz = np.flatnonzero(lens)
-    simhash_arr = np.zeros(m, dtype=np.uint64)
     if T:
         bits16 = np.unpackbits(
             th_all.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
         ).astype(np.int16)
         ones_cnt = np.add.reduceat(bits16, starts[nz], axis=0)  # (n_nz, 64)
-        acc_all = 2 * ones_cnt.astype(np.int32) - lens[nz][:, None]
-        packed = np.packbits((acc_all > 0).astype(np.uint8), axis=1,
-                             bitorder="little")
-        simhash_arr[nz] = np.ascontiguousarray(packed).view(np.uint64).ravel()
+        nz_pos = {int(p): j for j, p in enumerate(nz)}
     # rolling k-gram fingerprint array (global; a slice [start, start+len-K]
     # stays inside its page by construction)
     K = _FP_K
@@ -317,19 +266,44 @@ def enrich_pages(htmls: list) -> list:
         p0 = np.empty(0, dtype=np.uint64)
 
     for j, i in enumerate(idxs):
+        text = texts[j]
+        n_tok = len(token_lists[j])
         ln = int(lens[j])
-        sgt = int(starts[j])
+        s = int(starts[j])
+
+        wtext = " ".join(windows[j])
+        words = WORD_RE.findall(wtext.lower())
+        nw = len(words)
+        stop_ratio = sum(w in STOPWORDS for w in words) / nw if nw else 0.0
+        mean_wl = sum(map(len, words)) / nw if nw else 0.0
+        quality = (0.5 * min(stop_ratio / 0.4, 1.0)
+                   + 0.5 * min(mean_wl / 8.0, 1.0))
+
         if ln:
-            seg_min = int(th_all[sgt : sgt + ln].min())
-            fingerprint = (int(roll[sgt : sgt + ln - K + 1].min())
+            acc = 2 * ones_cnt[nz_pos[j]].astype(np.int32) - ln
+            sim_bits = np.packbits((acc > 0).astype(np.uint8),
+                                   bitorder="little")
+            simhash = int(np.frombuffer(sim_bits.tobytes(),
+                                        dtype=np.uint64)[0])
+            seg_min = int(th_all[s : s + ln].min())
+            fingerprint = (int(roll[s : s + ln - K + 1].min())
                            if ln >= K else seg_min)
-            minhash0 = (int(p0[sgt : sgt + ln - 2].min())
+            minhash0 = (int(p0[s : s + ln - 2].min())
                         if ln >= 3 else seg_min)
         else:
-            fingerprint, minhash0 = 0, 0
-        out[i] = dict(n_tokens=int(n_toks[j]), quality=float(quality_arr[j]),
-                      simhash=int(simhash_arr[j]), fingerprint=fingerprint,
-                      minhash0=minhash0, lang_pred=str(best_lang[j]))
+            simhash, fingerprint, minhash0 = 0, 0, 0
+
+        low = text[:_LANGID_CHARS].lower()
+        best, best_score = "en", -1.0
+        for lang, grams in _LANG_HINTS.items():
+            if not grams:
+                continue
+            score = sum(low.count(g) for g in grams) / (len(low) + 1)
+            if score > best_score:
+                best, best_score = lang, score
+        out[i] = dict(n_tokens=n_tok, quality=quality, simhash=simhash,
+                      fingerprint=fingerprint, minhash0=minhash0,
+                      lang_pred=best)
     return out
 
 
