@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 
 def _t(sf_dir: str, name: str, columns=None):
@@ -897,4 +898,69 @@ def orders_in_top_customer_periods_sql(k: int = 5) -> str:
       ON o.o_orderdate BETWEEN t.lo AND t.hi
     GROUP BY t.o_custkey, t.spend_i, t.lo, t.hi
     ORDER BY t.o_custkey
+    """
+
+
+def top_returned_revenue_customers(sf_dir: str, k: int = 20) -> pa.Table:
+    """TPC-H Q10-style 3-way join: revenue lost to returned items per
+    customer, top-k. Physical plan varies the join strategies by side
+    size: lineitem(R) ⋈ orders is both-sides-large → ``Dataset.join``
+    (hash-partitioned); the per-customer aggregate is then bounded by
+    customer cardinality, so the customer dimension attaches via the
+    broadcast path (ray.put + searchsorted per batch) and top-k is a
+    driver heap over the partial-aggregated rows."""
+    import ray
+
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    li = (
+        _t(sf_dir, "lineitem",
+           ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+        .filter(expr="l_returnflag == 'R'")
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(orders, join_type="inner", num_partitions=n_parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        t2 = pa.table({
+            "o_custkey": t["o_custkey"],
+            "rev_i": _iunits(ext * (1.0 - disc) * 100.0, 100.0),
+            "n_items": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        return t2.group_by("o_custkey").aggregate(
+            [("rev_i", "sum"), ("n_items", "sum")])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("o_custkey", as_index=False).sum()
+    top = g.sort_values(["rev_i_sum", "o_custkey"],
+                        ascending=[False, True]).head(k)
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    merged = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = pd.DataFrame({
+        "c_custkey": merged["c_custkey"].astype("int64"),
+        "c_name": merged["c_name"],
+        "revenue": merged["rev_i_sum"].to_numpy() / 10000.0,
+        "n_items": merged["n_items_sum"].astype("int64"),
+    }).sort_values(["revenue", "c_custkey"],
+                   ascending=[False, True]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def top_returned_revenue_customers_sql(k: int = 20) -> str:
+    return f"""
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                               * 100.0 * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT {k}
     """

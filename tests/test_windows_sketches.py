@@ -10,7 +10,7 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
-TABLES = ["events", "documents", "orders"]
+TABLES = ["events", "documents", "orders", "customer", "lineitem"]
 
 
 def _duck(sql: str) -> pd.DataFrame:
@@ -133,3 +133,12 @@ def test_tfidf_top_terms_oracle():
     for _, g in df.groupby("lang"):
         assert list(g["rnk"]) == list(range(1, len(g) + 1))
         assert (np.diff(g["score"]) <= 1e-12).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_returned_revenue_customers_oracle():
+    from raycrawl.relational import (top_returned_revenue_customers,
+                                     top_returned_revenue_customers_sql)
+
+    _assert_oracle_equal(top_returned_revenue_customers(SF, k=15),
+                         top_returned_revenue_customers_sql(k=15))
