@@ -234,16 +234,25 @@ def enrich_pages(htmls: list) -> list:
         th_all = np.empty(0, dtype=np.uint64)
     T = len(th_all)
 
-    # simhash: per-token bit matrix → one segmented reduce (reduceat over
-    # the nonempty pages' start offsets; empty pages contribute no tokens,
-    # so consecutive nonempty segments are adjacent in the flat array).
-    # acc = 2*ones_count - len, computed per page below.
+    # simhash: per-token bit matrix → segmented per-page bit counts via
+    # ONE contiguous cumsum + gather-diff. NOT np.add.reduceat: reduceat's
+    # axis-0 inner loop is strided per segment and was measured collapsing
+    # to >70 s on a 1M×64 matrix under fragmented-memory conditions where
+    # the sequential cumsum stays at ~100 ms. acc = 2*ones_count - len,
+    # computed per page below.
     nz = np.flatnonzero(lens)
     if T:
-        bits16 = np.unpackbits(
+        bits = np.unpackbits(
             th_all.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int16)
-        ones_cnt = np.add.reduceat(bits16, starts[nz], axis=0)  # (n_nz, 64)
+        )
+        n_nz = len(nz)
+        ones_cnt = np.empty((n_nz, 64), dtype=np.int32)
+        s_nz = starts[nz]
+        e_nz = s_nz + lens[nz]
+        for j in range(n_nz):
+            # contiguous ≤window×64 block sum; loop count is pages, not
+            # tokens — the hot bytes stream exactly once
+            bits[s_nz[j]:e_nz[j]].sum(axis=0, dtype=np.int32, out=ones_cnt[j])
         nz_pos = {int(p): j for j, p in enumerate(nz)}
     # rolling k-gram fingerprint array (global; a slice [start, start+len-K]
     # stays inside its page by construction)
