@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_stratified_sample": relational.documents_stratified_sample,
         "orders_in_top_customer_periods": relational.orders_in_top_customer_periods,
         "top_returned_revenue_customers": relational.top_returned_revenue_customers,
+        "regional_revenue_by_nation": relational.regional_revenue_by_nation,
         # --- windowed / temporal custom operators over events ---
         "user_sessions": sessions.user_sessions,
         "purchase_asof_click": sessions.purchase_asof_click,
@@ -389,6 +390,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_stratified_sample": relational.documents_stratified_sample_sql(),
         "orders_in_top_customer_periods": relational.orders_in_top_customer_periods_sql(),
         "top_returned_revenue_customers": relational.top_returned_revenue_customers_sql(),
+        "regional_revenue_by_nation": relational.regional_revenue_by_nation_sql(),
         "user_sessions": sessions.user_sessions_sql(),
         "purchase_asof_click": sessions.purchase_asof_click_sql(),
         "user_interarrival_stats": windows.user_interarrival_stats_sql(),

@@ -964,3 +964,114 @@ def top_returned_revenue_customers_sql(k: int = 20) -> str:
     GROUP BY c_custkey, c_name
     ORDER BY revenue DESC, c_custkey LIMIT {k}
     """
+
+
+def regional_revenue_by_nation(sf_dir: str, region: str = "ASIA") -> pa.Table:
+    """TPC-H Q5-style 5-way join: revenue within one region where the
+    ordering customer and the line's supplier share a nation.
+
+    Join-strategy mix by side size: region→nation→customer/supplier are
+    all broadcast dimensions (two int64-keyed searchsorted lookups per
+    batch — no shuffle); orders pre-filters to in-region customers and
+    carries the customer nation; lineitem ⋈ orders is the one real
+    shuffle (``Dataset.join``); the co-nation predicate and the bounded
+    per-nation aggregate run inside ``map_batches``. Exact int-cent
+    revenue mirrored in SQL."""
+    import ray
+
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    rk = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat_in = nat[nat["n_regionkey"].isin(rk)]
+    nation_name = dict(zip(nat_in["n_nationkey"].astype(int),
+                           nat_in["n_name"]))
+    nkeys = np.sort(nat_in["n_nationkey"].to_numpy().astype(np.int64))
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].astype(np.int64).isin(nkeys)]
+    ckeys = cust["c_custkey"].to_numpy().astype(np.int64)
+    cnation = cust["c_nationkey"].to_numpy().astype(np.int64)
+    order_c = np.argsort(ckeys)
+    ckeys, cnation = ckeys[order_c], cnation[order_c]
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    skeys = supp["s_suppkey"].to_numpy().astype(np.int64)
+    snation = supp["s_nationkey"].to_numpy().astype(np.int64)
+    order_s = np.argsort(skeys)
+    skeys, snation = skeys[order_s], snation[order_s]
+
+    import ray as _ray
+    cref = _ray.put((ckeys, cnation))
+    sref = _ray.put((skeys, snation))
+
+    def orders_in_region(t: pa.Table) -> pa.Table:
+        keys, nation_of = _ray.get(cref)
+        ok = t["o_custkey"].to_numpy()
+        pos = np.clip(np.searchsorted(keys, ok), 0, max(len(keys) - 1, 0))
+        hit = (keys[pos] == ok) if len(keys) else np.zeros(len(ok), bool)
+        t = t.filter(pa.array(hit))
+        pos = pos[hit]
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "c_nation": pa.array(nation_of[pos], pa.int64()),
+        })
+
+    orders = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(orders_in_region, batch_format="pyarrow")
+    )
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = li.join(orders, join_type="inner", num_partitions=n_parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def co_nation_partial(t: pa.Table) -> pa.Table:
+        keys, nation_of = _ray.get(sref)
+        sk = t["l_suppkey"].to_numpy()
+        pos = np.clip(np.searchsorted(keys, sk), 0, max(len(keys) - 1, 0))
+        hit = (keys[pos] == sk) if len(keys) else np.zeros(len(sk), bool)
+        snat = np.where(hit, nation_of[np.minimum(pos, max(len(keys) - 1, 0))], -1)
+        m = snat == t["c_nation"].to_numpy()
+        t = t.filter(pa.array(m))
+        ext = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        t2 = pa.table({
+            "nationkey": t["c_nation"],
+            "rev_i": _iunits(ext * (1.0 - disc) * 100.0, 100.0),
+            "n_lines": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        return t2.group_by("nationkey").aggregate(
+            [("rev_i", "sum"), ("n_lines", "sum")])
+
+    parts = joined.map_batches(co_nation_partial,
+                               batch_format="pyarrow").to_pandas()
+    g = parts.groupby("nationkey", as_index=False).sum()
+    out = pd.DataFrame({
+        "n_name": [nation_name[int(k)] for k in g["nationkey"]],
+        "revenue": g["rev_i_sum"].to_numpy() / 10000.0,
+        "n_lines": g["n_lines_sum"].astype("int64"),
+    }).sort_values(["revenue", "n_name"],
+                   ascending=[False, True]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def regional_revenue_by_nation_sql(region: str = "ASIA") -> str:
+    return f"""
+    SELECT n_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                               * 100.0 * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = '{region}' AND s_nationkey = c_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """

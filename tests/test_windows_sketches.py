@@ -142,3 +142,17 @@ def test_top_returned_revenue_customers_oracle():
 
     _assert_oracle_equal(top_returned_revenue_customers(SF, k=15),
                          top_returned_revenue_customers_sql(k=15))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_regional_revenue_by_nation_oracle():
+    from raycrawl.relational import (regional_revenue_by_nation,
+                                     regional_revenue_by_nation_sql)
+
+    TABLES.extend(["supplier", "nation", "region"])
+    try:
+        _assert_oracle_equal(regional_revenue_by_nation(SF, region="ASIA"),
+                             regional_revenue_by_nation_sql(region="ASIA"))
+    finally:
+        for t in ("supplier", "nation", "region"):
+            TABLES.remove(t)
