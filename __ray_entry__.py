@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windowed / temporal custom operators over events ---
         "user_sessions": sessions.user_sessions,
         "purchase_asof_click": sessions.purchase_asof_click,
+        "session_funnel": sessions.session_funnel,
         "user_interarrival_stats": windows.user_interarrival_stats,
         "events_type_rollup": windows.events_type_rollup,
         "events_pivot_by_type": windows.events_pivot_by_type,
@@ -393,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "regional_revenue_by_nation": relational.regional_revenue_by_nation_sql(),
         "user_sessions": sessions.user_sessions_sql(),
         "purchase_asof_click": sessions.purchase_asof_click_sql(),
+        "session_funnel": sessions.session_funnel_sql(),
         "user_interarrival_stats": windows.user_interarrival_stats_sql(),
         "events_type_rollup": windows.events_type_rollup_sql(),
         "events_pivot_by_type": windows.events_pivot_by_type_sql(),

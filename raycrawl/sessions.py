@@ -203,3 +203,89 @@ def purchase_asof_click_sql() -> str:
     FROM j WHERE rn = 1
     ORDER BY purchase_event_id
     """
+
+
+def session_funnel(sf_dir: str, gap_minutes: int = GAP_MINUTES) -> pa.Table:
+    """Within-session conversion funnel: of all sessions (same gap rule as
+    ``user_sessions``), how many contain a click, and how many convert —
+    a purchase strictly AFTER the session's first click in (ts, event_id)
+    order. Output is one global row, so the distributed shape is ideal:
+    one user_id hash shuffle, a vectorized per-user kernel emitting three
+    partial counts, and a driver sum. The conversion rate is one double
+    division mirrored verbatim in the oracle."""
+    gap_us = int(gap_minutes) * 60_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = _ts_us(g["ts"])
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, et = ts[order], et[order]
+        brk = np.ones(len(ts), dtype=bool)
+        brk[1:] = ts[1:] - ts[:-1] > gap_us
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(ts)]
+        is_click = et == "click"
+        is_purch = et == "purchase"
+        n_click = 0
+        n_conv = 0
+        for s, e in zip(starts, ends):
+            c = np.flatnonzero(is_click[s:e])
+            if len(c) == 0:
+                continue
+            n_click += 1
+            if np.any(is_purch[s:e][c[0] + 1:]):
+                n_conv += 1
+        return pa.table({
+            "n_sessions": pa.array([len(starts)], pa.int64()),
+            "n_with_click": pa.array([n_click], pa.int64()),
+            "n_converted": pa.array([n_conv], pa.int64()),
+        })
+
+    parts = (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ns = int(parts["n_sessions"].sum())
+    nc = int(parts["n_with_click"].sum())
+    nv = int(parts["n_converted"].sum())
+    import pandas as pd
+
+    out = pd.DataFrame({
+        "n_sessions": [ns], "n_with_click": [nc], "n_converted": [nv],
+        "conversion_rate": [float(nv) / nc if nc else 0.0],
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def session_funnel_sql(gap_minutes: int = GAP_MINUTES) -> str:
+    return f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER w AS rn,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {gap_minutes} * 60000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o),
+    per AS (
+      SELECT user_id, session_id,
+             min(CASE WHEN event_type = 'click' THEN rn END) AS first_click,
+             max(CASE WHEN event_type = 'purchase' THEN rn END) AS last_purchase
+      FROM s GROUP BY user_id, session_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(first_click) AS BIGINT) AS n_with_click,
+           CAST(count(CASE WHEN last_purchase > first_click THEN 1 END)
+                AS BIGINT) AS n_converted,
+           CAST(count(CASE WHEN last_purchase > first_click THEN 1 END)
+                AS DOUBLE)
+             / count(first_click) AS conversion_rate
+    FROM per
+    """

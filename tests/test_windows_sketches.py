@@ -156,3 +156,13 @@ def test_regional_revenue_by_nation_oracle():
     finally:
         for t in ("supplier", "nation", "region"):
             TABLES.remove(t)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_funnel_oracle():
+    from raycrawl.sessions import session_funnel, session_funnel_sql
+
+    got = session_funnel(SF)
+    _assert_oracle_equal(got, session_funnel_sql())
+    df = got.to_pandas()
+    assert df["n_converted"].iloc[0] <= df["n_with_click"].iloc[0] <= df["n_sessions"].iloc[0]
