@@ -51,8 +51,8 @@ def entry() -> Any:
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from raycrawl import (ann, dedup, multimodal, relational, sessions,
-                          sketches, textops, windows)
+    from raycrawl import (ann, dedup, multimodal, profiling, relational,
+                          sessions, sketches, textops, windows)
 
     def _demo_nodes():
         _ensure_demo()
@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textops.langid,
         "doc_fingerprints": textops.fingerprints,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "documents_profile": profiling.documents_profile,
         # --- dedup family ---
         "exact_dedup_groups": dedup.exact_dedup_groups,
         "minhash_neardup_pairs": dedup.minhash_neardup_pairs,
@@ -203,8 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    from raycrawl import (ann, dedup, multimodal, relational, sessions,
-                          textops, windows)
+    from raycrawl import (ann, dedup, multimodal, profiling, relational,
+                          sessions, textops, windows)
     from raycrawl.demo import edges_glob, nodes_glob
 
     _ensure_demo()
@@ -404,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": textops.langid_sql(),
         "doc_fingerprints": textops.fingerprints_sql(),
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
+        "documents_profile": profiling.documents_profile_sql(),
         "exact_dedup_groups": dedup.exact_dedup_sql(),
         "minhash_neardup_pairs": dedup.minhash_neardup_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),

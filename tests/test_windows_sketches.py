@@ -166,3 +166,10 @@ def test_session_funnel_oracle():
     _assert_oracle_equal(got, session_funnel_sql())
     df = got.to_pandas()
     assert df["n_converted"].iloc[0] <= df["n_with_click"].iloc[0] <= df["n_sessions"].iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_documents_profile_oracle():
+    from raycrawl.profiling import documents_profile, documents_profile_sql
+
+    _assert_oracle_equal(documents_profile(SF), documents_profile_sql())
