@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_in_top_customer_periods": relational.orders_in_top_customer_periods,
         "top_returned_revenue_customers": relational.top_returned_revenue_customers,
         "regional_revenue_by_nation": relational.regional_revenue_by_nation,
+        "events_ordered_page": relational.events_ordered_page,
         # --- windowed / temporal custom operators over events ---
         "user_sessions": sessions.user_sessions,
         "purchase_asof_click": sessions.purchase_asof_click,
@@ -393,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_in_top_customer_periods": relational.orders_in_top_customer_periods_sql(),
         "top_returned_revenue_customers": relational.top_returned_revenue_customers_sql(),
         "regional_revenue_by_nation": relational.regional_revenue_by_nation_sql(),
+        "events_ordered_page": relational.events_ordered_page_sql(),
         "user_sessions": sessions.user_sessions_sql(),
         "purchase_asof_click": sessions.purchase_asof_click_sql(),
         "session_funnel": sessions.session_funnel_sql(),

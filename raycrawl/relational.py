@@ -1075,3 +1075,29 @@ def regional_revenue_by_nation_sql(region: str = "ASIA") -> str:
     GROUP BY n_name
     ORDER BY revenue DESC, n_name
     """
+
+
+def events_ordered_page(sf_dir: str, limit: int = 50, offset: int = 100) -> pa.Table:
+    """Ordered pagination over a GLOBAL multi-key sort — the one wide
+    operator the other pipelines deliberately avoid (top-k rollups use
+    partial-top-k combiners instead). Here the full range-partitioned
+    `Dataset.sort((ts, event_id))` IS the point: ordered export is the
+    semantics, and `limit(offset+limit)` after a sort only materializes
+    leading blocks (streaming take). Offset slicing is driver-side on
+    ≤ offset+limit rows."""
+    out = (
+        _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+        .sort(["ts", "event_id"])
+        .limit(offset + limit)
+        .to_pandas()
+        .iloc[offset:]
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_ordered_page_sql(limit: int = 50, offset: int = 100) -> str:
+    return f"""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    ORDER BY ts, event_id LIMIT {limit} OFFSET {offset}
+    """

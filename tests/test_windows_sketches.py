@@ -173,3 +173,16 @@ def test_documents_profile_oracle():
     from raycrawl.profiling import documents_profile, documents_profile_sql
 
     _assert_oracle_equal(documents_profile(SF), documents_profile_sql())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_ordered_page_oracle():
+    from raycrawl.relational import events_ordered_page, events_ordered_page_sql
+
+    got = events_ordered_page(SF, limit=40, offset=25).to_pandas()
+    want = _duck(events_ordered_page_sql(limit=40, offset=25))
+    # ordered comparison — row ORDER is the semantics here, so compare
+    # positionally instead of canon-sorting
+    got["ts"] = got["ts"].astype("datetime64[us]")
+    want["ts"] = want["ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
