@@ -316,6 +316,37 @@ def enrich_pages(htmls: list) -> list:
     return out
 
 
+_TRACE: dict = {}
+
+
+def _trace_mark(stage: str, t0: float) -> float:
+    """Opt-in per-stage wall accounting (RAYCRAWL_TRACE_DIR set by the
+    driver/bench): accumulates per worker process, appended as one JSON
+    line per batch so a `cat | jq` can attribute big-round cost to
+    fetch/enrich/J1/assembly/offer-wait without guessing. Zero work when
+    the env var is unset."""
+    import time as _time
+
+    t1 = _time.perf_counter()
+    _TRACE[stage] = _TRACE.get(stage, 0.0) + (t1 - t0)
+    return t1
+
+
+def _trace_flush(n_rows: int) -> None:
+    import json as _json
+    import os as _os
+
+    d = _os.environ.get("RAYCRAWL_TRACE_DIR")
+    if not d or not _TRACE:
+        return
+    _os.makedirs(d, exist_ok=True)
+    rec = dict(pid=_os.getpid(), rows=n_rows,
+               **{k: round(v, 4) for k, v in _TRACE.items()})
+    with open(_os.path.join(d, f"trace-{_os.getpid()}.jsonl"), "a") as f:
+        f.write(_json.dumps(rec) + "\n")
+    _TRACE.clear()
+
+
 def fetch_expand_batch(
     batch: pa.Table,
     *,
@@ -364,6 +395,11 @@ def fetch_expand_batch(
 
     from raycrawl.fetch import corpus_key_strings
 
+    import os as _os
+    import time as _time
+
+    _tr = bool(_os.environ.get("RAYCRAWL_TRACE_DIR"))
+    _t = _time.perf_counter()
     khi, klo = hash128(corpus_key_strings(batch["name"], batch["http_type"]))
     fetched = [None] * n
     pages = [None] * n
@@ -380,8 +416,12 @@ def fetch_expand_batch(
             respect_robots=respect_robots,
             want_html=enrich,
         )
+    if _tr:
+        _t = _trace_mark("fetch_loop", _t)
     if enrich:
         pages = enrich_pages([f[4] for f in fetched])
+    if _tr:
+        _t = _trace_mark("enrich", _t)
 
     # J1 for the whole batch in one vectorized membership query
     flat: list[str] = []
@@ -392,6 +432,8 @@ def fetch_expand_batch(
         seen_mask = router.contains(hi, lo)
     else:
         seen_mask = np.empty(0, dtype=bool)
+    if _tr:
+        _t = _trace_mark("j1_contains", _t)
 
     # ---- children, fully vectorized (the per-CHILD volume is branching ×
     # the per-PARENT volume, so no Python work may scale with it) ----
@@ -470,58 +512,70 @@ def fetch_expand_batch(
                 }
             )
 
-    # ---- parent lifecycle rows (one per frontier row — Python loop is
-    # bounded by the frontier, not the branching) ----
-    P: dict[str, list] = {f.name: [] for f in ROUND_OUT_SCHEMA}
+    # ---- parent lifecycle rows, fully vectorized (one per frontier
+    # row; the per-row Python loop here measured ~27% of total task time
+    # at 2.1M parents — status resolution is mask algebra, every column
+    # is either reused zero-copy from the input batch or built in one
+    # pa.array call) ----
+    status_np = np.array([f[0] for f in fetched], dtype=np.int64)
+    elapsed_all = np.array([f[1] for f in fetched], dtype=np.float64)
+    att_in = np.array([int(a or 0) for a in attempts], dtype=np.int64)
+    attempt_np = att_in + 1
 
-    def parent_row(i, pid, status_code, elapsed, pstat, att, feats):
-        P["row_type"].append("parent")
-        P["crawl_id"].append(crawl_ids[i])
-        P["name"].append(names[i])
-        P["http_type"].append(protos[i])
-        P["node_id"].append(pid)
-        P["depth"].append(depths[i])
-        P["requested_depth"].append(reqd[i])
-        P["attempts"].append(att)
-        P["status"].append(pstat)
-        P["ip"].append("")
-        P["domain"].append("")
-        P["request_time_ms"].append(elapsed)
-        P["parent_id"].append("")
-        P["fetch_status"].append(status_code)
-        P["round"].append(round_no)
-        P["n_tokens"].append(feats["n_tokens"])
-        P["quality"].append(feats["quality"])
-        P["simhash"].append(feats["simhash"])
-        P["fingerprint"].append(feats["fingerprint"])
-        P["minhash0"].append(feats["minhash0"])
-        P["lang_pred"].append(feats["lang_pred"])
+    ok = status_np == sim.STATUS_OK
+    robots = status_np == STATUS_ROBOTS
+    permanent = (status_np >= 400) & (status_np < 500)  # sim.is_permanent_failure
+    exhausted = attempt_np >= max_attempts
+    # every new link DNS-dropped -> FAILED (job.rs:325-343)
+    dns_failed = ok & (n_new > 0) & (n_children == 0)
 
-    for i in range(n):
-        name, proto = names[i], protos[i]
-        pid = proto + name
-        status, elapsed = fetched[i][0], fetched[i][1]
-        attempt = int(attempts[i] or 0) + 1
-        feats = pages[i] or _NO_ENRICH
-        if status != sim.STATUS_OK:
-            if status == STATUS_ROBOTS:
-                pstat, att = "ROBOTS_BLOCKED", attempt - 1
-            elif sim.is_permanent_failure(status):
-                pstat, att = "FAILED", attempt          # job.rs:126-128
-            elif attempt >= max_attempts:
-                pstat, att = "FAILED", attempt          # job.rs:108-115
-            else:
-                pstat, att = "PENDING", attempt         # re-enqueue, job.rs:117-121
-            parent_row(i, pid, status, elapsed, pstat, att, feats)
-            continue
-        # success does NOT bump attempts (validate_job increments only on
-        # error; COMPLETED stores the old counter — job.rs:104-121)
-        att = attempt - 1
-        if n_new[i] > 0 and n_children[i] == 0:
-            # every new link was DNS-dropped → FAILED (job.rs:325-343)
-            parent_row(i, pid, status, elapsed, "FAILED", att, feats)
-        else:
-            parent_row(i, pid, status, elapsed, "COMPLETED", att, feats)
+    pstat = np.where(
+        ok, np.where(dns_failed, "FAILED", "COMPLETED"),
+        np.where(robots, "ROBOTS_BLOCKED",
+                 np.where(permanent | exhausted, "FAILED", "PENDING")))
+    # success/robots do NOT bump attempts (validate_job increments only on
+    # error; COMPLETED stores the old counter -- job.rs:104-121)
+    att_np = np.where(ok | robots, attempt_np - 1, attempt_np)
+
+    feat_names = ("n_tokens", "quality", "simhash", "fingerprint",
+                  "minhash0", "lang_pred")
+    if enrich:
+        feat_cols = {k: [p[k] if p is not None else None for p in pages]
+                     for k in feat_names}
+    else:
+        feat_cols = {k: [None] * n for k in feat_names}
+
+    pid_col = pc_.binary_join_element_wise(
+        batch["http_type"].combine_chunks(),
+        batch["name"].combine_chunks(), "")
+    empty_str = pa.array([""] * n, pa.string())
+    parents_tbl = pa.table(
+        {
+            "row_type": pa.array(["parent"] * n, pa.string()),
+            "crawl_id": batch["crawl_id"].combine_chunks(),
+            "name": batch["name"].combine_chunks(),
+            "http_type": batch["http_type"].combine_chunks(),
+            "node_id": pid_col,
+            "depth": batch["depth"].combine_chunks().cast(pa.int32()),
+            "requested_depth":
+                batch["requested_depth"].combine_chunks().cast(pa.int32()),
+            "attempts": pa.array(att_np, pa.int32()),
+            "status": pa.array(pstat.tolist(), pa.string()),
+            "ip": empty_str,
+            "domain": empty_str,
+            "request_time_ms": pa.array(elapsed_all, pa.float64()),
+            "parent_id": empty_str,
+            "fetch_status": pa.array(status_np, pa.int32()),
+            "round": pa.array(np.full(n, round_no, np.int32()), pa.int32()),
+            "n_tokens": pa.array(feat_cols["n_tokens"], pa.int32()),
+            "quality": pa.array(feat_cols["quality"], pa.float64()),
+            "simhash": pa.array(feat_cols["simhash"], pa.uint64()),
+            "fingerprint": pa.array(feat_cols["fingerprint"], pa.uint64()),
+            "minhash0": pa.array(feat_cols["minhash0"], pa.uint64()),
+            "lang_pred": pa.array(feat_cols["lang_pred"], pa.string()),
+        },
+        schema=ROUND_OUT_SCHEMA,
+    ) if n else None
 
     offer_refs = []
     if child_tbl is not None:
@@ -535,13 +589,8 @@ def fetch_expand_batch(
         # task doesn't finish until the refs resolve.
         offer_refs = router.offer(ohi, olo, child_tbl)
 
-    parents_tbl = None
-    if P["row_type"]:
-        parents_tbl = pa.table(
-            {f.name: pa.array(P[f.name], f.type) for f in ROUND_OUT_SCHEMA},
-            schema=ROUND_OUT_SCHEMA,
-        )
-
+    if _tr:
+        _t = _trace_mark("assemble", _t)
     tables = []
     if parents_tbl is not None:
         tables.append(parents_tbl)
@@ -553,6 +602,9 @@ def fetch_expand_batch(
         import ray
 
         ray.get(offer_refs)
+    if _tr:
+        _trace_mark("offer_wait", _t)
+        _trace_flush(n)
 
     if not tables:
         return ROUND_OUT_SCHEMA.empty_table()
