@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_interarrival_stats": windows.user_interarrival_stats,
         "events_type_rollup": windows.events_type_rollup,
         "events_pivot_by_type": windows.events_pivot_by_type,
+        "events_daily_cumulative": windows.events_daily_cumulative,
         "events_user_hll": sketches.events_user_hll,       # rows-only (approx sketch)
         # --- text analysis over documents ---
         "token_stats_by_lang": textops.token_stats_by_lang,
@@ -401,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "user_interarrival_stats": windows.user_interarrival_stats_sql(),
         "events_type_rollup": windows.events_type_rollup_sql(),
         "events_pivot_by_type": windows.events_pivot_by_type_sql(),
+        "events_daily_cumulative": windows.events_daily_cumulative_sql(),
         "token_stats_by_lang": textops.token_stats_by_lang_sql(),
         "lang_source_distribution": textops.lang_source_distribution_sql(),
         "quality_scores": textops.quality_scores_sql(),

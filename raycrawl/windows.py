@@ -209,3 +209,70 @@ def events_pivot_by_type_sql() -> str:
                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vi FROM events)
     GROUP BY 1 ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# cumulative window: running totals over the daily rollup
+# ---------------------------------------------------------------------------
+
+def events_daily_cumulative(sf_dir: str) -> pa.Table:
+    """Running (cumulative) daily totals per event_type — the unbounded-
+    preceding window-frame flavor (`SUM OVER (ORDER BY day)`), completing
+    the window family next to the bounded moving average. Same plan shape
+    as events_hourly_moving_avg: the distributed part is the bounded-grain
+    daily rollup (partial agg, zero shuffle); the cumulative pass runs over
+    days × types rows, so it is driver-side by design at any data scale.
+    Sums stay int64 cents until the single final division."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        t2 = pa.table({
+            "event_type": t["event_type"],
+            "day": day,
+            "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "val_i": _iunits(t["value"].to_numpy(), 100.0),
+        })
+        return t2.group_by(["event_type", "day"]).aggregate(
+            [("n_events", "sum"), ("val_i", "sum")])
+
+    parts = (
+        _t(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = (parts.groupby(["event_type", "day"], as_index=False).sum()
+         .sort_values(["event_type", "day"]).reset_index(drop=True))
+    vi = g["val_i_sum"].to_numpy()
+    ne = g["n_events_sum"].to_numpy()
+    cum_vi = np.empty(len(g), dtype=np.int64)
+    cum_ne = np.empty(len(g), dtype=np.int64)
+    for _, idx in g.groupby("event_type").indices.items():
+        cum_vi[idx] = vi[idx].cumsum()
+        cum_ne[idx] = ne[idx].cumsum()
+    out = pd.DataFrame({
+        "event_type": g["event_type"],
+        "day": g["day"],
+        "n_events": ne.astype(np.int64),
+        "sum_value": vi / 100.0,
+        "cum_events": cum_ne,
+        "cum_value": cum_vi / 100.0,
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_daily_cumulative_sql() -> str:
+    return """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS val_i
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, n_events,
+           CAST(val_i AS DOUBLE) / 100.0 AS sum_value,
+           CAST(sum(n_events) OVER w AS BIGINT) AS cum_events,
+           CAST(sum(val_i) OVER w AS DOUBLE) / 100.0 AS cum_value
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)
+    ORDER BY event_type, day
+    """

@@ -186,3 +186,16 @@ def test_events_ordered_page_oracle():
     got["ts"] = got["ts"].astype("datetime64[us]")
     want["ts"] = want["ts"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_daily_cumulative_oracle():
+    from raycrawl.windows import (events_daily_cumulative,
+                                  events_daily_cumulative_sql)
+
+    got = events_daily_cumulative(SF)
+    _assert_oracle_equal(got, events_daily_cumulative_sql())
+    df = got.to_pandas()
+    # last cumulative row per type equals that type's total
+    for _, g in df.groupby("event_type"):
+        assert g["cum_events"].iloc[-1] == g["n_events"].sum()
