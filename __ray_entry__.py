@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_returned_revenue_customers": relational.top_returned_revenue_customers,
         "regional_revenue_by_nation": relational.regional_revenue_by_nation,
         "events_ordered_page": relational.events_ordered_page,
+        "revenue_by_brand": relational.revenue_by_brand,
         # --- windowed / temporal custom operators over events ---
         "user_sessions": sessions.user_sessions,
         "purchase_asof_click": sessions.purchase_asof_click,
@@ -396,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "top_returned_revenue_customers": relational.top_returned_revenue_customers_sql(),
         "regional_revenue_by_nation": relational.regional_revenue_by_nation_sql(),
         "events_ordered_page": relational.events_ordered_page_sql(),
+        "revenue_by_brand": relational.revenue_by_brand_sql(),
         "user_sessions": sessions.user_sessions_sql(),
         "purchase_asof_click": sessions.purchase_asof_click_sql(),
         "session_funnel": sessions.session_funnel_sql(),

@@ -1101,3 +1101,66 @@ def events_ordered_page_sql(limit: int = 50, offset: int = 100) -> str:
     SELECT event_id, ts, user_id, event_type, value FROM events
     ORDER BY ts, event_id LIMIT {limit} OFFSET {offset}
     """
+
+
+def revenue_by_brand(sf_dir: str) -> pa.Table:
+    """lineitem ⋈ part by partkey with the part dimension broadcast
+    (sorted-key searchsorted per batch — the fact table never shuffles),
+    rolled up to exact int-cent revenue per brand. The dimension is
+    sf-bounded; at the design point the same plan holds as long as the
+    (partkey → brand-ordinal) pair array fits a worker heap (~16 B/part),
+    else it becomes a Dataset.join like order_lineitem_join_stats."""
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    brands = np.sort(part["p_brand"].unique())
+    bidx = {b: i for i, b in enumerate(brands)}
+    keys = part["p_partkey"].to_numpy().astype(np.int64)
+    bord = part["p_brand"].map(bidx).to_numpy().astype(np.int64)
+    order = np.argsort(keys)
+    keys, bord = keys[order], bord[order]
+    ref = ray.put((keys, bord))
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, b = ray.get(ref)
+        pk = t["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(k, pk), 0, max(len(k) - 1, 0))
+        hit = (k[pos] == pk) if len(k) else np.zeros(len(pk), bool)
+        ext = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        rev = _iunits(ext * (1.0 - disc) * 100.0, 100.0).to_numpy()
+        nb = len(brands)
+        bo = b[pos[hit]]
+        return pa.table({
+            "bord": pa.array(np.arange(nb, dtype=np.int64)),
+            "rev_i": pa.array(np.bincount(bo, weights=rev[hit],
+                                          minlength=nb).astype(np.int64)),
+            "n_lines": pa.array(np.bincount(bo, minlength=nb).astype(np.int64)),
+        })
+
+    parts = (
+        _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = parts.groupby("bord", as_index=False).sum()
+    out = pd.DataFrame({
+        "p_brand": brands[g["bord"].to_numpy()],
+        "revenue": g["rev_i"].to_numpy() / 10000.0,
+        "n_lines": g["n_lines"].astype("int64"),
+    })
+    out = out[out["n_lines"] > 0].sort_values("p_brand").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def revenue_by_brand_sql() -> str:
+    return """
+    SELECT p_brand,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                               * 100.0 * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand
+    """

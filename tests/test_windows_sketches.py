@@ -199,3 +199,14 @@ def test_events_daily_cumulative_oracle():
     # last cumulative row per type equals that type's total
     for _, g in df.groupby("event_type"):
         assert g["cum_events"].iloc[-1] == g["n_events"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_revenue_by_brand_oracle():
+    from raycrawl.relational import revenue_by_brand, revenue_by_brand_sql
+
+    TABLES.append("part")
+    try:
+        _assert_oracle_equal(revenue_by_brand(SF), revenue_by_brand_sql())
+    finally:
+        TABLES.remove("part")
