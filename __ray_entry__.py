@@ -132,6 +132,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return round_counters(demo_ckpts()[0])
 
+    def crawl_rounds_moving_avg(_sf):
+        # streaming/event-time lane over the crawl itself: trailing-window
+        # aggregate on the watermark-cursor round stream
+        _ensure_demo()
+        from raycrawl.demo import demo_ckpts
+        from raycrawl.live import rounds_moving_avg
+
+        return rounds_moving_avg(demo_ckpts()[0])
+
     return {
         # --- crawl read-side (A1-A4, S5 — SURVEY §2.5, §2.1) ---
         "crawl_progress": crawl_progress,
@@ -145,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_domain_rollup": domain_rollup,
         "crawl_progress_live": crawl_progress_live,    # A5/M10 IN-PROGRESS
         "crawl_round_counters": crawl_round_counters,  # A5 metrics stream
+        "crawl_rounds_moving_avg": crawl_rounds_moving_avg,  # §2.9 stream window
         # --- relational operator coverage over sf views ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -367,6 +377,22 @@ def oracle_sql() -> dict[str, str]:
     WHERE round >= 1 ORDER BY round
     """
 
+    # trailing 3-round window over the round stream: integer window sums +
+    # one double division, mirroring live.rounds_moving_avg bit-for-bit
+    crawl_rounds_moving_avg = f"""
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(nodes_created AS BIGINT) AS nodes_created,
+           CAST(sum(nodes_created) OVER w AS BIGINT) AS win_sum,
+           CAST(CAST(sum(nodes_created) OVER w AS BIGINT) AS DOUBLE)
+             / (count(*) OVER w) AS moving_avg,
+           CAST(sum(nodes_created) OVER (ORDER BY round) AS BIGINT) AS cum_nodes
+    FROM read_json_auto('{counters_glob}', union_by_name = true,
+                        hive_partitioning = false)
+    WHERE round >= 1
+    WINDOW w AS (ORDER BY round ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY round
+    """
+
     return {
         "crawl_progress": crawl_progress,
         "crawl_list": crawl_list,
@@ -379,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_domain_rollup": domain_rollup,
         "crawl_progress_live": crawl_progress_live,
         "crawl_round_counters": crawl_round_counters,
+        "crawl_rounds_moving_avg": crawl_rounds_moving_avg,
         "q1_pricing_summary": relational.q1_oracle_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "top_customers_by_spend": relational.top_customers_sql(),

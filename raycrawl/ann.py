@@ -170,6 +170,35 @@ def _accept_set(qsig: int, probe_hamming: int) -> set[int]:
     return accept
 
 
+def _index_tag(sf_dir: str) -> str:
+    """Cache key for persisted indexes over ``embeddings.parquet``: path +
+    CONTENT identity (size + mtime_ns + row count), so regenerating the
+    dataset at the same path can never serve a stale index (ADVICE r2)."""
+    import hashlib
+
+    import pyarrow.parquet as pq_
+
+    path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(path)
+    rows = pq_.ParquetFile(path).metadata.num_rows
+    raw = f"{path}|{st.st_size}|{st.st_mtime_ns}|{rows}"
+    return hashlib.md5(raw.encode()).hexdigest()[:16]
+
+
+def _commit_index(tmp: str, out: str) -> bool:
+    """Atomic publish: rename the fully-built temp dir into place. Two
+    concurrent builders race on the rename; the loser discards its copy
+    (the winner's content-keyed index is equivalent)."""
+    import shutil
+
+    try:
+        os.rename(tmp, out)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
 def ensure_lsh_index(sf_dir: str,
                      out_root: str = "/tmp/raycrawl_lsh") -> str:
     """Build (once, cached) the PERSISTED signature index: the embeddings
@@ -177,17 +206,13 @@ def ensure_lsh_index(sf_dir: str,
     per random-hyperplane bucket. A query then READS only its candidate
     buckets — pruning happens at the file listing, so query cost scales
     with bucket size, not corpus size (the property a full-scan LSH
-    lacks). One streaming pass to build; no driver materialization."""
-    import hashlib
-    import shutil
-
-    import ray.data as rd
-
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join(out_root, f"{tag}_p{_N_PLANES}")
+    lacks). One streaming pass to build; no driver materialization.
+    Content-keyed cache + build-into-temp + atomic rename."""
+    out = os.path.join(out_root, f"{_index_tag(sf_dir)}_p{_N_PLANES}")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
-    shutil.rmtree(out, ignore_errors=True)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
 
     def add_sig(t: pa.Table) -> pa.Table:
         m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
@@ -197,10 +222,11 @@ def ensure_lsh_index(sf_dir: str,
     (
         _t(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(add_sig, batch_format="pyarrow")
-        .write_parquet(out, partition_cols=["sig"])
+        .write_parquet(tmp, partition_cols=["sig"])
     )
-    with open(os.path.join(out, "_SUCCESS"), "w") as f:
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
+    _commit_index(tmp, out)
     return out
 
 
@@ -298,19 +324,16 @@ def ensure_ivf_index(sf_dir: str, n_centroids: int = 16,
     materialization), then one streaming assign pass writing the corpus as
     hive-partitioned Parquet, one ``cell=N/`` directory per centroid.
     Queries read only their ``nprobe`` nearest cells — pruning at the file
-    listing, like ensure_lsh_index. Returns (index_dir, centroids)."""
-    import hashlib
-    import shutil
-
+    listing, like ensure_lsh_index. Returns (index_dir, centroids).
+    Content-keyed cache + build-into-temp + atomic rename (ADVICE r2)."""
     import pyarrow.parquet as pq_
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join(out_root, f"{tag}_c{n_centroids}")
+    out = os.path.join(out_root, f"{_index_tag(sf_dir)}_c{n_centroids}")
     cfile = os.path.join(out, "centroids.npy")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out, np.load(cfile)
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     total = pq_.ParquetFile(path).metadata.num_rows
@@ -327,7 +350,7 @@ def ensure_ivf_index(sf_dir: str, n_centroids: int = 16,
     )
     sample = _normalize(np.stack(sample_tbl["embedding"].to_numpy()).astype(np.float64))
     C = _kmeans_centroids(sample, n_centroids)
-    np.save(cfile, C)
+    np.save(os.path.join(tmp, "centroids.npy"), C)
 
     def assign_cell(t: pa.Table) -> pa.Table:
         m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
@@ -337,11 +360,12 @@ def ensure_ivf_index(sf_dir: str, n_centroids: int = 16,
     (
         _t(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(assign_cell, batch_format="pyarrow")
-        .write_parquet(out, partition_cols=["cell"])
+        .write_parquet(tmp, partition_cols=["cell"])
     )
-    with open(os.path.join(out, "_SUCCESS"), "w") as f:
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
-    return out, C
+    _commit_index(tmp, out)
+    return out, np.load(cfile)
 
 
 def ivf_topk(sf_dir: str, query_id: int = 0, k: int = 20,

@@ -127,21 +127,35 @@ def ensure_partitioned_corpus(corpus_dir: str, n_parts: int = 32,
     plus ``meta.json`` (n_parts, num_rows). This is the on-disk shape the
     100 TB deployment keeps its page store in; at test scale we derive it
     from the flat pages.parquet."""
+    from raycrawl.kernels import HASH128_VERSION
+
+    # cache key carries the partitioning-hash version: a (never-expected)
+    # hash128 definition change must invalidate the layout, not serve pages
+    # from the wrong partition
     tag = hashlib.md5(os.path.abspath(corpus_dir).encode()).hexdigest()[:12]
-    out = os.path.join(out_root, f"{tag}_p{n_parts}")
+    out = os.path.join(out_root, f"{tag}_p{n_parts}_h{HASH128_VERSION}")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
-    os.makedirs(out, exist_ok=True)
+    # build into a temp dir + atomic rename so two concurrent builders
+    # can't interleave partial writes
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     table = build_fetch_corpus(corpus_dir)
     part = host_partition_ids(table["name"], n_parts)
     for p in range(n_parts):
         idx = np.flatnonzero(part == p)
         pq.write_table(table.take(pa.array(idx, pa.int64())),
-                       os.path.join(out, f"part-{p:03d}.parquet"))
-    with open(os.path.join(out, "meta.json"), "w") as f:
+                       os.path.join(tmp, f"part-{p:03d}.parquet"))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(dict(n_parts=n_parts, num_rows=table.num_rows), f)
-    with open(os.path.join(out, "_SUCCESS"), "w") as f:
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost the race — the winner's layout is equivalent
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

@@ -129,10 +129,9 @@ _LANGID_CHARS = 1024    # language-ID window (chars)
 
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:
-    from raycrawl.kernels import hash128
+    from raycrawl.kernels import token_hash64
 
-    hi, _ = hash128(tokens)
-    return hi
+    return token_hash64(tokens)
 
 
 def enrich_page(html_text: str) -> dict:
@@ -203,7 +202,7 @@ _NO_ENRICH = dict(n_tokens=None, quality=None, simhash=None,
 def enrich_pages(htmls: list) -> list:
     """Batched ``enrich_page``: identical outputs (asserted by pytest), one
     order of magnitude fewer hash calls. ALL pages' token windows hash in
-    ONE ``hash128`` call; simhash/rolling-fingerprint/minhash-lane arrays
+    ONE ``token_hash64`` call; simhash/fingerprint/minhash-lane arrays
     are computed globally and reduced per page with C-level slice ops —
     the per-page Python that remains is tag-strip/split/regex (the
     irreducible parse) and the tiny quality/langid scalars.
@@ -211,7 +210,6 @@ def enrich_pages(htmls: list) -> list:
     ``htmls[i] is None`` (failed fetch / enrich off) → ``None`` out.
     """
     from raycrawl.dedup import _MERSENNE, _PERM_A, _PERM_B
-    from raycrawl.kernels import hash128
     from raycrawl.textops import _LANG_HINTS, STOPWORDS, WORD_RE
 
     n = len(htmls)
@@ -229,7 +227,9 @@ def enrich_pages(htmls: list) -> list:
 
     flat = [tok for w in windows for tok in w]
     if flat:
-        th_all, _ = hash128(flat)
+        from raycrawl.kernels import token_hash64
+
+        th_all = token_hash64(flat)
     else:
         th_all = np.empty(0, dtype=np.uint64)
     T = len(th_all)
@@ -524,7 +524,8 @@ def fetch_expand_batch(
 
     ok = status_np == sim.STATUS_OK
     robots = status_np == STATUS_ROBOTS
-    permanent = (status_np >= 400) & (status_np < 500)  # sim.is_permanent_failure
+    permanent = ((status_np >= sim.PERMANENT_FAILURE_LO)
+                 & (status_np < sim.PERMANENT_FAILURE_HI))
     exhausted = attempt_np >= max_attempts
     # every new link DNS-dropped -> FAILED (job.rs:325-343)
     dns_failed = ok & (n_new > 0) & (n_children == 0)
@@ -582,12 +583,19 @@ def fetch_expand_batch(
         ohi, olo = hash128(child_tbl["node_id"])
         phash, _ = hash128(child_tbl["parent_id"])
         child_tbl = child_tbl.append_column("phash", pa.array(phash, pa.uint64()))
+        # task-identity salt for the shard replay guard: a fold over THIS
+        # task's frontier rows — identical on a Ray task retry, distinct
+        # across tasks (frontier rows are round-unique winners, so two
+        # tasks' row sets are disjoint). Keeps the guard from eating a
+        # legitimate identical offer from a different task (ADVICE r2).
+        salt = int(np.bitwise_xor.reduce(khi) ^ np.uint64(n)
+                   ^ (np.uint64(khi[0]) if n else np.uint64(0)))
         # every child row ships to its shard: the shard both resolves node
         # winners AND writes the round's edge partition (each row is a Lead
         # edge). Fired now, awaited at the end — overlaps actor processing
         # with output assembly; the round barrier stays correct because the
         # task doesn't finish until the refs resolve.
-        offer_refs = router.offer(ohi, olo, child_tbl)
+        offer_refs = router.offer(ohi, olo, child_tbl, salt)
 
     if _tr:
         _t = _trace_mark("assemble", _t)

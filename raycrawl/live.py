@@ -102,6 +102,46 @@ def round_counters(ckpt_dir: str):
     return rd.from_arrow(table)
 
 
+def rounds_moving_avg(ckpt_dir: str, window: int = 3) -> pa.Table:
+    """Event-time window over the crawl's OWN round stream (the §2.9
+    streaming lane applied to the engine itself): every committed round is
+    a watermark tick of the incrementally-growing counters Dataset; per
+    round cursor the query reports the trailing ``window``-round sum /
+    moving average and the running total of ``nodes_created``. Committed
+    round dirs are immutable, so a monitor re-issuing this at each tick
+    gets strictly-appended rows — the incremental-recompute property a
+    streaming window needs. Exactness: integer window sums + ONE
+    correctly-rounded double division, mirrored verbatim in the oracle
+    SQL (sum OVER w / count OVER w), so the driver's value hash matches
+    bit-for-bit."""
+    import numpy as np
+
+    t = round_counters(ckpt_dir).to_pandas()  # ≤ max_crawl_depth rows
+    if len(t) == 0:
+        return pa.table({
+            "round": pa.array([], pa.int64()),
+            "nodes_created": pa.array([], pa.int64()),
+            "win_sum": pa.array([], pa.int64()),
+            "moving_avg": pa.array([], pa.float64()),
+            "cum_nodes": pa.array([], pa.int64()),
+        })
+    t = t.sort_values("round")
+    nc = t["nodes_created"].to_numpy().astype(np.int64)
+    cum = np.cumsum(nc)
+    prev = np.concatenate([np.zeros(min(window, len(cum)), np.int64),
+                           cum[:-window] if len(cum) > window else
+                           np.empty(0, np.int64)])[:len(cum)]
+    win_sum = cum - prev
+    n_in_w = np.minimum(np.arange(len(nc)) + 1, window)
+    return pa.table({
+        "round": pa.array(t["round"].to_numpy().astype(np.int64)),
+        "nodes_created": pa.array(nc),
+        "win_sum": pa.array(win_sum),
+        "moving_avg": pa.array(win_sum / n_in_w, pa.float64()),
+        "cum_nodes": pa.array(cum),
+    })
+
+
 def progress_stream(ckpt_dir: str, crawl_id: str, interval_s: float = 2.0,
                     max_polls: int | None = None):
     """Generator yielding ``live_progress`` dicts until the crawl leaves the

@@ -560,24 +560,20 @@ def parts_by_brand_sql() -> str:
 
 
 def _events_group_topk(t: pa.Table, k: int) -> pa.Table:
-    """Vectorized per-group top-k of one table: lexsort by (user, -value,
-    event_id), rank-within-group via group-start subtraction, keep rank<k.
-    C-speed regardless of group count — no Python per-group loop."""
+    """Per-user top-k by (value DESC, event_id): the shared
+    ``group_ranked_head`` kernel over this table's columns."""
+    from raycrawl.kernels import group_ranked_head
+
     uid = t["user_id"].to_numpy()
     val = t["value"].to_numpy()
     eid = t["event_id"].to_numpy()
-    order = np.lexsort((eid, -val, uid))
-    u, v, e = uid[order], val[order], eid[order]
-    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-    lens = np.diff(np.r_[starts, len(u)])
-    rank = np.arange(len(u)) - np.repeat(starts, lens)
-    keep = rank < k
+    idx, rnk = group_ranked_head(uid, (eid, -val), k)
     return pa.table(
         {
-            "user_id": pa.array(u[keep], pa.int64()),
-            "rnk": pa.array(rank[keep] + 1, pa.int64()),
-            "event_id": pa.array(e[keep], pa.int64()),
-            "value": pa.array(v[keep], pa.float64()),
+            "user_id": pa.array(uid[idx], pa.int64()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "event_id": pa.array(eid[idx], pa.int64()),
+            "value": pa.array(val[idx], pa.float64()),
         }
     )
 
@@ -671,17 +667,21 @@ def customers_without_urgent_orders_sql() -> str:
 
 def documents_hash_sample(sf_dir: str, pct: int = 20) -> pa.Table:
     """Deterministic hash sampling: keep a document iff
-    (doc_id * 2654435761) % 2^32 < 2^32 × pct/100 (Knuth multiplicative
-    hash). Embarrassingly parallel — a stateless per-batch filter, stable
-    across runs, partitionings and cluster sizes, and exactly mirrored in
-    SQL. int64 arithmetic is overflow-safe for doc_id < 2^31 (the driver
-    tables); at larger id spaces the constant folds into uint64 wraparound
-    on the Ray side and hugeint on the oracle side."""
-    thresh = np.int64((np.uint64(1) << np.uint64(32)) * pct // 100)
+    ((doc_id % 2^32) * 2654435761) % 2^32 < 2^32 × pct/100 (Knuth
+    multiplicative hash). Embarrassingly parallel — a stateless per-batch
+    filter, stable across runs, partitionings and cluster sizes, and
+    exactly mirrored in SQL. The id is reduced mod 2^32 BEFORE the
+    multiply — algebraically identical mod 2^32, and it keeps the product
+    under 2^63.9 so numpy uint64 never wraps and the oracle's HUGEINT
+    never overflows: both sides are exact for every doc_id < 2^63
+    (ADVICE r2: the old int64 form diverged from the oracle above
+    ~3.47e9)."""
+    thresh = np.uint64((1 << 32) * pct // 100)
+    mod32 = np.uint64(1 << 32)
 
     def pick(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        h = (ids * np.int64(2654435761)) % np.int64(1 << 32)
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        h = ((ids % mod32) * np.uint64(2654435761)) % mod32
         return t.filter(pa.array(h < thresh))
 
     out = (
@@ -756,7 +756,8 @@ def documents_hash_sample_sql(pct: int = 20) -> str:
     thresh = (1 << 32) * pct // 100
     return f"""
     SELECT doc_id, lang, source, n_chars FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296 < {thresh}
+    WHERE (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296
+          < {thresh}
     ORDER BY doc_id
     """
 
@@ -774,20 +775,19 @@ def documents_stratified_sample(sf_dir: str, per_lang: int = 40) -> pa.Table:
     SQL (ROW_NUMBER OVER (PARTITION BY lang ORDER BY hash, doc_id))."""
 
     def bottomk(t: pa.Table, k: int) -> pa.Table:
+        from raycrawl.kernels import group_ranked_head
+
         lang = t["lang"].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy()
-        h = (ids * np.int64(2654435761)) % np.int64(1 << 32)
-        order = np.lexsort((ids, h, lang))
-        lg, hh, ii = lang[order], h[order], ids[order]
-        nc = t["n_chars"].to_numpy()[order]
-        starts = np.flatnonzero(np.r_[True, lg[1:] != lg[:-1]])
-        lens = np.diff(np.r_[starts, len(lg)])
-        rank = np.arange(len(lg)) - np.repeat(starts, lens)
-        keep = rank < k
+        # same pre-reduced Knuth hash as documents_hash_sample: exact (and
+        # oracle-equal) for every doc_id < 2^63
+        h = ((ids.astype(np.uint64) % np.uint64(1 << 32))
+             * np.uint64(2654435761)) % np.uint64(1 << 32)
+        idx, _ = group_ranked_head(lang, (ids, h), k)
         return pa.table({
-            "lang": pa.array(lg[keep], pa.string()),
-            "doc_id": pa.array(ii[keep], pa.int64()),
-            "n_chars": pa.array(nc[keep], pa.int64()),
+            "lang": pa.array(lang[idx], pa.string()),
+            "doc_id": pa.array(ids[idx], pa.int64()),
+            "n_chars": pa.array(t["n_chars"].to_numpy()[idx], pa.int64()),
         })
 
     out = (
@@ -808,7 +808,8 @@ def documents_stratified_sample_sql(per_lang: int = 40) -> str:
       SELECT lang, doc_id, n_chars,
              ROW_NUMBER() OVER (
                PARTITION BY lang
-               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rnk
+               ORDER BY (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                        % 4294967296, doc_id) AS rnk
       FROM documents) WHERE rnk <= {per_lang}
     ORDER BY lang, doc_id
     """
@@ -1132,10 +1133,13 @@ def revenue_by_brand(sf_dir: str) -> pa.Table:
         rev = _iunits(ext * (1.0 - disc) * 100.0, 100.0).to_numpy()
         nb = len(brands)
         bo = b[pos[hit]]
+        # int64 accumulation via np.add.at — bincount weights sum in
+        # float64, exact only below 2^53 per batch (ADVICE r2)
+        rev_acc = np.zeros(nb, dtype=np.int64)
+        np.add.at(rev_acc, bo, rev[hit])
         return pa.table({
             "bord": pa.array(np.arange(nb, dtype=np.int64)),
-            "rev_i": pa.array(np.bincount(bo, weights=rev[hit],
-                                          minlength=nb).astype(np.int64)),
+            "rev_i": pa.array(rev_acc),
             "n_lines": pa.array(np.bincount(bo, minlength=nb).astype(np.int64)),
         })
 

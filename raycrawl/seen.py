@@ -232,7 +232,7 @@ class SeenShardImpl:
             self._writer = pq.ParquetWriter(self._edges_file, self._edges_schema)
         self._writer.write_table(t)
 
-    def offer(self, table) -> int:
+    def offer(self, table, salt: int = 0) -> int:
         """Stream one candidate-child slice:
 
         1. its rows ARE Lead edges (MERGE (p)-[:Lead]->(c), job.rs:185) —
@@ -251,12 +251,15 @@ class SeenShardImpl:
         if n == 0:
             return 0
         # --- replay guard (task-retry idempotency) ---
-        # A frontier row belongs to exactly one map_batches task per round,
-        # so an offer slice's (khi, klo, phash, depth) multiset is unique
-        # within the round; an identical key can only be a Ray task retry
-        # replaying a slice that already landed. Fold the deterministic key
-        # columns into an order-independent 192-bit content key and drop
-        # exact replays before any state is touched.
+        # Fold the slice's deterministic key columns into an order-
+        # independent 192-bit content key, SALTED with the sending task's
+        # identity (a retry-stable fold over the task's own frontier rows,
+        # frontier.py `_offer_salt`): only a Ray task retry replaying a
+        # slice that already landed can repeat the (salt, content) pair —
+        # two different tasks that legitimately offer identical content
+        # (e.g. duplicated frontier rows) carry different salts and both
+        # land (ADVICE r2). Replays are dropped before any state is
+        # touched.
         khi = table["khi"].to_numpy(zero_copy_only=False)
         klo = table["klo"].to_numpy(zero_copy_only=False)
         depth_np = table["depth"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -265,7 +268,8 @@ class SeenShardImpl:
         mix ^= klo * np.uint64(0xC2B2AE3D27D4EB4F)
         mix ^= phash * np.uint64(0x165667B19E3779F9)
         mix ^= depth_np.astype(np.uint64) * np.uint64(0x27D4EB2F165667C5)
-        okey = (n, int(np.bitwise_xor.reduce(mix)), int(mix.sum(dtype=np.uint64)))
+        okey = (int(salt), n, int(np.bitwise_xor.reduce(mix)),
+                int(mix.sum(dtype=np.uint64)))
         if okey in self._offer_keys:
             return len(self._winners)
         self._offer_keys.add(okey)
@@ -425,7 +429,8 @@ class SeenRouter:
             out[m] = r
         return out
 
-    def offer(self, hi: np.ndarray, lo: np.ndarray, table) -> list:
+    def offer(self, hi: np.ndarray, lo: np.ndarray, table,
+              salt: int = 0) -> list:
         """Route candidate child rows (Arrow table + parallel hash arrays)
         to their shards; the 128-bit key ships as two uint64 columns so the
         shard's winner sort leads with integer keys. Returns the call refs
@@ -441,5 +446,6 @@ class SeenRouter:
         refs = []
         for s in np.unique(shard):
             idx = np.flatnonzero(shard == s)
-            refs.append(self.handles[int(s)].offer.remote(table.take(pa.array(idx))))
+            refs.append(self.handles[int(s)].offer.remote(
+                table.take(pa.array(idx)), salt))
         return refs

@@ -49,9 +49,16 @@ def fetch_elapsed_ms(name: str, http_type: str) -> float:
     return float(50 + hash64_int("lat:" + http_type + name) % 450)
 
 
+# the single source of truth for "permanent failure" (4xx): vectorized
+# callers (frontier.py) use the range constants; a test pins the mask
+# algebra to is_permanent_failure over the whole status domain
+PERMANENT_FAILURE_LO = 400
+PERMANENT_FAILURE_HI = 500
+
+
 def is_permanent_failure(status: int) -> bool:
     """4xx ⇒ permanent FAILED regardless of attempts (job.rs:126-128)."""
-    return 400 <= status < 500
+    return PERMANENT_FAILURE_LO <= status < PERMANENT_FAILURE_HI
 
 
 def robots_disallowed(host_lower: str) -> bool:

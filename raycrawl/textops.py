@@ -347,20 +347,25 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> pa.Table:
     Distributed plan (vocabulary is unbounded at 100 TB — nothing driver-
     side ever scales with it):
       1. tokenize per batch (polars extract_all over lowered text) →
-         per-batch partial (term, lang, tf, df_part); df_part counts
+         per-batch partial (term, lang, tf, df_part, part); df_part counts
          DISTINCT docs of the batch containing the term — exact globally
          after summing, because each doc lives in exactly one batch.
-      2. ONE hash shuffle: groupby(term, lang) sums the partials (C-speed
-         Ray aggregate; no per-term Python).
-      3. per-term df: groupby(term) re-sum over the ≤|langs| rows, then a
-         distributed hash join back on term (both sides vocabulary-sized).
-      4. grouped top-k by lang: per-batch partial top-k (blocks shrink to
-         ≤ k×langs rows) → groupby(lang).map_groups finalize (|langs|
-         groups).
+         ``part = hash(term) % n_parts`` co-locates every partial of a term.
+      2. ONE hash shuffle: groupby("part").map_groups runs a vectorized
+         polars combine per partition — sum tf over (term, lang), sum df
+         over term (a window sum, no join), score, and a per-lang partial
+         top-k. Each partition's output is ≤ k×|langs| rows. No Acero
+         ``Dataset.join`` anywhere in the path (the round-2 join was flaky
+         under Ray's hash-shuffle finalize at high partition counts), and
+         one shuffle replaces the old aggregate+aggregate+join trio.
+      3. finalize: groupby(lang).map_groups over ≤ n_parts×k×|langs| rows.
     """
-    from ray.data.aggregate import Sum
+    import ray
 
     n_docs = _t(sf_dir, "documents", ["doc_id"]).count()
+    # partition count tracks the cluster; tiny test sessions don't pay
+    # 16-way shuffle fixed costs, big clusters still spread the combine
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)))
 
     def tokenize_partial(t: pa.Table) -> pa.Table:
         import polars as pl
@@ -379,51 +384,54 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> pa.Table:
         agg = df_.group_by(["term", "lang"]).agg(
             tf=pl.len().cast(pl.Int64),
             df_part=pl.col("doc").n_unique().cast(pl.Int64),
+        ).with_columns(
+            part=(pl.col("term").hash(seed=7) % n_parts).cast(pl.Int64),
         )
         return agg.to_arrow().cast(pa.schema([
             ("term", pa.string()), ("lang", pa.string()),
-            ("tf", pa.int64()), ("df_part", pa.int64())]))
+            ("tf", pa.int64()), ("df_part", pa.int64()),
+            ("part", pa.int64())]))
 
-    import ray
+    def combine_partition(t: pa.Table) -> pa.Table:
+        """All partials for every term hashing into this partition:
+        vectorized (term, lang) tf-sum + per-term df window-sum in polars,
+        then score + per-lang partial top-k (numpy)."""
+        import polars as pl
 
-    # partition count tracks the cluster; tiny test sessions don't pay
-    # 16-way shuffle fixed costs, big clusters still spread the join
-    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)))
-    tl = (
-        _t(sf_dir, "documents", ["doc_id", "lang", "text"])
-        .map_batches(tokenize_partial, batch_format="pyarrow")
-        .groupby(["term", "lang"])
-        .aggregate(Sum("tf", alias_name="tf"), Sum("df_part", alias_name="df_l"))
-    )
-    df_per_term = tl.groupby("term").aggregate(Sum("df_l", alias_name="df"))
-    joined = tl.join(df_per_term, join_type="inner", on=("term",),
-                     num_partitions=n_parts)
+        agg = (
+            pl.from_arrow(t.select(["term", "lang", "tf", "df_part"]))
+            .group_by(["term", "lang"])
+            .agg(tf=pl.col("tf").sum(), df_l=pl.col("df_part").sum())
+            .with_columns(df=pl.col("df_l").sum().over("term"))
+        )
+        part_tbl = agg.select(["term", "lang", "tf", "df"]).to_arrow().cast(
+            pa.schema([("term", pa.string()), ("lang", pa.string()),
+                       ("tf", pa.int64()), ("df", pa.int64())]))
+        return score_topk(part_tbl, k).drop_columns(["rnk"])
 
     def score_topk(t: pa.Table, kk: int) -> pa.Table:
+        from raycrawl.kernels import group_ranked_head
+
         lang = t["lang"].to_numpy(zero_copy_only=False)
         term = t["term"].to_numpy(zero_copy_only=False)
         tf = t["tf"].to_numpy()
         df = t["df"].to_numpy()
         score = (tf * (n_docs - df)).astype(np.float64) / df
-        order = np.lexsort((term, -score, lang))
-        lg, sc = lang[order], score[order]
-        starts = np.flatnonzero(np.r_[True, lg[1:] != lg[:-1]])
-        lens = np.diff(np.r_[starts, len(lg)])
-        rank = np.arange(len(lg)) - np.repeat(starts, lens)
-        keep = rank < kk
+        idx, rnk = group_ranked_head(lang, (term, -score), kk)
         return pa.table({
-            "lang": pa.array(lg[keep], pa.string()),
-            "rnk": pa.array(rank[keep] + 1, pa.int64()),
-            "term": pa.array(term[order][keep], pa.string()),
-            "tf": pa.array(tf[order][keep], pa.int64()),
-            "df": pa.array(df[order][keep], pa.int64()),
-            "score": pa.array(sc[keep], pa.float64()),
+            "lang": pa.array(lang[idx], pa.string()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "term": pa.array(term[idx], pa.string()),
+            "tf": pa.array(tf[idx], pa.int64()),
+            "df": pa.array(df[idx], pa.int64()),
+            "score": pa.array(score[idx], pa.float64()),
         })
 
     out = (
-        joined
-        .map_batches(lambda t: score_topk(t, k).drop_columns(["rnk"]),
-                     batch_format="pyarrow")
+        _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .map_batches(tokenize_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine_partition, batch_format="pyarrow")
         .groupby("lang")
         .map_groups(lambda t: score_topk(t, k), batch_format="pyarrow")
         .to_pandas()

@@ -175,8 +175,11 @@ def events_pivot_by_type(sf_dir: str) -> pa.Table:
         cols: dict = {"dow": pa.array(np.arange(7, dtype=np.int32))}
         for name in EVENT_TYPES:
             m = et == name
-            cols[f"{name}_i"] = pa.array(
-                np.bincount(dow[m], weights=vi[m], minlength=7).astype(np.int64))
+            # int64 accumulation via np.add.at — bincount weights sum in
+            # float64, exact only below 2^53 per batch (ADVICE r2)
+            acc = np.zeros(7, dtype=np.int64)
+            np.add.at(acc, dow[m], vi[m])
+            cols[f"{name}_i"] = pa.array(acc)
             cols[f"{name}_n"] = pa.array(
                 np.bincount(dow[m], minlength=7).astype(np.int64))
         return pa.table(cols)

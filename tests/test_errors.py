@@ -67,3 +67,16 @@ def test_unknown_crawl_404_probe(tiny_corpus, tmp_path):
         graph_export_nodes(nodes, "nope", strict=True)
     # legacy non-strict: empty result, no raise
     assert crawl_progress(nodes, "nope").num_rows == 0
+
+
+def test_permanent_failure_constants_match_predicate():
+    """frontier's vectorized 4xx mask derives from sim's range constants;
+    pin them to the scalar predicate over the whole status domain."""
+    import numpy as np
+
+    from raycrawl import sim
+
+    statuses = np.arange(0, 700)
+    mask = (statuses >= sim.PERMANENT_FAILURE_LO) & \
+           (statuses < sim.PERMANENT_FAILURE_HI)
+    assert mask.tolist() == [sim.is_permanent_failure(int(s)) for s in statuses]

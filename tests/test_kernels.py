@@ -167,3 +167,55 @@ def test_enrich_pages_equals_enrich_page():
             assert g is None
         else:
             assert g == enrich_page(h), h[:60]
+
+
+# --- identity hash: self-contained, library-independent ---------------------
+
+# pinned vectors: hash128 is THE identity-key definition (seen-set, node
+# dedup, corpus routing). These values must NEVER change — resume and
+# mixed-version clusters depend on it. The implementation is pure
+# numpy/pyarrow, so this test passes with or without polars installed.
+HASH128_PINS = [
+    ("", 16294208416658607535, 16294208416658607535),
+    ("a", 6439343357839820435, 18216453886069933888),
+    ("raycrawl", 9292212713697731808, 16682749963406038022),
+    ("HTTPS://EXAMPLE.COM:8080", 6633987979158044216, 682213727779318474),
+    ("WWW.SITE1.COM", 8612430636058256814, 7942357773592238320),
+]
+
+
+def test_hash128_pinned_vectors():
+    from raycrawl.kernels import hash128
+
+    hi, lo = hash128([s for s, _, _ in HASH128_PINS])
+    for i, (s, ehi, elo) in enumerate(HASH128_PINS):
+        assert (int(hi[i]), int(lo[i])) == (ehi, elo), s
+
+
+def test_hash128_batch_invariance_and_nulls():
+    """Chunk boundaries, arrow-vs-list input and nulls never change values."""
+    from raycrawl.kernels import hash128
+
+    strs = [f"s{i}-" + "y" * (i % 97) for i in range(3000)] + ["", "ß-ünïcödé"]
+    hi_l, lo_l = hash128(strs)
+    hi_a, lo_a = hash128(pa.array(strs, pa.string()))
+    assert (hi_l == hi_a).all() and (lo_l == lo_a).all()
+    h1, l1 = hash128([strs[7]])
+    assert int(hi_l[7]) == int(h1[0]) and int(lo_l[7]) == int(l1[0])
+    hn, _ = hash128(pa.array(["x", None, "y"], pa.string()))
+    he, _ = hash128(["x", "", "y"])
+    assert (hn == he).all()
+
+
+def test_token_hash64_hard_fails_without_polars(monkeypatch):
+    """The enrichment-lane hash must never silently fall back to a
+    different function (feature values would diverge across workers)."""
+    import raycrawl.kernels as k
+
+    monkeypatch.setattr(k, "_HAVE_POLARS", False)
+    monkeypatch.setattr(k, "_TOKEN_LANE_OK", None)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        k.token_hash64(["tok"])
+    monkeypatch.setattr(k, "_TOKEN_LANE_OK", None)
