@@ -184,6 +184,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_by_type": windows.events_pivot_by_type,
         "events_daily_cumulative": windows.events_daily_cumulative,
         "events_user_hll": sketches.events_user_hll,       # rows-only (approx sketch)
+        "events_value_quantiles_sketch":
+            sketches.events_value_quantiles_sketch,         # rows-only (approx sketch)
+        "top_users_by_events": relational.top_users_by_events,
+        "events_user_heavy_hitters":
+            sketches.events_user_heavy_hitters,              # rows-only (approx sketch)
         # --- text analysis over documents ---
         "token_stats_by_lang": textops.token_stats_by_lang,
         "lang_source_distribution": textops.lang_source_distribution,
@@ -425,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "regional_revenue_by_nation": relational.regional_revenue_by_nation_sql(),
         "events_ordered_page": relational.events_ordered_page_sql(),
         "revenue_by_brand": relational.revenue_by_brand_sql(),
+        "top_users_by_events": relational.top_users_by_events_sql(),
         "user_sessions": sessions.user_sessions_sql(),
         "purchase_asof_click": sessions.purchase_asof_click_sql(),
         "session_funnel": sessions.session_funnel_sql(),

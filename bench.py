@@ -25,6 +25,30 @@ import sys
 import time
 
 
+def _host_memory_probe(mb: int = 128) -> dict:
+    """First-touch vs warm memory bandwidth (GB/s). The sandbox VM's
+    demand-paging path degrades with uptime (BASELINE.md §2 caveat:
+    0.08–1.7 GB/s cold vs ~100 GB/s warm measured on the same box hours
+    apart); every fresh Arrow batch and object-store write pays the cold
+    path, so the bench JSON carries the probe so a reader can attribute
+    wall-clock to host state vs engine changes."""
+    import numpy as np
+
+    nbytes = mb << 20
+    t0 = time.perf_counter()
+    buf = np.empty(nbytes, dtype=np.uint8)
+    buf[::4096] = 1          # touch every page once
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    buf[::4096] = 2          # same pages, now resident
+    warm = time.perf_counter() - t0
+    del buf
+    return dict(
+        first_touch_gbps=round(nbytes / cold / 1e9, 2),
+        warm_gbps=round(nbytes / warm / 1e9, 2),
+    )
+
+
 def _run_headline(num_cpus: int, tag: str) -> dict:
     import ray
 
@@ -40,6 +64,10 @@ def _run_headline(num_cpus: int, tag: str) -> dict:
     corpus_table = build_fetch_corpus(corpus)  # untimed driver-side load
 
     partitioned = os.environ.get("RAYCRAWL_BENCH_PARTITIONED") == "1"
+    # politeness datapoint (north-star lane): RAYCRAWL_BENCH_POLITENESS_MS>0
+    # runs the same crawl with the per-host delay budget + host-partitioned
+    # frontier; BASELINE.md records the measured cost vs the default run
+    politeness_ms = float(os.environ.get("RAYCRAWL_BENCH_POLITENESS_MS", "0"))
     cfg = CrawlConfig(
         enrich=True,
         # shards scale with cluster size, as a real N-node deployment would
@@ -50,6 +78,7 @@ def _run_headline(num_cpus: int, tag: str) -> dict:
         corpus_partitioned=partitioned,
         corpus_partitions=64,
         corpus_cache_parts=16,
+        politeness_delay_ms=politeness_ms,
     )
     ck = f"/tmp/raycrawl_bench/ck_{tag}_{num_cpus}"
     shutil.rmtree(ck, ignore_errors=True)
@@ -68,14 +97,22 @@ def _run_headline(num_cpus: int, tag: str) -> dict:
     wall = time.perf_counter() - t0
 
     urls = 1  # root fetch
+    phases = {"t_fetch_s": 0.0, "t_barrier_s": 0.0, "t_frontier_s": 0.0}
     for r in range(1, res.rounds_run + 1):
         with open(os.path.join(ck, f"round={r:04d}", "counters.json")) as f:
-            urls += json.load(f)["frontier_size"]
+            c = json.load(f)
+        urls += c["frontier_size"]
+        for k in phases:
+            phases[k] = round(phases[k] + float(c.get(k, 0.0)), 3)
     return dict(
         crawl_sec=round(wall, 3),
         urls_crawled=urls,
         urls_per_sec=round(urls / wall, 1),
         rounds=res.rounds_run,
+        # per-phase accounting summed over rounds: fetch+enrich tasks,
+        # round barrier (shard commit), frontier assembly — lets a reader
+        # see WHERE the wall went without rerunning
+        phase_sec=phases,
     )
 
 
@@ -119,6 +156,7 @@ def main() -> None:
     ctx.enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
+    probe = _host_memory_probe()
     headline = _run_headline(num_cpus, tag)
     queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else _run_queries(sf_dir)
 
@@ -136,6 +174,8 @@ def main() -> None:
                 "urls_crawled": headline["urls_crawled"],
                 "urls_per_sec": headline["urls_per_sec"],
                 "rounds": headline["rounds"],
+                "phase_sec": headline["phase_sec"],
+                "host_mem_probe_gbps": probe,
             }
         )
     )
@@ -191,6 +231,10 @@ def scaling() -> None:
                 "urls_per_sec_hi": r_hi["urls_per_sec"],
                 "urls_crawled": r_lo["urls_crawled"],
                 "scaling_efficiency": round(eff, 3),
+                "host_mem_probe_gbps_lo": r_lo.get("host_mem_probe_gbps"),
+                "host_mem_probe_gbps_hi": r_hi.get("host_mem_probe_gbps"),
+                "phase_sec_lo": r_lo.get("phase_sec"),
+                "phase_sec_hi": r_hi.get("phase_sec"),
             }
         )
     )

@@ -509,6 +509,34 @@ def top_users_by_value(sf_dir: str, k: int = 25) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def top_users_by_events(sf_dir: str, k: int = 10) -> pa.Table:
+    """Exact top-k users by event COUNT (the oracled twin of the
+    Misra-Gries sketch ``sketches.events_user_heavy_hitters``): per-user
+    count via one hash-shuffled groupby, partial top-k merged on the
+    driver. Tiebreak: count DESC, user_id ASC."""
+    from ray.data.aggregate import Count
+
+    agg = (
+        _t(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+    )
+    df = _topk_desc(agg, "n_events", "user_id", k)
+    out = pd.DataFrame({
+        "user_id": df["user_id"],
+        "n_events": df["n_events"].astype("int64"),
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def top_users_by_events_sql(k: int = 10) -> str:
+    return f"""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY count(*) DESC, user_id LIMIT {k}
+    """
+
+
 def top_users_sql(k: int = 25) -> str:
     return f"""
     SELECT user_id,

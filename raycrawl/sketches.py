@@ -114,3 +114,200 @@ def events_user_hll(sf_dir: str) -> pa.Table:
         })
     out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (MRL/KLL-style deterministic compactors) — the
+# 100 TB answer to grouped quantiles. relational.events_value_quantiles is
+# the EXACT plan; its shuffle is bounded by DISTINCT values, which works for
+# fixed-point money but not for arbitrary doubles. This sketch is bounded by
+# K_SKETCH × log(n/K_SKETCH) items per group regardless of the value domain:
+#
+#     map_batches(per-batch sketch rows)            # zero row shuffle
+#       → groupby(group).map_groups(merge+query)    # sketch bytes only
+#
+# Compactors (Manku-Rajagopalan-Lindsay 1998 / Karnin-Lang-Liberty 2016):
+# level h holds items of weight 2^h; a full level sorts and keeps every
+# other item (deterministic parity), promoting them one level up. Rank
+# error is O(log(n/k)/k) — at K_SKETCH=256 well under 1% here; estimates
+# are approximate by design, so the driver check is rows-only and pytest
+# pins the rank-error envelope against the exact twin instead.
+# ---------------------------------------------------------------------------
+
+K_SKETCH = 256
+
+
+def _kll_compress(levels: list[np.ndarray]) -> list[np.ndarray]:
+    h = 0
+    while h < len(levels):
+        if len(levels[h]) > K_SKETCH:
+            vals = np.sort(levels[h])
+            keep = vals[(h & 1)::2]  # deterministic alternating parity
+            levels[h] = np.empty(0, np.int64)
+            if h + 1 == len(levels):
+                levels.append(np.empty(0, np.int64))
+            levels[h + 1] = np.concatenate([levels[h + 1], keep])
+        h += 1
+    return levels
+
+
+def kll_from_values(vals: np.ndarray) -> list[np.ndarray]:
+    return _kll_compress([np.asarray(vals, dtype=np.int64)])
+
+
+def kll_merge(a: list[np.ndarray], b: list[np.ndarray]) -> list[np.ndarray]:
+    out = []
+    for h in range(max(len(a), len(b))):
+        xs = [lv[h] for lv in (a, b) if h < len(lv)]
+        out.append(np.concatenate(xs) if xs else np.empty(0, np.int64))
+    return _kll_compress(out)
+
+
+def kll_quantiles(levels: list[np.ndarray], qs) -> list[float]:
+    """Weighted discrete quantiles over the retained items: smallest value
+    whose cumulative weight reaches ceil(q·W)."""
+    import math
+
+    vals = np.concatenate([lv for lv in levels]) if levels else np.empty(0, np.int64)
+    wts = np.concatenate(
+        [np.full(len(lv), 1 << h, np.int64) for h, lv in enumerate(levels)]
+    ) if levels else np.empty(0, np.int64)
+    if len(vals) == 0:
+        return [float("nan")] * len(qs)
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    total = int(cum[-1])
+    out = []
+    for q in qs:
+        r = max(1, math.ceil(q * total))
+        out.append(float(vals[np.searchsorted(cum, r)]))
+    return out
+
+
+def events_value_quantiles_sketch(sf_dir: str,
+                                  qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
+    """Approximate per-type value quantiles via mergeable compactor
+    sketches: per-batch sketch rows (event_type, level, value_i) →
+    ``groupby(event_type).map_groups`` merge + query. Shuffle volume is
+    sketch items (≤ K_SKETCH·log(n/K_SKETCH) per type per batch), never
+    event rows. Rows-only driver check (approximate by design); pytest
+    pins the rank-error envelope against the exact oracled twin
+    ``events_value_quantiles``."""
+    from raycrawl.relational import _iunits
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        vi = _iunits(t["value"].to_numpy(), 100.0).to_numpy()
+        types, inv = np.unique(et, return_inverse=True)
+        o_type, o_level, o_val, o_n = [], [], [], []
+        for i, ty in enumerate(types):
+            m = inv == i
+            for h, lv in enumerate(kll_from_values(vi[m])):
+                o_type.extend([ty] * len(lv))
+                o_level.extend([h] * len(lv))
+                o_val.extend(lv.tolist())
+            o_type.append(ty)
+            o_level.append(-1)             # count-carrier row
+            o_val.append(int(m.sum()))
+        return pa.table({
+            "event_type": pa.array(o_type, pa.string()),
+            "level": pa.array(o_level, pa.int32()),
+            "value_i": pa.array(o_val, pa.int64()),
+        })
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ty = t["event_type"][0].as_py()
+        lvl = t["level"].to_numpy()
+        vi = t["value_i"].to_numpy()
+        n = int(vi[lvl == -1].sum())
+        levels: list[np.ndarray] = []
+        for h in range(int(lvl.max()) + 1 if len(lvl) else 0):
+            levels.append(np.sort(vi[lvl == h]).astype(np.int64))
+        levels = _kll_compress(levels)
+        est = kll_quantiles(levels, qs)
+        cols = {"event_type": pa.array([ty], pa.string()),
+                "n_events": pa.array([n], pa.int64())}
+        for q, v in zip(qs, est):
+            cols[f"q{int(q * 100)}"] = pa.array([v / 100.0], pa.float64())
+        return pa.table(cols)
+
+    out = (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finalize, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable heavy hitters (Misra-Gries summaries) — the 100 TB answer to
+# "top-k keys by frequency" when the key space doesn't fit a groupby.
+# A summary holds ≤ SS_CAP counters with the one-sided guarantee
+# true − err ≤ cnt ≤ true (err = total decrement applied). Summaries merge
+# by keyed counter addition followed by one decrement step (Agarwal et al.,
+# "Mergeable Summaries", PODS 2012), so the plan is:
+#
+#     map_batches(per-batch exact counts → MG summary rows)  # ≤ cap rows/blk
+#       → driver keyed sum + one MG reduction                # cap × blocks
+#
+# (at 100 TB the driver step becomes a groupby(hash(key) % P).map_groups
+# tree with capacity/P per partition — same math per partition, then a
+# cap×P final merge). Approximate by design → rows-only driver check; the
+# exact twin top_users_by_events is the oracled counterpart and pytest
+# pins both the exact-regime equality and the MG error guarantee.
+# ---------------------------------------------------------------------------
+
+SS_CAP = 256
+
+
+def mg_reduce(keys: np.ndarray, counts: np.ndarray, cap: int):
+    """One Misra-Gries reduction: keep ≤ cap counters by subtracting the
+    (cap+1)-th largest count from all and dropping non-positive ones.
+    Returns (keys, counts, decrement)."""
+    if len(keys) <= cap:
+        return keys, counts, 0
+    order = np.argsort(-counts, kind="stable")
+    dec = int(counts[order[cap]])
+    keep = order[:cap]
+    k2, c2 = keys[keep], counts[keep] - dec
+    pos = c2 > 0
+    return k2[pos], c2[pos], dec
+
+
+def events_user_heavy_hitters(sf_dir: str, k: int = 10,
+                              cap: int = SS_CAP) -> pa.Table:
+    """Approximate top-k users by event COUNT via mergeable Misra-Gries
+    summaries (rows-only; exact twin: ``top_users_by_events``). Output:
+    (user_id, est_count, max_err) — est_count ≤ true ≤ est_count+max_err."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy()
+        keys, counts = np.unique(uid, return_counts=True)
+        keys, counts, dec = mg_reduce(keys, counts.astype(np.int64), cap)
+        # decrement-carrier row (user_id = -1) so the merge can bound err
+        return pa.table({
+            "user_id": pa.array(np.r_[keys, [-1]], pa.int64()),
+            "cnt": pa.array(np.r_[counts, [dec]], pa.int64()),
+        })
+
+    parts = (
+        _t(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    err = int(parts.loc[parts["user_id"] == -1, "cnt"].sum())
+    g = parts[parts["user_id"] >= 0].groupby("user_id", as_index=False)["cnt"].sum()
+    keys, counts, dec = mg_reduce(
+        g["user_id"].to_numpy(), g["cnt"].to_numpy().astype(np.int64), cap)
+    err += dec
+    order = np.lexsort((keys, -counts))[:k]
+    return pa.table({
+        "user_id": pa.array(keys[order], pa.int64()),
+        "est_count": pa.array(counts[order], pa.int64()),
+        "max_err": pa.array(np.full(len(order), err, np.int64)),
+    })

@@ -210,3 +210,98 @@ def test_revenue_by_brand_oracle():
         _assert_oracle_equal(revenue_by_brand(SF), revenue_by_brand_sql())
     finally:
         TABLES.remove("part")
+
+
+# --- mergeable quantile sketch (MRL/KLL compactors) -------------------------
+
+def test_kll_unit_rank_error_and_merge():
+    """Rank error of the compactor sketch on a known stream ≤ the K_SKETCH
+    envelope, and merging partial sketches covers the same stream."""
+    from raycrawl.sketches import (K_SKETCH, kll_from_values, kll_merge,
+                                   kll_quantiles)
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1_000_000, size=200_000).astype(np.int64)
+    # one-shot sketch
+    sk = kll_from_values(vals)
+    # merged from 40 chunks (simulating per-batch partials)
+    chunks = np.array_split(vals, 40)
+    skm = kll_from_values(chunks[0])
+    for c in chunks[1:]:
+        skm = kll_merge(skm, kll_from_values(c))
+    s = np.sort(vals)
+    for sketch in (sk, skm):
+        for q in (0.25, 0.5, 0.75, 0.95):
+            est = kll_quantiles(sketch, [q])[0]
+            # rank of the estimate in the true distribution
+            r = np.searchsorted(s, est, side="right") / len(s)
+            assert abs(r - q) < 0.02, (q, r, est)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_value_quantiles_sketch_envelope():
+    """The distributed sketch's estimates sit within 2% rank error of the
+    EXACT oracled twin on every event_type, and n_events is exact."""
+    from raycrawl.relational import events_value_quantiles
+    from raycrawl.sketches import events_value_quantiles_sketch
+
+    exact = events_value_quantiles(SF).to_pandas().set_index("event_type")
+    approx = events_value_quantiles_sketch(SF).to_pandas().set_index("event_type")
+    assert sorted(exact.index) == sorted(approx.index)
+    ev = _duck("SELECT event_type, list(value ORDER BY value) AS v "
+               "FROM events GROUP BY event_type").set_index("event_type")
+    for et in exact.index:
+        assert int(approx.loc[et, "n_events"]) == int(exact.loc[et, "n_events"])
+        s = np.sort(np.asarray(ev.loc[et, "v"], dtype=np.float64))
+        for q in (25, 50, 75, 95):
+            est = float(approx.loc[et, f"q{q}"])
+            r = np.searchsorted(s, est, side="right") / len(s)
+            assert abs(r - q / 100.0) < 0.02, (et, q, est, r)
+
+
+# --- Misra-Gries heavy hitters ----------------------------------------------
+
+def test_mg_reduce_guarantee():
+    """Misra-Gries invariants on a synthetic Zipf stream: every key with
+    true count > n/cap survives, and true−err ≤ est ≤ true."""
+    from raycrawl.sketches import mg_reduce
+
+    rng = np.random.default_rng(11)
+    stream = rng.zipf(1.3, size=100_000)
+    stream = stream[stream < 10_000].astype(np.int64)
+    keys, true = np.unique(stream, return_counts=True)
+    cap = 64
+    # simulate per-batch summaries + merge (keyed sum, then one reduce)
+    merged: dict = {}
+    err = 0
+    for chunk in np.array_split(stream, 20):
+        ck, cc = np.unique(chunk, return_counts=True)
+        ck, cc, dec = mg_reduce(ck, cc.astype(np.int64), cap)
+        err += dec
+        for kk, vv in zip(ck.tolist(), cc.tolist()):
+            merged[kk] = merged.get(kk, 0) + vv
+    mk = np.array(list(merged), np.int64)
+    mc = np.array([merged[x] for x in mk], np.int64)
+    mk, mc, dec = mg_reduce(mk, mc, cap)
+    err += dec
+    est = dict(zip(mk.tolist(), mc.tolist()))
+    n = len(stream)
+    for kk, tr in zip(keys.tolist(), true.tolist()):
+        if tr > err:
+            assert kk in est, (kk, tr, err)  # err ≤ n/cap-ish bound
+        if kk in est:
+            assert est[kk] <= tr <= est[kk] + err, (kk, tr, est[kk], err)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_exact_regime_matches_twin():
+    """With cap ≥ distinct users the MG sketch is EXACT: est_count equals
+    the oracled twin's counts, max_err = 0."""
+    from raycrawl.relational import top_users_by_events
+    from raycrawl.sketches import events_user_heavy_hitters
+
+    exact = top_users_by_events(SF, k=10).to_pandas()
+    approx = events_user_heavy_hitters(SF, k=10, cap=100_000).to_pandas()
+    assert (approx["max_err"] == 0).all()
+    assert approx["user_id"].tolist() == exact["user_id"].tolist()
+    assert approx["est_count"].tolist() == exact["n_events"].tolist()
