@@ -109,6 +109,7 @@ def _run_headline(num_cpus: int, tag: str) -> dict:
         urls_crawled=urls,
         urls_per_sec=round(urls / wall, 1),
         rounds=res.rounds_run,
+        politeness_delay_ms=politeness_ms,
         # per-phase accounting summed over rounds: fetch+enrich tasks,
         # round barrier (shard commit), frontier assembly — lets a reader
         # see WHERE the wall went without rerunning
@@ -174,6 +175,7 @@ def main() -> None:
                 "urls_crawled": headline["urls_crawled"],
                 "urls_per_sec": headline["urls_per_sec"],
                 "rounds": headline["rounds"],
+                "politeness_delay_ms": headline["politeness_delay_ms"],
                 "phase_sec": headline["phase_sec"],
                 "host_mem_probe_gbps": probe,
             }

@@ -49,6 +49,11 @@ PRESETS = {
     # a mild hub remains for skew handling.
     "bench": dict(n_hosts=1_200_000, mean_links=55, zipf_alpha=0.25,
                   hub_out_links=200, fast=True),
+    # mid: ~1/8th of bench — paired A/B datapoints (politeness on/off,
+    # layout variants) where two full bench runs would cost 20+ min each
+    # on a degraded host; same shape, same generator
+    "mid": dict(n_hosts=150_000, mean_links=55, zipf_alpha=0.25,
+                hub_out_links=200, fast=True),
 }
 
 

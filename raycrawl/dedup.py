@@ -773,3 +773,75 @@ def embedding_neardup_lsh_sql(threshold: float = 0.45, dim: int = 64) -> str:
       AND list_cosine_similarity(x.v, y.v) >= {threshold}
     ORDER BY a, b
     """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (keeper assignment)
+# ---------------------------------------------------------------------------
+
+def neardup_clusters(sf_dir: str, threshold: float = 0.6,
+                     df_cap: int = 1000) -> pa.Table:
+    """Connected components over the exact n-gram-Jaccard pair graph — the
+    keeper-assignment step a dedup pipeline runs after pair finding: every
+    document in a cluster of near-dups maps to the cluster's canonical
+    keeper (min doc_id). Output: one row per CLUSTERED doc (singletons are
+    implicitly their own keeper and are not emitted, so the result is
+    bounded by near-dup volume, never corpus size).
+
+    Distributed shape: pair finding is the fully-distributed
+    ``ngram_jaccard_pairs`` plan; the component fold then runs over the
+    PAIR table only (path-compressed union-find) — at this corpus' dup
+    rate that's ~|pairs| driver work. At 100 TB with adversarial dup rates
+    you'd replace the fold with log-round pointer-jumping (iterated
+    min-label joins on the same pair table); the pair table is still the
+    small side by orders of magnitude."""
+    pairs = ngram_jaccard_pairs(sf_dir, threshold, df_cap)
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by min so the root IS the keeper
+            lo, hi_ = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi_] = lo
+    docs = sorted(set(a.tolist()) | set(b.tolist()))
+    keeper = np.array([find(d) for d in docs], np.int64)
+    docs = np.array(docs, np.int64)
+    _, inv, counts = np.unique(keeper, return_inverse=True, return_counts=True)
+    return pa.table({
+        "doc_id": pa.array(docs),
+        "keeper_doc_id": pa.array(keeper),
+        "cluster_size": pa.array(counts[inv].astype(np.int64)),
+    })
+
+
+def neardup_clusters_sql(threshold: float = 0.6) -> str:
+    """Recursive-CTE transitive closure + min-label (the tiny pair graph
+    makes full closure affordable for the oracle)."""
+    pairs = _jaccard_pairs_sql(threshold)
+    return f"""
+    WITH RECURSIVE pr AS ({pairs}),
+    e AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+    n AS (SELECT DISTINCT a AS d FROM e),
+    reach(s, t) AS (
+      SELECT d, d FROM n
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t
+    ),
+    lbl AS (SELECT s AS doc_id, CAST(min(t) AS BIGINT) AS keeper_doc_id
+            FROM reach GROUP BY s)
+    SELECT doc_id, keeper_doc_id,
+           CAST(count(*) OVER (PARTITION BY keeper_doc_id) AS BIGINT)
+             AS cluster_size
+    FROM lbl ORDER BY doc_id
+    """

@@ -142,6 +142,35 @@ def rounds_moving_avg(ckpt_dir: str, window: int = 3) -> pa.Table:
     })
 
 
+def livez() -> dict:
+    """Liveness probe (manager routes/health.rs:9-11, feeder
+    health.rs:4-6): unconditional ok — the probe answers iff the process
+    can answer. Library-level analogue of GET /livez."""
+    return {"status": "ok"}
+
+
+def readyz(timeout_s: float = 5.0) -> dict:
+    """Readiness probe (manager routes/health.rs:13-22): ready iff the
+    state backend answers a trivial query. The reference runs ``RETURN 1``
+    against Neo4j; this engine's backend is the Ray cluster, so a zero-CPU
+    no-op task must round-trip within ``timeout_s``. Zero-CPU so the probe
+    bypasses task-slot contention — a saturated-but-healthy cluster is
+    ready. Never raises; not-ready carries a reason, mirroring the
+    reference's 503 body."""
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return {"status": "not ready", "reason": "ray not initialized"}
+
+        probe = ray.remote(num_cpus=0)(lambda: 1)
+        if ray.get(probe.remote(), timeout=timeout_s) == 1:
+            return {"status": "ready"}
+        return {"status": "not ready", "reason": "unexpected probe result"}
+    except Exception as e:  # noqa: BLE001 — probe must never raise
+        return {"status": "not ready", "reason": str(e)}
+
+
 def progress_stream(ckpt_dir: str, crawl_id: str, interval_s: float = 2.0,
                     max_polls: int | None = None):
     """Generator yielding ``live_progress`` dicts until the crawl leaves the

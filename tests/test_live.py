@@ -112,3 +112,27 @@ def test_progress_stream_polls_and_reports_running(frozen_crawl):
     assert len(ticks) == 2
     assert all(t["status"] == "running" for t in ticks)
     assert all(t["in_progress"] > 0 for t in ticks)
+
+
+def test_livez_always_ok():
+    from raycrawl import live
+
+    assert live.livez() == {"status": "ok"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_readyz_ready_with_cluster_up():
+    from raycrawl import live
+
+    assert live.readyz() == {"status": "ready"}
+
+
+def test_readyz_not_ready_without_ray(monkeypatch):
+    # health.rs:13-22 shape: not-ready carries a reason, never raises
+    import ray
+
+    from raycrawl import live
+
+    monkeypatch.setattr(ray, "is_initialized", lambda: False)
+    out = live.readyz()
+    assert out["status"] == "not ready" and "reason" in out

@@ -311,3 +311,53 @@ def test_moving_avg_and_distinct_match_duckdb():
                 assert np.array_equal(got[c].to_numpy(), want[c].to_numpy())
             else:
                 assert (got[c].astype(str) == want[c].astype(str)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_df_cap_default_output_unchanged_and_capped_candidates():
+    """The df cap never changes output on this corpus (no shingle exceeds
+    the default cap), and an aggressive cap only ever MISSES pairs (scores
+    of surviving pairs are identical — the verify is exact)."""
+    from raycrawl.dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_exact
+
+    exact = ngram_jaccard_pairs_exact(SF, threshold=0.6).to_pandas()
+    got = ngram_jaccard_pairs(SF, threshold=0.6).to_pandas()  # default cap
+    assert {(r.a, r.b): r.jaccard for r in got.itertuples()} == \
+           {(r.a, r.b): r.jaccard for r in exact.itertuples()}
+    tight = ngram_jaccard_pairs(SF, threshold=0.6, df_cap=2).to_pandas()
+    em = {(r.a, r.b): r.jaccard for r in exact.itertuples()}
+    for r in tight.itertuples():
+        assert em[(r.a, r.b)] == r.jaccard  # soundness under any cap
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_neardup_clusters_union_find():
+    """Cluster keeper assignment agrees with a brute-force component fold
+    over the exact pair set; keeper = min doc of the component."""
+    from raycrawl.dedup import neardup_clusters, ngram_jaccard_pairs_exact
+
+    pairs = ngram_jaccard_pairs_exact(SF, threshold=0.6).to_pandas()
+    comp: dict[int, set] = {}
+    for r in pairs.itertuples():
+        ca = next((c for c in comp.values() if r.a in c), None)
+        cb = next((c for c in comp.values() if r.b in c), None)
+        if ca is None and cb is None:
+            comp[r.a] = {r.a, r.b}
+        elif ca is not None and cb is None:
+            ca.add(r.b)
+        elif ca is None and cb is not None:
+            cb.add(r.a)
+        elif ca is not cb:
+            ca |= cb
+            for k, v in list(comp.items()):
+                if v is cb:
+                    del comp[k]
+    want = {}
+    for c in comp.values():
+        keep = min(c)
+        for d in c:
+            want[d] = (keep, len(c))
+    got = neardup_clusters(SF, threshold=0.6).to_pandas()
+    assert {r.doc_id: (r.keeper_doc_id, r.cluster_size)
+            for r in got.itertuples()} == want
+    assert len(got) == sum(len(c) for c in comp.values())
