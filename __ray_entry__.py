@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "neardup_clusters": dedup.neardup_clusters,
+        "documents_deduped": dedup.documents_deduped,
         # --- multimodal plumbing (stubbed codec) ---
         "media_features": multimodal.media_features,       # rows-only (RNG body stats)
         "media_summary": multimodal.media_summary,
@@ -451,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
         "simhash_neardup_pairs": dedup.simhash_neardup_sql(),
         "neardup_clusters": dedup.neardup_clusters_sql(),
+        "documents_deduped": dedup.documents_deduped_sql(),
         "media_summary": multimodal.media_summary_sql(),
         "video_sample_summary": multimodal.video_sample_summary_sql(),
         "audio_window_summary": multimodal.audio_window_summary_sql(),

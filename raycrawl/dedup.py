@@ -38,6 +38,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from raycrawl.kernels import hash64_int, md5_u64
 
@@ -844,4 +845,94 @@ def neardup_clusters_sql(threshold: float = 0.6) -> str:
            CAST(count(*) OVER (PARTITION BY keeper_doc_id) AS BIGINT)
              AS cluster_size
     FROM lbl ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup apply: materialize the deduplicated corpus
+# ---------------------------------------------------------------------------
+
+def documents_deduped(sf_dir: str, threshold: float = 0.6,
+                      df_cap: int = 1000) -> pa.Table:
+    """The step a training-data pipeline actually ships: the corpus with
+    duplicates REMOVED. Two passes composed:
+
+    1. exact pass — hash-partitioned ``groupby(text_md5)``; every group
+       keeps min doc_id, the rest go on the removal list (emitted inside
+       ``map_groups`` — distributed, output bounded by dup volume);
+    2. near-dup pass — ``neardup_clusters`` keeper assignment over the
+       n-gram-Jaccard pair graph; non-keepers join the removal list.
+
+    The removal set is tiny relative to the corpus (bounded by dup
+    volume), so applying it is a BROADCAST filter: ``ray.put`` the sorted
+    removal ids once, each batch drops matches with one searchsorted —
+    no shuffle touches the wide ``documents`` table. Output: surviving
+    (doc_id, lang, n_chars), ordered.
+    """
+    import ray
+
+    def non_keepers(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(ids[ids != ids.min()])})
+
+    exact_rm = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(add_md5_batch, batch_format="pyarrow")
+        .groupby("text_md5")
+        .map_groups(non_keepers, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    exact_ids = np.concatenate(
+        [pa.Table.from_batches(ray.get(r).to_batches() or [],
+                               schema=pa.schema([("doc_id", pa.int64())]))
+         ["doc_id"].to_numpy() for r in exact_rm]
+        or [np.empty(0, np.int64)]
+    )
+    clusters = neardup_clusters(sf_dir, threshold, df_cap)
+    near_ids = clusters.filter(
+        pc.not_equal(clusters["doc_id"], clusters["keeper_doc_id"])
+    )["doc_id"].to_numpy()
+    removal = np.unique(np.concatenate([exact_ids, near_ids]).astype(np.int64))
+    rm_ref = ray.put(removal)
+
+    def drop_removed(t: pa.Table) -> pa.Table:
+        rm = ray.get(rm_ref)
+        if len(rm) == 0:
+            return t
+        ids = t["doc_id"].to_numpy()
+        pos = np.clip(np.searchsorted(rm, ids), 0, len(rm) - 1)
+        return t.filter(pa.array(rm[pos] != ids))
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(drop_removed, batch_format="pyarrow")
+        .sort("doc_id")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def documents_deduped_sql(threshold: float = 0.6) -> str:
+    pairs = _jaccard_pairs_sql(threshold)
+    return f"""
+    WITH RECURSIVE pr AS ({pairs}),
+    e AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+    n AS (SELECT DISTINCT a AS d FROM e),
+    reach(s, t) AS (
+      SELECT d, d FROM n
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t
+    ),
+    lbl AS (SELECT s AS doc_id, min(t) AS keeper FROM reach GROUP BY s),
+    exact_rm AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents
+      ) WHERE doc_id != keeper
+    ),
+    near_rm AS (SELECT doc_id FROM lbl WHERE doc_id != keeper),
+    rm AS (SELECT doc_id FROM exact_rm UNION SELECT doc_id FROM near_rm)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d ANTI JOIN rm USING (doc_id)
+    ORDER BY d.doc_id
     """

@@ -361,3 +361,28 @@ def test_neardup_clusters_union_find():
     assert {r.doc_id: (r.keeper_doc_id, r.cluster_size)
             for r in got.itertuples()} == want
     assert len(got) == sum(len(c) for c in comp.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_documents_deduped_removes_exact_and_near_dups():
+    """Survivors = corpus minus exact non-keepers minus near-dup
+    non-keepers; survivors keep their lang/n_chars unchanged."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from raycrawl.dedup import documents_deduped, neardup_clusters
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "n_chars"]).to_pandas()
+    md5 = docs.text.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    keeper = docs.groupby(md5).doc_id.transform("min")
+    exact_rm = set(docs.doc_id[docs.doc_id != keeper])
+    cl = neardup_clusters(SF, threshold=0.6).to_pandas()
+    near_rm = set(cl.doc_id[cl.doc_id != cl.keeper_doc_id])
+    want = docs[~docs.doc_id.isin(exact_rm | near_rm)].sort_values("doc_id")
+    got = documents_deduped(SF, threshold=0.6).to_pandas()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.lang.tolist() == want.lang.tolist()
+    assert got.n_chars.tolist() == want.n_chars.tolist()
+    assert len(exact_rm | near_rm) > 0  # the corpus really has dups
