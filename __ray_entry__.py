@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sketches.events_user_heavy_hitters,              # rows-only (approx sketch)
         # --- text analysis over documents ---
         "token_stats_by_lang": textops.token_stats_by_lang,
+        "bpe_token_stats_by_lang": textops.bpe_token_stats_by_lang,
         "lang_source_distribution": textops.lang_source_distribution,
         "quality_scores": textops.quality_scores,
         "langid": textops.langid,
@@ -204,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "neardup_clusters": dedup.neardup_clusters,
         "documents_deduped": dedup.documents_deduped,
+        "neardup_clusters_distributed": dedup.neardup_clusters_distributed,
         # --- multimodal plumbing (stubbed codec) ---
         "media_features": multimodal.media_features,       # rows-only (RNG body stats)
         "media_summary": multimodal.media_summary,
@@ -441,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_by_type": windows.events_pivot_by_type_sql(),
         "events_daily_cumulative": windows.events_daily_cumulative_sql(),
         "token_stats_by_lang": textops.token_stats_by_lang_sql(),
+        "bpe_token_stats_by_lang": textops.bpe_token_stats_by_lang_sql(),
         "lang_source_distribution": textops.lang_source_distribution_sql(),
         "quality_scores": textops.quality_scores_sql(),
         "langid": textops.langid_sql(),
@@ -453,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup_pairs": dedup.simhash_neardup_sql(),
         "neardup_clusters": dedup.neardup_clusters_sql(),
         "documents_deduped": dedup.documents_deduped_sql(),
+        "neardup_clusters_distributed": dedup.neardup_clusters_sql(),
         "media_summary": multimodal.media_summary_sql(),
         "video_sample_summary": multimodal.video_sample_summary_sql(),
         "audio_window_summary": multimodal.audio_window_summary_sql(),

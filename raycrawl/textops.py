@@ -106,6 +106,65 @@ def token_stats_by_lang_sql() -> str:
     """
 
 
+# BPE-ish pre-tokenizer, ASCII-explicit so Python re and DuckDB's RE2
+# interpret the pattern IDENTICALLY (no engine-dependent \\w/\\s classes):
+# word runs, or one non-word non-space char per token.
+BPE_ASCII_PAT = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
+BPE_ASCII_RE = re.compile(BPE_ASCII_PAT)
+
+
+def bpe_token_stats_by_lang(sf_dir: str) -> pa.Table:
+    """Token counting, BPE-ish lane (task brief: whitespace + a BPE-ish
+    regex). Per-language totals of pre-tokenizer tokens vs whitespace
+    tokens — the cost model a tokenizer-budgeted pipeline plans with.
+    Same partial-agg shape as token_stats_by_lang: the regex is compiled
+    once per worker process, counts fold in-batch, the groupby ships
+    |langs| rows."""
+    docs = _t(sf_dir, "documents", ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        bpe = np.fromiter((len(BPE_ASCII_RE.findall(s)) for s in texts),
+                          np.int64, len(texts))
+        ws = np.fromiter((len(s.split()) for s in texts), np.int64, len(texts))
+        t2 = pa.table({
+            "lang": t["lang"],
+            "bpe_tokens": pa.array(bpe),
+            "ws_tokens": pa.array(ws),
+            "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        return t2.group_by("lang").aggregate(
+            [("bpe_tokens", "sum"), ("ws_tokens", "sum"), ("n_docs", "sum")]
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("lang", as_index=False).sum()
+    out = pd.DataFrame({
+        "lang": g["lang"],
+        "total_bpe_tokens": g["bpe_tokens_sum"].astype("int64"),
+        "total_ws_tokens": g["ws_tokens_sum"].astype("int64"),
+        "n_docs": g["n_docs_sum"].astype("int64"),
+        "bpe_per_doc": g["bpe_tokens_sum"] / g["n_docs_sum"],
+    }).sort_values("lang")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bpe_token_stats_by_lang_sql() -> str:
+    # the SQL literal carries the backslash escapes through to RE2, which
+    # interprets them exactly like Python's re does for this ASCII pattern
+    return f"""
+    SELECT lang,
+           CAST(sum(length(regexp_extract_all(text, '{BPE_ASCII_PAT}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(sum(length(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS total_ws_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(length(regexp_extract_all(text, '{BPE_ASCII_PAT}'))) * 1.0
+             / count(*) AS bpe_per_doc
+    FROM documents GROUP BY lang ORDER BY lang
+    """
+
+
 def lang_source_distribution(sf_dir: str) -> pa.Table:
     """Doc counts + char volume per (lang, source)."""
     docs = _t(sf_dir, "documents", ["lang", "source", "n_chars"])

@@ -386,3 +386,12 @@ def test_documents_deduped_removes_exact_and_near_dups():
     assert got.lang.tolist() == want.lang.tolist()
     assert got.n_chars.tolist() == want.n_chars.tolist()
     assert len(exact_rm | near_rm) > 0  # the corpus really has dups
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_label_propagation_equals_union_find():
+    from raycrawl.dedup import neardup_clusters, neardup_clusters_distributed
+
+    a = neardup_clusters(SF, threshold=0.6).to_pandas()
+    b = neardup_clusters_distributed(SF, threshold=0.6).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
