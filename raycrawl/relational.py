@@ -40,6 +40,21 @@ def _t(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _broadcast_ok(sf_dir: str, table: str,
+                  default_max_bytes: int = 256 << 20) -> bool:
+    """Auto-gate for broadcast joins: broadcast a dimension only while its
+    on-disk footprint stays under a budget (compressed parquet is a lower
+    bound on the in-memory table, so the budget is conservative by the
+    compression ratio). Above it, the caller must fall back to a
+    hash-partitioned ``Dataset.join`` — a 'small' side is an sf-scaled
+    assumption, not a fact, and a silently growing broadcast is how a
+    driver OOMs at 100 TB. ``RAYCRAWL_BROADCAST_MAX_BYTES`` overrides the
+    budget (tests force 0 to pin the join fallback's equality)."""
+    budget = int(os.environ.get("RAYCRAWL_BROADCAST_MAX_BYTES",
+                                default_max_bytes))
+    return os.path.getsize(os.path.join(sf_dir, f"{table}.parquet")) <= budget
+
+
 def _iunits(arr, scale: float) -> pa.Array:
     """float64 column → exact int64 units: floor(x*scale + 0.5).
 
@@ -125,44 +140,76 @@ def q1_oracle_sql() -> str:
 def revenue_by_nation(sf_dir: str) -> pa.Table:
     """orders ⋈ customer ⋈ nation → revenue per nation.
 
-    nation (25 rows) and customer (sf-bounded) are the broadcast sides
-    (ray.put once, numpy searchsorted per batch); orders streams.
+    nation (25 rows) is always broadcast; customer is broadcast only
+    while the ``_broadcast_ok`` size gate holds (ray.put once, numpy
+    searchsorted per batch) — above the budget it switches to a
+    hash-partitioned ``Dataset.join`` on custkey. orders streams either
+    way; both plans are pinned output-equal by pytest.
     """
     import ray
 
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     n_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    cust_sorted = cust.sort_values("c_custkey")
-    ref = ray.put(
-        (
-            cust_sorted["c_custkey"].to_numpy(),
-            cust_sorted["c_nationkey"].map(n_name).to_numpy(),
-        )
-    )
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        keys, names = ray.get(ref)
-        ck = t["o_custkey"].to_numpy()
-        price = t["o_totalprice"].to_numpy()
-        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
-        valid = keys[pos] == ck
-        t2 = pa.table(
-            {
-                "n_name": pa.array(names[pos][valid]),
-                "rev_i": _iunits(price[valid], 100.0),
-                "n_orders": pa.array(np.ones(int(valid.sum()), dtype=np.int64)),
-            }
-        )
-        return t2.group_by("n_name").aggregate(
-            [("rev_i", "sum"), ("n_orders", "sum")]
+    if _broadcast_ok(sf_dir, "customer"):
+        cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        cust_sorted = cust.sort_values("c_custkey")
+        ref = ray.put(
+            (
+                cust_sorted["c_custkey"].to_numpy(),
+                cust_sorted["c_nationkey"].map(n_name).to_numpy(),
+            )
         )
 
-    parts = (
-        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
-    )
+        def partial(t: pa.Table) -> pa.Table:
+            keys, names = ray.get(ref)
+            ck = t["o_custkey"].to_numpy()
+            price = t["o_totalprice"].to_numpy()
+            pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+            valid = keys[pos] == ck
+            t2 = pa.table(
+                {
+                    "n_name": pa.array(names[pos][valid]),
+                    "rev_i": _iunits(price[valid], 100.0),
+                    "n_orders": pa.array(np.ones(int(valid.sum()), dtype=np.int64)),
+                }
+            )
+            return t2.group_by("n_name").aggregate(
+                [("rev_i", "sum"), ("n_orders", "sum")]
+            )
+
+        joined = orders
+    else:
+        import ray.data as rd  # noqa: F401  (symmetry with other join ops)
+
+        cust_ds = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4))))
+        nsort = nation.sort_values("n_nationkey")
+        nref = ray.put((nsort["n_nationkey"].to_numpy(),
+                        nsort["n_name"].to_numpy()))
+
+        def partial(t: pa.Table) -> pa.Table:
+            nkeys, nnames = ray.get(nref)
+            nk = t["c_nationkey"].to_numpy()
+            price = t["o_totalprice"].to_numpy()
+            pos = np.clip(np.searchsorted(nkeys, nk), 0, len(nkeys) - 1)
+            t2 = pa.table(
+                {
+                    "n_name": pa.array(nnames[pos]),
+                    "rev_i": _iunits(price, 100.0),
+                    "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            return t2.group_by("n_name").aggregate(
+                [("rev_i", "sum"), ("n_orders", "sum")]
+            )
+
+        joined = orders.join(cust_ds, join_type="inner",
+                             num_partitions=n_parts,
+                             on=("o_custkey",), right_on=("c_custkey",))
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
     g = parts.groupby("n_name", as_index=False).sum()
     out = pd.DataFrame(
         {

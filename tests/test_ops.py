@@ -395,3 +395,16 @@ def test_distributed_label_propagation_equals_union_find():
     a = neardup_clusters(SF, threshold=0.6).to_pandas()
     b = neardup_clusters_distributed(SF, threshold=0.6).to_pandas()
     assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_gate_join_fallback_equals_broadcast(monkeypatch):
+    """The size-gated broadcast and the Dataset.join fallback are the same
+    operator: forcing the gate shut (budget 0) must not change output."""
+    from raycrawl.relational import revenue_by_nation
+
+    a = revenue_by_nation(SF).to_pandas()
+    monkeypatch.setenv("RAYCRAWL_BROADCAST_MAX_BYTES", "0")
+    b = revenue_by_nation(SF).to_pandas()
+    assert a.columns.tolist() == b.columns.tolist()
+    assert a.values.tolist() == b.values.tolist()
