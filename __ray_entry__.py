@@ -132,6 +132,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return round_counters(demo_ckpts()[0])
 
+    def crawl_pagerank(_sf):
+        # graph-analytics lane over the crawl's own link graph: exact
+        # integer-unit PageRank (raycrawl/graph.py)
+        from raycrawl.graph import crawl_pagerank as q
+
+        return q(_demo_edges(), "demo1")
+
     def crawl_rounds_moving_avg(_sf):
         # streaming/event-time lane over the crawl itself: trailing-window
         # aggregate on the watermark-cursor round stream
@@ -155,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_progress_live": crawl_progress_live,    # A5/M10 IN-PROGRESS
         "crawl_round_counters": crawl_round_counters,  # A5 metrics stream
         "crawl_rounds_moving_avg": crawl_rounds_moving_avg,  # §2.9 stream window
+        "crawl_pagerank": crawl_pagerank,              # web-graph analytics lane
         # --- relational operator coverage over sf views ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -226,8 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    from raycrawl import (ann, dedup, multimodal, profiling, relational,
-                          sessions, textops, windows)
+    from raycrawl import (ann, dedup, graph, multimodal, profiling,
+                          relational, sessions, textops, windows)
     from raycrawl.demo import edges_glob, nodes_glob
 
     _ensure_demo()
@@ -415,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_progress_live": crawl_progress_live,
         "crawl_round_counters": crawl_round_counters,
         "crawl_rounds_moving_avg": crawl_rounds_moving_avg,
+        "crawl_pagerank": graph.crawl_pagerank_sql(edges, "demo1"),
         "q1_pricing_summary": relational.q1_oracle_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "top_customers_by_spend": relational.top_customers_sql(),

@@ -1,0 +1,163 @@
+"""Graph analytics over the crawl's own output — the web-graph algorithm
+lane (the reference stores a link graph in Neo4j but never ranks it; a
+crawl engine at 100 TB feeds exactly this step downstream).
+
+PageRank runs in INTEGER rank units so every sum is order-independent and
+the DuckDB oracle hash-matches bit-for-bit: rank starts at ``BASE=10^12``
+units per node, one iteration is
+
+    R'(v) = K + sum over in-edges (u -> v) of (R(u) * 85) // (100 * outdeg(u))
+
+with ``K = (15 * BASE) // 100`` (the (1-d)/N teleport term made per-node
+constant) and floor division throughout. Dangling-node mass is dropped —
+documented, and the SQL oracle drops it identically. This is standard
+damped PageRank re-expressed in exact arithmetic, not an approximation of
+a float spec.
+
+Distributed shape (per iteration, two hash shuffles, no Acero join):
+scatter — union(edge rows keyed by src, rank rows keyed by src) →
+``groupby(src).map_groups``: the group IS the adjacency list, so outdeg is
+the group's edge count; emit one (dst, contrib) row per edge; gather —
+union(contribs, one zero row per node) → ``groupby(node).sum`` + K.
+Each iteration is materialized so lineage stays one round deep. At the
+10^10-node design point the rank table shards like any keyed Dataset and
+the scatter/gather are the canonical Pregel-on-a-Dataset encoding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BASE = 10**12
+DAMP_NUM = 85
+DAMP_DEN = 100
+TELEPORT = (15 * BASE) // 100
+
+
+def _edge_table(edges_ds, crawl_id: str) -> pa.Table:
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["crawl_id"], crawl_id))
+        return pa.table({"src": t["src"], "dst": t["dst"]})
+
+    return pa.Table.from_pandas(
+        edges_ds.map_batches(project, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+
+
+def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10) -> pa.Table:
+    """Integer-unit PageRank over one crawl's link graph. Returns
+    (node, rank_units:int64) ordered by node."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    edges = _edge_table(edges_ds, crawl_id)
+    src = edges["src"].to_numpy(zero_copy_only=False)
+    dst = edges["dst"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([src, dst]))
+
+    # static per-iteration inputs, materialized once: the edge stream
+    # (key=src carries dst) and the node carrier (zero contribution, keeps
+    # in-degree-0 nodes in the gather)
+    edge_rows = rd.from_arrow(pa.table({
+        "key": pa.array(src), "dst": pa.array(dst),
+        "r": pa.array(np.full(len(src), -1, np.int64)),
+    })).materialize()
+    zero_rows = rd.from_arrow(pa.table({
+        "node": pa.array(nodes),
+        "c": pa.array(np.zeros(len(nodes), np.int64)),
+    })).materialize()
+
+    ranks = pa.table({
+        "key": pa.array(nodes),
+        "dst": pa.array(np.full(len(nodes), "", dtype=object), pa.string()),
+        "r": pa.array(np.full(len(nodes), BASE, np.int64)),
+    })
+
+    def scatter(g: pa.Table) -> pa.Table:
+        r_rows = g.filter(pc.equal(g["dst"], ""))
+        if r_rows.num_rows == 0:          # src never ranked (can't happen:
+            return pa.table({"node": pa.array([], pa.string()),   # every src
+                             "c": pa.array([], pa.int64())})      # is a node)
+        my_r = int(r_rows["r"][0].as_py())
+        out = g.filter(pc.not_equal(g["dst"], ""))
+        k = out.num_rows
+        if k == 0:                        # dangling node: mass dropped
+            return pa.table({"node": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        contrib = (my_r * DAMP_NUM) // (DAMP_DEN * k)
+        return pa.table({
+            "node": out["dst"],
+            "c": pa.array(np.full(k, contrib, np.int64)),
+        })
+
+    for _ in range(iters):
+        contribs = (
+            edge_rows.union(rd.from_arrow(ranks))
+            .groupby("key").map_groups(scatter, batch_format="pyarrow")
+        )
+        gathered = (
+            contribs.union(zero_rows)
+            .groupby("node").aggregate(Sum("c", alias_name="r"))
+            .materialize()
+        )
+        nt = pa.Table.from_pandas(gathered.to_pandas(), preserve_index=False)
+        r_new = nt["r"].to_numpy().astype(np.int64) + TELEPORT
+        ranks = pa.table({
+            "key": nt["node"],
+            "dst": pa.array(np.full(nt.num_rows, "", dtype=object), pa.string()),
+            "r": pa.array(r_new),
+        })
+
+    order = np.argsort(ranks["key"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "node": pa.array(ranks["key"].to_numpy(zero_copy_only=False)[order]),
+        "rank_units": pa.array(ranks["r"].to_numpy()[order]),
+    })
+
+
+def pagerank_reference(src, dst, iters: int = 10) -> dict:
+    """Single-process exact twin (tests): same integer recurrence."""
+    nodes = sorted(set(src) | set(dst))
+    outdeg: dict = {}
+    for s in src:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: BASE for n in nodes}
+    for _ in range(iters):
+        nxt = {n: TELEPORT for n in nodes}
+        for s, d in zip(src, dst):
+            nxt[d] += (r[s] * DAMP_NUM) // (DAMP_DEN * outdeg[s])
+        r = nxt
+    return r
+
+
+def crawl_pagerank_sql(edges_expr: str, crawl_id: str, iters: int = 10) -> str:
+    """Unrolled fixed-iteration CTE chain — every arithmetic op is BIGINT,
+    so the oracle is bit-identical to the Ray result."""
+    step_tpl = """
+    r{i1} AS (
+      SELECT n.node,
+             CAST({tele} + COALESCE(SUM((p.r * {dn}) // ({dd} * od.outdeg)), 0)
+                  AS BIGINT) AS r
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN r{i0} p ON p.node = e.src
+      LEFT JOIN od ON od.node = e.src
+      GROUP BY n.node
+    )"""
+    steps = ",".join(
+        step_tpl.format(i1=i + 1, i0=i, tele=TELEPORT,
+                        dn=DAMP_NUM, dd=DAMP_DEN)
+        for i in range(iters)
+    )
+    return f"""
+    WITH e AS (SELECT src, dst FROM {edges_expr} WHERE crawl_id = '{crawl_id}'),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+           FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST({BASE} AS BIGINT) AS r FROM nodes),
+    {steps}
+    SELECT node, r AS rank_units FROM r{iters} ORDER BY node
+    """

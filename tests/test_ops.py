@@ -408,3 +408,21 @@ def test_broadcast_gate_join_fallback_equals_broadcast(monkeypatch):
     b = revenue_by_nation(SF).to_pandas()
     assert a.columns.tolist() == b.columns.tolist()
     assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_pagerank_matches_integer_reference():
+    """Distributed scatter/gather PageRank equals the single-process
+    integer recurrence on the demo crawl graph; ranks separate hubs from
+    leaves (not all equal)."""
+    from raycrawl.demo import demo_ckpts, ensure_demo_crawls
+    from raycrawl.graph import crawl_pagerank, pagerank_reference
+    from raycrawl.queries import load_edges
+
+    ensure_demo_crawls()
+    got = crawl_pagerank(load_edges(demo_ckpts()), "demo1").to_pandas()
+    edges = load_edges(demo_ckpts()).to_pandas()
+    edges = edges[edges.crawl_id == "demo1"]
+    want = pagerank_reference(edges.src.tolist(), edges.dst.tolist())
+    assert dict(zip(got.node, got.rank_units)) == want
+    assert got.rank_units.nunique() > 1
