@@ -326,11 +326,17 @@ def minhash_neardup_sql(threshold: float = 0.6) -> str:
     return _jaccard_pairs_sql(threshold)
 
 
+_NGRAM_PAIRS_CACHE: dict[tuple, pa.Table] = {}
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
                         df_cap: int = 1000) -> pa.Table:
     """Exact n-gram Jaccard pairs, fully distributed: explode distinct
     shingle hashes → df-capped self-join on the shingle → distinct
     candidate pairs → exact-Jaccard verify over the full shingle sets.
+    The (tiny) pair table is memoized per (sf_dir, threshold, df_cap):
+    clusters / dedup-apply / the distributed fold all consume it, and a
+    multi-query sweep must not pay the self-join three times.
 
     ``df_cap`` bounds the self-join blowup: a shingle appearing in f docs
     emits f² join rows, so boilerplate shingles ("all rights reserved …")
@@ -348,6 +354,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
     from ray.data.aggregate import Count
     import pyarrow.compute as pc
     import ray
+
+    memo_key = (sf_dir, float(threshold), int(df_cap))
+    cached = _NGRAM_PAIRS_CACHE.get(memo_key)
+    if cached is not None:
+        return cached
 
     sh = shingles_dataset(sf_dir)
 
@@ -394,7 +405,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
 
     cand = _candidate_pairs(grams.map_batches(drop_hot, batch_format="pyarrow"),
                             key=("gram",))
-    return _verify_pairs(cand, sh, threshold)
+    out = _verify_pairs(cand, sh, threshold)
+    _NGRAM_PAIRS_CACHE[memo_key] = out
+    return out
 
 
 def ngram_jaccard_sql(threshold: float = 0.6) -> str:
