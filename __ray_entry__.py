@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis over documents ---
         "token_stats_by_lang": textops.token_stats_by_lang,
         "bpe_token_stats_by_lang": textops.bpe_token_stats_by_lang,
+        "doc_repetition_scores": textops.doc_repetition_scores,
         "lang_source_distribution": textops.lang_source_distribution,
         "quality_scores": textops.quality_scores,
         "langid": textops.langid,
@@ -453,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_cumulative": windows.events_daily_cumulative_sql(),
         "token_stats_by_lang": textops.token_stats_by_lang_sql(),
         "bpe_token_stats_by_lang": textops.bpe_token_stats_by_lang_sql(),
+        "doc_repetition_scores": textops.doc_repetition_scores_sql(),
         "lang_source_distribution": textops.lang_source_distribution_sql(),
         "quality_scores": textops.quality_scores_sql(),
         "langid": textops.langid_sql(),

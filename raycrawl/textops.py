@@ -522,3 +522,67 @@ def tfidf_top_terms_sql(k: int = 10) -> str:
       FROM scored) WHERE rnk <= {k}
     ORDER BY lang, rnk
     """
+
+
+def doc_repetition_scores(sf_dir: str) -> pa.Table:
+    """Repetition/diversity filter signals (the Gopher-rule family): per
+    doc, token count, distinct-token count, type-token ratio and the
+    most-frequent-token fraction — the two ratios that catch degenerate
+    repeated-phrase documents. Exact ints per doc, one division each, so
+    the SQL oracle's doubles are bit-identical. Per-batch work is one
+    np.unique per doc inside map_batches; zero shuffle (doc-local).
+
+    Edge note: an all-whitespace text is 0 tokens here but 1 empty token
+    under the oracle's trim+split — this corpus has no such docs, and a
+    production run would drop them in the quality gate before this."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def batch(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tok = np.empty(len(texts), np.int64)
+        n_dis = np.empty(len(texts), np.int64)
+        mx = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            toks = np.array(s.split(), dtype=object)
+            n_tok[i] = len(toks)
+            if len(toks):
+                _, counts = np.unique(toks, return_counts=True)
+                n_dis[i] = len(counts)
+                mx[i] = counts.max()
+            else:
+                n_dis[i] = 0
+                mx[i] = 0
+        with np.errstate(invalid="ignore"):
+            ttr = n_dis * 1.0 / n_tok
+            mxf = mx * 1.0 / n_tok
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "n_distinct_tokens": pa.array(n_dis),
+            "ttr": pa.array(ttr),
+            "max_tok_frac": pa.array(mxf),
+        })
+
+    out = docs.map_batches(batch, batch_format="pyarrow").sort("doc_id").to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def doc_repetition_scores_sql() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    per AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT)   AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+             CAST(max(c) AS BIGINT)   AS mx
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+           n_distinct_tokens * 1.0 / n_tokens AS ttr,
+           mx * 1.0 / n_tokens AS max_tok_frac
+    FROM agg ORDER BY doc_id
+    """
