@@ -49,6 +49,53 @@ def _host_memory_probe(mb: int = 128) -> dict:
     )
 
 
+def _compute_probe(num_cpus: int, tag: str, total_calls: int = 128,
+                   probe_pages: int = 1024) -> dict:
+    """Warm-compute scaling probe: the crawl's own per-page enrich kernel
+    over a fixed page batch held in actor state (ray.put once, fetched in
+    ``__init__``, first call untimed) — so measured throughput tracks CPU
+    parallelism only, not the sandbox host's degradable first-touch
+    paging path (BASELINE.md §2 caveat). Fixed TOTAL work across scaling
+    legs = strong scaling; reported next to the end-to-end legs so the
+    scaling criterion has a number that survives a degraded host."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from raycrawl.corpus import ensure_corpus
+
+    corpus = ensure_corpus(tag)
+    batch = next(pq.ParquetFile(os.path.join(corpus, "pages.parquet"))
+                 .iter_batches(batch_size=probe_pages, columns=["html"]))
+    html = [h.decode("utf-8") if isinstance(h, bytes) else h
+            for h in batch.column("html").to_pylist()]
+    ref = ray.put(html)
+
+    @ray.remote(num_cpus=1)
+    class EnrichProbe:
+        def __init__(self, pages_ref):
+            from raycrawl.frontier import enrich_pages
+
+            self._enrich = enrich_pages
+            self._pages = pages_ref if isinstance(pages_ref, list) else list(pages_ref)
+
+        def run(self) -> int:
+            return len(self._enrich(self._pages))
+
+    actors = [EnrichProbe.remote(ref) for _ in range(num_cpus)]
+    ray.get([a.run.remote() for a in actors])        # warm pass, untimed
+    t0 = time.perf_counter()
+    ray.get([actors[i % num_cpus].run.remote() for i in range(total_calls)])
+    wall = time.perf_counter() - t0
+    for a in actors:
+        ray.kill(a)
+    return dict(
+        pages_per_sec=round(total_calls * len(html) / wall, 1),
+        wall_sec=round(wall, 3),
+        total_calls=total_calls,
+        pages_per_call=len(html),
+    )
+
+
 def _run_headline(num_cpus: int, tag: str) -> dict:
     import ray
 
@@ -158,6 +205,8 @@ def main() -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     probe = _host_memory_probe()
+    compute = (_compute_probe(num_cpus, tag)
+               if os.environ.get("BENCH_COMPUTE_PROBE") else None)
     headline = _run_headline(num_cpus, tag)
     queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else _run_queries(sf_dir)
 
@@ -178,6 +227,7 @@ def main() -> None:
                 "politeness_delay_ms": headline["politeness_delay_ms"],
                 "phase_sec": headline["phase_sec"],
                 "host_mem_probe_gbps": probe,
+                **({"compute_probe": compute} if compute else {}),
             }
         )
     )
@@ -196,7 +246,7 @@ def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1",
-            RAYCRAWL_BENCH_TAG=tag,
+            RAYCRAWL_BENCH_TAG=tag, BENCH_COMPUTE_PROBE="1",
         )
         # Pin the whole Ray session (tasks, shard actors, raylet) to exactly
         # ncpu PHYSICAL cores: ray.init(num_cpus=N) only throttles task
@@ -233,6 +283,19 @@ def scaling() -> None:
                 "urls_per_sec_hi": r_hi["urls_per_sec"],
                 "urls_crawled": r_lo["urls_crawled"],
                 "scaling_efficiency": round(eff, 3),
+                # warm-compute twin (enrich-kernel actor pool, fixed work):
+                # parallel efficiency with the host paging path factored
+                # out — the number that survives a degraded host
+                "compute_pages_per_sec_lo":
+                    (r_lo.get("compute_probe") or {}).get("pages_per_sec"),
+                "compute_pages_per_sec_hi":
+                    (r_hi.get("compute_probe") or {}).get("pages_per_sec"),
+                "compute_scaling_efficiency": (
+                    round((r_hi["compute_probe"]["pages_per_sec"]
+                           / ((hi / lo) * r_lo["compute_probe"]["pages_per_sec"])), 3)
+                    if r_lo.get("compute_probe") and r_hi.get("compute_probe")
+                    else None
+                ),
                 "host_mem_probe_gbps_lo": r_lo.get("host_mem_probe_gbps"),
                 "host_mem_probe_gbps_hi": r_hi.get("host_mem_probe_gbps"),
                 "phase_sec_lo": r_lo.get("phase_sec"),
