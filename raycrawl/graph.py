@@ -36,45 +36,84 @@ DAMP_DEN = 100
 TELEPORT = (15 * BASE) // 100
 
 
-def _edge_table(edges_ds, crawl_id: str) -> pa.Table:
-    def project(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["crawl_id"], crawl_id))
-        return pa.table({"src": t["src"], "dst": t["dst"]})
-
-    return pa.Table.from_pandas(
-        edges_ds.map_batches(project, batch_format="pyarrow").to_pandas(),
-        preserve_index=False,
-    )
-
-
-def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10) -> pa.Table:
+def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10,
+                   distributed: bool | None = None,
+                   driver_max_nodes: int = 1_000_000) -> pa.Table:
     """Integer-unit PageRank over one crawl's link graph. Returns
-    (node, rank_units:int64) ordered by node."""
-    import ray.data as rd
+    (node, rank_units:int64) ordered by node.
+
+    Size-gated like the broadcast joins: while the per-node state fits a
+    driver comfortably (≤ ``driver_max_nodes``) the iteration is a
+    vectorized np.add.at loop over dense node indices — 20 shuffles of a
+    30-row table would be pure scheduler tax. Above the gate (or with
+    ``distributed=True``) it runs the sharded path: static inputs (edge
+    stream, node carrier, initial ranks) derived with map_batches/groupby
+    and an iteration that never funnels the rank table through the driver
+    — at the 10^10-node design point the per-node state is exactly what
+    must shard. Both paths are pytest-pinned equal (identical integer
+    recurrence)."""
     from ray.data.aggregate import Sum
 
-    edges = _edge_table(edges_ds, crawl_id)
-    src = edges["src"].to_numpy(zero_copy_only=False)
-    dst = edges["dst"].to_numpy(zero_copy_only=False)
-    nodes = np.unique(np.concatenate([src, dst]))
+    if distributed is None or not distributed:
+        edges = pa.Table.from_pandas(
+            edges_ds.map_batches(
+                lambda t: t.filter(pc.equal(t["crawl_id"], crawl_id))
+                           .select(["src", "dst"]),
+                batch_format="pyarrow").to_pandas(),
+            preserve_index=False,
+        )
+        src = edges["src"].to_numpy(zero_copy_only=False)
+        dst = edges["dst"].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([src, dst]),
+                               return_inverse=True)
+        if distributed is None and len(nodes) <= driver_max_nodes:
+            si, di = inv[: len(src)], inv[len(src):]
+            outdeg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+            r = np.full(len(nodes), BASE, np.int64)
+            for _ in range(iters):
+                contrib = (r[si] * DAMP_NUM) // (DAMP_DEN * outdeg[si])
+                nxt = np.full(len(nodes), TELEPORT, np.int64)
+                np.add.at(nxt, di, contrib)
+                r = nxt
+            return pa.table({"node": pa.array(nodes),
+                             "rank_units": pa.array(r)})
 
     # static per-iteration inputs, materialized once: the edge stream
-    # (key=src carries dst) and the node carrier (zero contribution, keeps
-    # in-degree-0 nodes in the gather)
-    edge_rows = rd.from_arrow(pa.table({
-        "key": pa.array(src), "dst": pa.array(dst),
-        "r": pa.array(np.full(len(src), -1, np.int64)),
-    })).materialize()
-    zero_rows = rd.from_arrow(pa.table({
-        "node": pa.array(nodes),
-        "c": pa.array(np.zeros(len(nodes), np.int64)),
-    })).materialize()
+    # (key=src carries dst), the node carrier (zero contribution, keeps
+    # in-degree-0 nodes in the gather), and the BASE rank per node
+    def as_edge_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["crawl_id"], crawl_id))
+        return pa.table({
+            "key": t["src"], "dst": t["dst"],
+            "r": pa.array(np.full(t.num_rows, -1, np.int64)),
+        })
 
-    ranks = pa.table({
-        "key": pa.array(nodes),
-        "dst": pa.array(np.full(len(nodes), "", dtype=object), pa.string()),
-        "r": pa.array(np.full(len(nodes), BASE, np.int64)),
-    })
+    edge_rows = edges_ds.map_batches(
+        as_edge_rows, batch_format="pyarrow").materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["key"].combine_chunks(), t["dst"].combine_chunks()])})
+
+    nodes_ds = (
+        edge_rows.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node").map_groups(lambda g: g.slice(0, 1),
+                                    batch_format="pyarrow")
+    )
+    zero_rows = nodes_ds.map_batches(
+        lambda t: t.append_column("c", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow").materialize()
+
+    def as_rank_rows(t: pa.Table, r: pa.Array | None = None) -> pa.Table:
+        return pa.table({
+            "key": t["node"],
+            "dst": pa.array([""] * t.num_rows, pa.string()),
+            "r": r if r is not None
+                 else pa.array(np.full(t.num_rows, BASE, np.int64)),
+        })
+
+    ranks = nodes_ds.map_batches(as_rank_rows,
+                                 batch_format="pyarrow").materialize()
 
     def scatter(g: pa.Table) -> pa.Table:
         r_rows = g.filter(pc.equal(g["dst"], ""))
@@ -93,28 +132,31 @@ def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10) -> pa.Table:
             "c": pa.array(np.full(k, contrib, np.int64)),
         })
 
-    for _ in range(iters):
-        contribs = (
-            edge_rows.union(rd.from_arrow(ranks))
-            .groupby("key").map_groups(scatter, batch_format="pyarrow")
-        )
-        gathered = (
-            contribs.union(zero_rows)
-            .groupby("node").aggregate(Sum("c", alias_name="r"))
-            .materialize()
-        )
-        nt = pa.Table.from_pandas(gathered.to_pandas(), preserve_index=False)
-        r_new = nt["r"].to_numpy().astype(np.int64) + TELEPORT
-        ranks = pa.table({
-            "key": nt["node"],
-            "dst": pa.array(np.full(nt.num_rows, "", dtype=object), pa.string()),
-            "r": pa.array(r_new),
+    def teleport_and_relabel(t: pa.Table) -> pa.Table:
+        r_new = pa.array(t["r"].to_numpy().astype(np.int64) + TELEPORT)
+        return pa.table({
+            "key": t["node"],
+            "dst": pa.array([""] * t.num_rows, pa.string()),
+            "r": r_new,
         })
 
-    order = np.argsort(ranks["key"].to_numpy(zero_copy_only=False))
+    for _ in range(iters):
+        contribs = (
+            edge_rows.union(ranks)
+            .groupby("key").map_groups(scatter, batch_format="pyarrow")
+        )
+        ranks = (
+            contribs.union(zero_rows)
+            .groupby("node").aggregate(Sum("c", alias_name="r"))
+            .map_batches(teleport_and_relabel, batch_format="pyarrow")
+            .materialize()     # one round of lineage, never the driver
+        )
+
+    final = pa.Table.from_pandas(ranks.to_pandas(), preserve_index=False)
+    order = np.argsort(final["key"].to_numpy(zero_copy_only=False))
     return pa.table({
-        "node": pa.array(ranks["key"].to_numpy(zero_copy_only=False)[order]),
-        "rank_units": pa.array(ranks["r"].to_numpy()[order]),
+        "node": pa.array(final["key"].to_numpy(zero_copy_only=False)[order]),
+        "rank_units": pa.array(final["r"].to_numpy()[order]),
     })
 
 

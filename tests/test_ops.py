@@ -426,3 +426,9 @@ def test_crawl_pagerank_matches_integer_reference():
     want = pagerank_reference(edges.src.tolist(), edges.dst.tolist())
     assert dict(zip(got.node, got.rank_units)) == want
     assert got.rank_units.nunique() > 1
+    # the sharded Dataset iteration (above the driver gate) is the same
+    # integer recurrence — fewer rounds keep the tiny-graph test fast
+    dist = crawl_pagerank(load_edges(demo_ckpts()), "demo1", iters=3,
+                          distributed=True).to_pandas()
+    want3 = pagerank_reference(edges.src.tolist(), edges.dst.tolist(), iters=3)
+    assert dict(zip(dist.node, dist.rank_units)) == want3
