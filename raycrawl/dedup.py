@@ -141,7 +141,15 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     return v.min(axis=1)
 
 
-_SHINGLES_CACHE: dict[str, object] = {}
+_SHINGLES_CACHE: dict[tuple, object] = {}
+
+
+def _docs_key(sf_dir: str) -> tuple:
+    """Content key for per-sf_dir memo caches: path + size + mtime, so a
+    regenerated corpus at the same path never serves a stale result
+    (ADVICE r2 on the index caches applies to these too)."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return (sf_dir, st.st_size, st.st_mtime_ns)
 
 
 def shingles_dataset(sf_dir: str):
@@ -149,7 +157,8 @@ def shingles_dataset(sf_dir: str):
     and memoized per sf_dir — the shared input of the MinHash and exact
     n-gram paths (a multi-query sweep would otherwise recompute it per
     query; VERDICT r2 §What's wrong 4)."""
-    cached = _SHINGLES_CACHE.get(sf_dir)
+    ck = _docs_key(sf_dir)
+    cached = _SHINGLES_CACHE.get(ck)
     if cached is not None:
         return cached
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
@@ -166,7 +175,7 @@ def shingles_dataset(sf_dir: str):
         )
 
     ds = docs.map_batches(batch, batch_format="pyarrow").materialize()
-    _SHINGLES_CACHE[sf_dir] = ds
+    _SHINGLES_CACHE[ck] = ds
     return ds
 
 
@@ -355,7 +364,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
     import pyarrow.compute as pc
     import ray
 
-    memo_key = (sf_dir, float(threshold), int(df_cap))
+    memo_key = (_docs_key(sf_dir), float(threshold), int(df_cap))
     cached = _NGRAM_PAIRS_CACHE.get(memo_key)
     if cached is not None:
         return cached
@@ -968,46 +977,60 @@ def label_components_distributed(pairs: pa.Table, max_rounds: int = 64):
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
+    if pairs.num_rows == 0:                    # no near-dups: no components
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "lbl": pa.array([], pa.int64())})
+
     a = pairs["a"].to_numpy().astype(np.int64)
     b = pairs["b"].to_numpy().astype(np.int64)
     # symmetric edge list; -1 marks "label carrier" rows in the union
     edges = pa.table({"key": pa.array(np.concatenate([a, b])),
                       "dst": pa.array(np.concatenate([b, a]))})
     nodes = np.unique(np.concatenate([a, b]))
-    labels = pa.table({"key": pa.array(nodes), "dst": pa.array(np.full(len(nodes), -1, np.int64)),
-                       "lbl": pa.array(nodes)})
-    edges_ds = rd.from_arrow(edges.append_column("lbl", pa.array(np.full(edges.num_rows, -1, np.int64))))
-    labels_t = labels
+    edges_ds = rd.from_arrow(edges.append_column(
+        "lbl", pa.array(np.full(edges.num_rows, -1, np.int64)))).materialize()
+    labels_ds = rd.from_arrow(pa.table({
+        "key": pa.array(nodes),
+        "dst": pa.array(np.full(len(nodes), -1, np.int64)),
+        "lbl": pa.array(nodes),
+    })).materialize()
+
+    def scatter(g: pa.Table) -> pa.Table:
+        dst = g["dst"].to_numpy()
+        lbl = g["lbl"].to_numpy()
+        my = lbl[dst == -1].min()           # this node's current label
+        out_nodes = dst[dst != -1]
+        return pa.table({
+            "node": pa.array(np.concatenate(
+                [out_nodes, g["key"][:1].to_numpy()]).astype(np.int64)),
+            "cand": pa.array(np.full(len(out_nodes) + 1, my, np.int64)),
+        })
+
+    def as_label_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["node"].cast(pa.int64()),
+            "dst": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "lbl": t["lbl"].cast(pa.int64()),
+        })
+
     prev_sum = None
     for _ in range(max_rounds):
-        union = edges_ds.union(rd.from_arrow(labels_t))
-
-        def scatter(g: pa.Table) -> pa.Table:
-            dst = g["dst"].to_numpy()
-            lbl = g["lbl"].to_numpy()
-            my = lbl[dst == -1].min()           # this node's current label
-            out_nodes = dst[dst != -1]
-            return pa.table({
-                "node": pa.array(np.concatenate([out_nodes, g["key"][:1].to_numpy()]).astype(np.int64)),
-                "cand": pa.array(np.full(len(out_nodes) + 1, my, np.int64)),
-            })
-
-        new_labels = (
-            union.groupby("key").map_groups(scatter, batch_format="pyarrow")
+        # materialize ONCE per round: the convergence aggregate and the
+        # next round both read the same executed blocks (no re-execution,
+        # and the label table never passes through the driver)
+        labels_ds = (
+            edges_ds.union(labels_ds)
+            .groupby("key").map_groups(scatter, batch_format="pyarrow")
             .groupby("node").aggregate(Min("cand", alias_name="lbl"))
+            .map_batches(as_label_rows, batch_format="pyarrow")
+            .materialize()
         )
-        agg = new_labels.aggregate(Sum("lbl"))
-        cur_sum = agg["sum(lbl)"]
-        nl = pa.Table.from_pandas(new_labels.to_pandas(), preserve_index=False)
-        labels_t = pa.table({
-            "key": nl["node"].cast(pa.int64()),
-            "dst": pa.array(np.full(nl.num_rows, -1, np.int64)),
-            "lbl": nl["lbl"].cast(pa.int64()),
-        })
+        cur_sum = labels_ds.aggregate(Sum("lbl"))["sum(lbl)"]
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return pa.table({"node": labels_t["key"], "lbl": labels_t["lbl"]})
+    out = pa.Table.from_pandas(labels_ds.to_pandas(), preserve_index=False)
+    return pa.table({"node": out["key"], "lbl": out["lbl"]})
 
 
 def neardup_clusters_distributed(sf_dir: str, threshold: float = 0.6,

@@ -38,57 +38,70 @@ TELEPORT = (15 * BASE) // 100
 
 def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10,
                    distributed: bool | None = None,
-                   driver_max_nodes: int = 1_000_000) -> pa.Table:
+                   driver_max_edges: int = 100_000) -> pa.Table:
     """Integer-unit PageRank over one crawl's link graph. Returns
     (node, rank_units:int64) ordered by node.
 
-    Size-gated like the broadcast joins: while the per-node state fits a
-    driver comfortably (≤ ``driver_max_nodes``) the iteration is a
-    vectorized np.add.at loop over dense node indices — 20 shuffles of a
-    30-row table would be pure scheduler tax. Above the gate (or with
-    ``distributed=True``) it runs the sharded path: static inputs (edge
+    Size-gated like the broadcast joins: while the graph fits a driver
+    comfortably the iteration is a vectorized np.add.at loop over dense
+    node indices — 20 shuffles of a 30-row table would be pure scheduler
+    tax. The gate decides on a distributed COUNT of the filtered edges
+    (nothing is materialized before the decision); above it, or with
+    ``distributed=True``, it runs the sharded path: static inputs (edge
     stream, node carrier, initial ranks) derived with map_batches/groupby
     and an iteration that never funnels the rank table through the driver
     — at the 10^10-node design point the per-node state is exactly what
     must shard. Both paths are pytest-pinned equal (identical integer
-    recurrence)."""
+    recurrence).
+
+    ``driver_max_edges=1e5`` also bounds nodes N ≤ 2e5, which makes the
+    driver path's int64 arithmetic provably safe: total rank mass never
+    exceeds its initial N·BASE (damping only removes mass, teleport
+    restores exactly the removed fraction at fixpoint), so any single
+    r ≤ N·BASE ≤ 2e17 and r·85 ≤ 1.7e19 — within uint64, so the driver
+    path multiplies in uint64 and casts back (values are non-negative).
+    The distributed path multiplies in Python ints inside the group (no
+    width limit); its per-row int64 columns bound a single node's rank at
+    ~9.2e18, i.e. BASE must shrink with N beyond ~9e6-node graphs — at
+    web scale you rescale the unit, not the algorithm."""
     from ray.data.aggregate import Sum
 
-    if distributed is None or not distributed:
-        edges = pa.Table.from_pandas(
-            edges_ds.map_batches(
-                lambda t: t.filter(pc.equal(t["crawl_id"], crawl_id))
-                           .select(["src", "dst"]),
-                batch_format="pyarrow").to_pandas(),
-            preserve_index=False,
-        )
+    filtered = edges_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["crawl_id"], crawl_id))
+                   .select(["src", "dst"]),
+        batch_format="pyarrow").materialize()
+    if distributed is None:
+        distributed = filtered.count() > driver_max_edges
+
+    if not distributed:
+        edges = pa.Table.from_pandas(filtered.to_pandas(),
+                                     preserve_index=False)
         src = edges["src"].to_numpy(zero_copy_only=False)
         dst = edges["dst"].to_numpy(zero_copy_only=False)
         nodes, inv = np.unique(np.concatenate([src, dst]),
                                return_inverse=True)
-        if distributed is None and len(nodes) <= driver_max_nodes:
-            si, di = inv[: len(src)], inv[len(src):]
-            outdeg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
-            r = np.full(len(nodes), BASE, np.int64)
-            for _ in range(iters):
-                contrib = (r[si] * DAMP_NUM) // (DAMP_DEN * outdeg[si])
-                nxt = np.full(len(nodes), TELEPORT, np.int64)
-                np.add.at(nxt, di, contrib)
-                r = nxt
-            return pa.table({"node": pa.array(nodes),
-                             "rank_units": pa.array(r)})
+        si, di = inv[: len(src)], inv[len(src):]
+        outdeg = np.bincount(si, minlength=len(nodes)).astype(np.uint64)
+        r = np.full(len(nodes), BASE, np.uint64)
+        for _ in range(iters):
+            contrib = ((r[si] * np.uint64(DAMP_NUM))
+                       // (np.uint64(DAMP_DEN) * outdeg[si]))
+            nxt = np.full(len(nodes), TELEPORT, np.uint64)
+            np.add.at(nxt, di, contrib)
+            r = nxt
+        return pa.table({"node": pa.array(nodes),
+                         "rank_units": pa.array(r.astype(np.int64))})
 
     # static per-iteration inputs, materialized once: the edge stream
     # (key=src carries dst), the node carrier (zero contribution, keeps
     # in-degree-0 nodes in the gather), and the BASE rank per node
     def as_edge_rows(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["crawl_id"], crawl_id))
         return pa.table({
             "key": t["src"], "dst": t["dst"],
             "r": pa.array(np.full(t.num_rows, -1, np.int64)),
         })
 
-    edge_rows = edges_ds.map_batches(
+    edge_rows = filtered.map_batches(
         as_edge_rows, batch_format="pyarrow").materialize()
 
     def endpoints(t: pa.Table) -> pa.Table:

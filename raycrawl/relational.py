@@ -705,24 +705,55 @@ def customers_without_urgent_orders(sf_dir: str) -> pa.Table:
         ck = t.filter(m)["o_custkey"].to_numpy()
         return pa.table({"k": pa.array(np.unique(ck), pa.int64())})
 
-    parts = (
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    if _broadcast_ok(sf_dir, "customer"):
+        # the distinct urgent-key array is bounded by |customer|, so the
+        # customer gate bounds the broadcast side too
+        parts = (
+            _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+            .map_batches(urgent_keys, batch_format="pyarrow")
+            .to_pandas()
+        )
+        have = np.unique(parts["k"].to_numpy())
+        ref = ray.put(have)
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            ck = t["c_custkey"].to_numpy()
+            pos = np.clip(np.searchsorted(keys, ck), 0, max(len(keys) - 1, 0))
+            hit = (keys[pos] == ck) if len(keys) else np.zeros(len(ck), bool)
+            return t.filter(pa.array(~hit))
+
+        out = (
+            cust.map_batches(probe, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # above the gate: distributed anti-join = left_outer Dataset.join on
+    # the deduped urgent-key Dataset, keep the null (non-matched) side
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4))))
+    # the join coalesces the key columns, so the right side carries an
+    # explicit match flag; anti = rows whose flag is null after left_outer
+    urgent_ds = (
         _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
         .map_batches(urgent_keys, batch_format="pyarrow")
-        .to_pandas()
+        .groupby("k").map_groups(
+            lambda g: g.slice(0, 1).append_column(
+                "hit", pa.array(np.ones(min(1, g.num_rows), np.int64))),
+            batch_format="pyarrow")
     )
-    have = np.unique(parts["k"].to_numpy())
-    ref = ray.put(have)
-
-    def probe(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        ck = t["c_custkey"].to_numpy()
-        pos = np.clip(np.searchsorted(keys, ck), 0, max(len(keys) - 1, 0))
-        hit = (keys[pos] == ck) if len(keys) else np.zeros(len(ck), bool)
-        return t.filter(pa.array(~hit))
-
+    joined = cust.join(urgent_ds, join_type="left_outer",
+                       num_partitions=n_parts,
+                       on=("c_custkey",), right_on=("k",))
     out = (
-        _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
-        .map_batches(probe, batch_format="pyarrow")
+        joined.map_batches(
+            lambda t: t.filter(pc.is_null(t["hit"]))
+                       .select(["c_custkey", "c_name", "c_acctbal"]),
+            batch_format="pyarrow")
         .to_pandas()
         .sort_values("c_custkey")
         .reset_index(drop=True)
@@ -1080,6 +1111,10 @@ def regional_revenue_by_nation(sf_dir: str, region: str = "ASIA") -> pa.Table:
     skeys, snation = skeys[order_s], snation[order_s]
 
     import ray as _ray
+    # broadcast sides here are REGION-FILTERED customer/supplier key maps
+    # (~1/5 of each table); above the _broadcast_ok budget this operator
+    # would chain two more hash joins exactly like revenue_by_nation's
+    # fallback — the gate mechanism and its pinned-equality test live there
     cref = _ray.put((ckeys, cnation))
     sref = _ray.put((skeys, snation))
 
@@ -1187,6 +1222,40 @@ def revenue_by_brand(sf_dir: str) -> pa.Table:
     (partkey → brand-ordinal) pair array fits a worker heap (~16 B/part),
     else it becomes a Dataset.join like order_lineitem_join_stats."""
     import ray
+
+    if not _broadcast_ok(sf_dir, "part"):
+        # above the gate: hash-partitioned Dataset.join on partkey, then
+        # bounded in-batch partial aggregation by brand string
+        n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4))))
+        li = _t(sf_dir, "lineitem",
+                ["l_partkey", "l_extendedprice", "l_discount"])
+        part_ds = _t(sf_dir, "part", ["p_partkey", "p_brand"])
+        joined = li.join(part_ds, join_type="inner",
+                         num_partitions=n_parts,
+                         on=("l_partkey",), right_on=("p_partkey",))
+
+        def partial_join(t: pa.Table) -> pa.Table:
+            ext = t["l_extendedprice"].to_numpy()
+            disc = t["l_discount"].to_numpy()
+            rev = _iunits(ext * (1.0 - disc) * 100.0, 100.0)
+            t2 = pa.table({
+                "p_brand": t["p_brand"],
+                "rev_i": rev,
+                "n_lines": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            })
+            return t2.group_by("p_brand").aggregate(
+                [("rev_i", "sum"), ("n_lines", "sum")]
+            )
+
+        parts = joined.map_batches(partial_join,
+                                   batch_format="pyarrow").to_pandas()
+        g = parts.groupby("p_brand", as_index=False).sum()
+        out = pd.DataFrame({
+            "p_brand": g["p_brand"],
+            "revenue": g["rev_i_sum"].to_numpy() / 10000.0,
+            "n_lines": g["n_lines_sum"].astype("int64"),
+        }).sort_values("p_brand").reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                          columns=["p_partkey", "p_brand"]).to_pandas()

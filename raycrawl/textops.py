@@ -119,7 +119,9 @@ def bpe_token_stats_by_lang(sf_dir: str) -> pa.Table:
     tokens — the cost model a tokenizer-budgeted pipeline plans with.
     Same partial-agg shape as token_stats_by_lang: the regex is compiled
     once per worker process, counts fold in-batch, the groupby ships
-    |langs| rows."""
+    |langs| rows. (Whitespace-token edge: leading/trailing newlines or
+    Unicode spaces split differently under SQL trim+RE2 than str.split —
+    same caveat as doc_repetition_scores; absent from this corpus.)"""
     docs = _t(sf_dir, "documents", ["text", "lang"])
 
     def partial(t: pa.Table) -> pa.Table:

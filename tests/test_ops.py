@@ -432,3 +432,32 @@ def test_crawl_pagerank_matches_integer_reference():
                           distributed=True).to_pandas()
     want3 = pagerank_reference(edges.src.tolist(), edges.dst.tolist(), iters=3)
     assert dict(zip(dist.node, dist.rank_units)) == want3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_components_empty_pair_graph():
+    """A threshold no pair reaches must yield an empty cluster table from
+    BOTH folds (the distributed one used to crash on the empty Dataset
+    aggregate)."""
+    from raycrawl.dedup import neardup_clusters, neardup_clusters_distributed
+
+    a = neardup_clusters(SF, threshold=0.999999).to_pandas()
+    b = neardup_clusters_distributed(SF, threshold=0.999999).to_pandas()
+    assert len(a) == 0 and len(b) == 0
+    assert a.columns.tolist() == b.columns.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_gate_fallbacks_anti_join_and_brand(monkeypatch):
+    """Forcing the gate shut pins the Dataset.join fallbacks of the
+    anti-join and the brand rollup output-equal to the broadcast plans."""
+    from raycrawl.relational import customers_without_urgent_orders, revenue_by_brand
+
+    a1 = customers_without_urgent_orders(SF).to_pandas()
+    b1 = revenue_by_brand(SF).to_pandas()
+    monkeypatch.setenv("RAYCRAWL_BROADCAST_MAX_BYTES", "0")
+    a2 = customers_without_urgent_orders(SF).to_pandas()
+    b2 = revenue_by_brand(SF).to_pandas()
+    assert a1.values.tolist() == a2.values.tolist()
+    assert b1.columns.tolist() == b2.columns.tolist()
+    assert b1.values.tolist() == b2.values.tolist()
