@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": relational.top_events_per_user,
         "customers_without_urgent_orders": relational.customers_without_urgent_orders,
         "documents_hash_sample": relational.documents_hash_sample,
+        "documents_shuffled": relational.documents_shuffled,
         "events_value_quantiles": relational.events_value_quantiles,
         "events_hourly_moving_avg": relational.events_hourly_moving_avg,
         "events_user_distinct": relational.events_user_distinct,
@@ -435,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_user": relational.top_events_per_user_sql(),
         "customers_without_urgent_orders": relational.customers_without_urgent_orders_sql(),
         "documents_hash_sample": relational.documents_hash_sample_sql(),
+        "documents_shuffled": relational.documents_shuffled_sql(),
         "events_value_quantiles": relational.events_value_quantiles_sql(),
         "events_hourly_moving_avg": relational.events_hourly_moving_avg_sql(),
         "events_user_distinct": relational.events_user_distinct_sql(),

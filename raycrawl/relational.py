@@ -800,6 +800,52 @@ def documents_hash_sample(sf_dir: str, pct: int = 20) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def documents_shuffled(sf_dir: str, seed: int = 7) -> pa.Table:
+    """Reproducible global shuffle — the pre-training permutation step.
+    Randomized order is produced DETERMINISTICALLY by sorting on a
+    seed-salted Knuth hash of doc_id (ties broken by doc_id), so the
+    permutation is identical across runs, partitionings and cluster
+    sizes, and the SQL oracle reproduces it exactly — none of which a
+    random_shuffle() gives you. Physically this is one all-to-all range
+    sort of the id+key columns; the mod-2^32 reduction keeps both sides
+    exact for every doc_id < 2^63 (same algebra as documents_hash_sample).
+    Output carries the shuffle position so equality is order-sensitive."""
+    mod32 = np.uint64(1 << 32)
+    salt = np.uint64((seed * 2654435761) % (1 << 32))
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        h = (((ids % mod32) ^ salt) * np.uint64(2654435761)) % mod32
+        return t.append_column("shuffle_key", pa.array(h.astype(np.int64)))
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(key, batch_format="pyarrow")
+        .sort(["shuffle_key", "doc_id"])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    out["pos"] = np.arange(len(out), dtype=np.int64)
+    return pa.Table.from_pandas(
+        out[["pos", "doc_id", "lang", "shuffle_key"]], preserve_index=False)
+
+
+def documents_shuffled_sql(seed: int = 7) -> str:
+    salt = (seed * 2654435761) % (1 << 32)
+    return f"""
+    SELECT CAST(row_number() OVER w - 1 AS BIGINT) AS pos,
+           doc_id, lang,
+           CAST(CAST(xor(CAST(doc_id % 4294967296 AS BIGINT), {salt})
+                     AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT)
+             AS shuffle_key
+    FROM documents
+    WINDOW w AS (ORDER BY CAST(xor(CAST(doc_id % 4294967296 AS BIGINT),
+                                   {salt}) AS HUGEINT)
+                          * 2654435761 % 4294967296, doc_id)
+    ORDER BY pos
+    """
+
+
 def events_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
     """Distributed EXACT quantiles per event_type — no sampling, no sketch.
 
