@@ -40,8 +40,8 @@ def _host_memory_probe(mb: int = 128) -> dict:
     buf[::4096] = 1          # touch every page once
     cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    buf[::4096] = 2          # same pages, now resident
-    warm = time.perf_counter() - t0
+    buf[:] = 2               # full-buffer write over resident pages:
+    warm = time.perf_counter() - t0   # real warm write bandwidth
     del buf
     return dict(
         first_touch_gbps=round(nbytes / cold / 1e9, 2),

@@ -181,8 +181,12 @@ def _index_tag(sf_dir: str) -> str:
     path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     st = os.stat(path)
     rows = pq_.ParquetFile(path).metadata.num_rows
-    raw = f"{path}|{st.st_size}|{st.st_mtime_ns}|{rows}"
-    return hashlib.md5(raw.encode()).hexdigest()[:16]
+    phash = hashlib.md5(path.encode()).hexdigest()[:8]
+    chash = hashlib.md5(
+        f"{st.st_size}|{st.st_mtime_ns}|{rows}".encode()).hexdigest()[:8]
+    # path-hash prefix + content-hash suffix: cleanup can drop SAME-path
+    # indexes whose content tag changed without touching other datasets'
+    return f"{phash}-{chash}"
 
 
 def _commit_index(tmp: str, out: str) -> bool:
@@ -193,10 +197,28 @@ def _commit_index(tmp: str, out: str) -> bool:
 
     try:
         os.rename(tmp, out)
-        return True
-    except OSError:
+    except OSError as e:
         shutil.rmtree(tmp, ignore_errors=True)
-        return os.path.exists(os.path.join(out, "_SUCCESS"))
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            # not a lost race — surface the real cause here, not as a
+            # FileNotFoundError far downstream
+            raise RuntimeError(f"index publish failed for {out}") from e
+    _gc_stale_siblings(out)
+    return True
+
+
+def _gc_stale_siblings(out: str) -> None:
+    """Drop SAME-dataset indexes with an outdated content tag (dir name =
+    '<path_hash>-<content_hash>_<params>'): every corpus regeneration
+    would otherwise strand a full index copy under /tmp forever. Other
+    datasets' indexes (different path hash) are untouched."""
+    import shutil
+
+    root, name = os.path.split(out)
+    prefix = name.split("-", 1)[0] + "-"
+    for d in os.listdir(root):
+        if d.startswith(prefix) and d != name and ".tmp." not in d:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def ensure_lsh_index(sf_dir: str,

@@ -309,7 +309,32 @@ def minhash_neardup_pairs(sf_dir: str, threshold: float = 0.6) -> pa.Table:
     return _verify_pairs(cand, sh, threshold)
 
 
-def _jaccard_pairs_sql(threshold: float, k: int = 3) -> str:
+def _jaccard_pairs_sql(threshold: float, k: int = 3,
+                       df_cap: int | None = None) -> str:
+    """Exact pairs when ``df_cap`` is None; with a cap, candidate pairs
+    must share at least one gram with document frequency ≤ df_cap —
+    the SAME spec the engine's df-capped candidate generation implements
+    (verification is exact over full gram sets either way), so engine and
+    oracle agree by construction at every scale, not just on corpora
+    where no gram is hot."""
+    if df_cap is None:
+        inter = """
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)"""
+    else:
+        inter = f"""
+    gdf AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+    cold AS (SELECT g.doc_id, g.gram FROM g JOIN gdf USING (gram)
+             WHERE gdf.df <= {df_cap}),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM cold x JOIN cold y
+               ON x.gram = y.gram AND x.doc_id < y.doc_id),
+    inter AS (SELECT c.a, c.b, count(*) AS i
+              FROM cand c
+              JOIN g x ON x.doc_id = c.a
+              JOIN g y ON y.doc_id = c.b AND y.gram = x.gram
+              GROUP BY 1, 2)"""
     return f"""
     WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
                   FROM documents),
@@ -320,10 +345,7 @@ def _jaccard_pairs_sql(threshold: float, k: int = 3) -> str:
                          END) AS gram
            FROM toks),
     g AS (SELECT DISTINCT doc_id, gram FROM g0),
-    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-              FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
-              GROUP BY 1, 2)
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),{inter}
     SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
     FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
@@ -419,8 +441,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
     return out
 
 
-def ngram_jaccard_sql(threshold: float = 0.6) -> str:
-    return _jaccard_pairs_sql(threshold)
+def ngram_jaccard_sql(threshold: float = 0.6, df_cap: int = 1000) -> str:
+    # mirrors the engine's default df cap — one spec, two implementations
+    return _jaccard_pairs_sql(threshold, df_cap=df_cap)
 
 
 def ngram_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.6,
@@ -512,10 +535,13 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3,
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """Vectorized within-bucket pairing: chunked XOR outer product +
-        byte-table popcount (no per-pair Python). ``bucket_cap`` bounds the
-        worst case — a hot 16-bit band value (e.g. near-empty docs sharing
-        a band) can otherwise stall one task on an O(|bucket|²) grid; the
-        dropped row count is logged."""
+        byte-table popcount (no per-pair Python). The chunking bounds
+        MEMORY (~4M grid cells live at once) at any bucket size, so no
+        rows are ever dropped and the exact-oracle contract holds;
+        ``bucket_cap`` is a WARN threshold — a hot 16-bit band value
+        (e.g. near-empty docs sharing a band) makes one task pay an
+        inherent O(|bucket|²) grid, which the log makes visible so a run
+        can route such corpora through the MinHash path instead."""
         ids = g["doc_id"].to_numpy()
         sig = g["simhash"].to_numpy().astype(np.uint64)
         order = np.lexsort((sig, ids))
@@ -527,9 +553,9 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3,
             import logging
 
             logging.getLogger(__name__).warning(
-                "simhash bucket over cap: %d rows > %d, dropping %d",
-                m, bucket_cap, m - bucket_cap)
-            ids, sig, m = ids[:bucket_cap], sig[:bucket_cap], bucket_cap
+                "hot simhash bucket: %d rows (> %d) — exact O(m^2) pass "
+                "proceeds chunked; consider the MinHash path for this "
+                "corpus", m, bucket_cap)
         a_o, b_o, d_o = [], [], []
         chunk = max(1, (1 << 22) // max(m, 1))  # ~4M-cell grid per chunk
         for s in range(0, m, chunk):
@@ -848,10 +874,10 @@ def neardup_clusters(sf_dir: str, threshold: float = 0.6,
     })
 
 
-def neardup_clusters_sql(threshold: float = 0.6) -> str:
+def neardup_clusters_sql(threshold: float = 0.6, df_cap: int = 1000) -> str:
     """Recursive-CTE transitive closure + min-label (the tiny pair graph
     makes full closure affordable for the oracle)."""
-    pairs = _jaccard_pairs_sql(threshold)
+    pairs = _jaccard_pairs_sql(threshold, df_cap=df_cap)
     return f"""
     WITH RECURSIVE pr AS ({pairs}),
     e AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
@@ -934,8 +960,8 @@ def documents_deduped(sf_dir: str, threshold: float = 0.6,
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def documents_deduped_sql(threshold: float = 0.6) -> str:
-    pairs = _jaccard_pairs_sql(threshold)
+def documents_deduped_sql(threshold: float = 0.6, df_cap: int = 1000) -> str:
+    pairs = _jaccard_pairs_sql(threshold, df_cap=df_cap)
     return f"""
     WITH RECURSIVE pr AS ({pairs}),
     e AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),

@@ -152,10 +152,15 @@ def ensure_partitioned_corpus(corpus_dir: str, n_parts: int = 32,
         f.write("ok")
     try:
         os.rename(tmp, out)
-    except OSError:  # lost the race — the winner's layout is equivalent
+    except OSError as e:  # lost the race — the winner's layout is equivalent
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            # not a race after all — fail here with the real cause instead
+            # of a FileNotFoundError at the first partition read
+            raise RuntimeError(
+                f"partitioned-corpus publish failed for {out}") from e
     return out
 
 

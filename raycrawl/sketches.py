@@ -287,6 +287,12 @@ def events_user_heavy_hitters(sf_dir: str, k: int = 10,
 
     def partial(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy()
+        if len(uid) and uid.min() < 0:
+            # the decrement carrier is the in-band sentinel -1; a negative
+            # real id would silently merge into it — fail loudly instead
+            raise ValueError("events_user_heavy_hitters requires "
+                             "non-negative user_id (sentinel -1 is the "
+                             "decrement carrier)")
         keys, counts = np.unique(uid, return_counts=True)
         keys, counts, dec = mg_reduce(keys, counts.astype(np.int64), cap)
         # decrement-carrier row (user_id = -1) so the merge can bound err

@@ -424,9 +424,13 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> pa.Table:
     import ray
 
     n_docs = _t(sf_dir, "documents", ["doc_id"]).count()
-    # partition count tracks the cluster; tiny test sessions don't pay
-    # 16-way shuffle fixed costs, big clusters still spread the combine
-    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    # partition count tracks the cluster AND the data: one combine task
+    # holds a whole term-hash partition in memory, so partitions must
+    # multiply with corpus size (vocab partials grow with it) — ~100k
+    # docs per partition keeps the per-task table bounded; tiny test
+    # sessions still don't pay 16-way shuffle fixed costs
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)),
+                  n_docs // 100_000)
 
     def tokenize_partial(t: pa.Table) -> pa.Table:
         import polars as pl

@@ -461,3 +461,29 @@ def test_broadcast_gate_fallbacks_anti_join_and_brand(monkeypatch):
     assert a1.values.tolist() == a2.values.tolist()
     assert b1.columns.tolist() == b2.columns.tolist()
     assert b1.values.tolist() == b2.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_index_cache_gc_drops_stale_content_versions(tmp_path):
+    """Regenerating the dataset at the same path must (a) rebuild the
+    index (content key) and (b) garbage-collect the outdated copy —
+    without touching other datasets' indexes."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from raycrawl.ann import ensure_lsh_index
+
+    src = str(tmp_path / "ds")
+    os.makedirs(src)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    pq.write_table(t, f"{src}/embeddings.parquet")
+    root = str(tmp_path / "lsh")
+    a = ensure_lsh_index(src, out_root=root)
+    pq.write_table(t.slice(0, t.num_rows - 1), f"{src}/embeddings.parquet")
+    b = ensure_lsh_index(src, out_root=root)
+    assert a != b
+    assert not os.path.exists(a)          # stale sibling GC'd
+    assert os.path.exists(os.path.join(b, "_SUCCESS"))
+    shutil.rmtree(src)
