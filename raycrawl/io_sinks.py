@@ -34,6 +34,15 @@ def export_jsonl_partitioned(ds, out_dir: str, partition_col: str) -> dict:
     from ray.data.aggregate import Count
 
     counts = ds.groupby(partition_col).aggregate(Count(alias_name="n")).to_pandas()
+    if len(counts) > 1000:
+        # one filtered pass per partition value: right for the bounded
+        # partition keys this sink is for (lang, source, date), wrong for
+        # high-cardinality keys — there, sort by the key once and write
+        # per-block instead of scanning P times. Fail loudly, not slowly.
+        raise ValueError(
+            f"export_jsonl_partitioned: {len(counts)} distinct values of "
+            f"'{partition_col}' — use a bounded partition key (or a "
+            f"sort-once layout) instead of {len(counts)} filtered scans")
     written: dict = {}
     for value, n in zip(counts[partition_col], counts["n"]):
         pdir = os.path.join(out_dir, f"{partition_col}={value}")
