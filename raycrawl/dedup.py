@@ -988,17 +988,22 @@ def documents_deduped_sql(threshold: float = 0.6, df_cap: int = 1000) -> str:
 
 def label_components_distributed(pairs: pa.Table, max_rounds: int = 64):
     """Connected components as pure Dataset ops — the scale path the
-    union-find docstring promises. Min-label propagation: every node
-    starts labeled with itself; each round every node takes the min of
-    its own label and its neighbors' labels (two hash-partitioned
-    groupbys per round, no Acero join); fixpoint in O(diameter) rounds
-    (near-dup cluster diameters are tiny; pointer-jumping would cut the
-    worst case to O(log n) at the cost of a third shuffle per round).
+    union-find docstring promises. Each round: (1) min-label propagation
+    — every node takes the min of its own and its neighbors' labels (two
+    hash-partitioned groupbys, no Acero join); (2) POINTER JUMPING —
+    every node re-reads its label's OWN label (one more keyed groupby:
+    labels double as both answers and requests), so label trees halve in
+    height each round and a path component of length n converges in
+    O(log n) rounds, not O(n) — an adversarial chain of near-dups cannot
+    exhaust the round budget.
 
     Convergence detection without a join: labels only ever decrease, so
     the global label SUM strictly decreases until fixpoint — one cheap
-    aggregate per round. Returns a pa.Table (node, lbl); both are
-    bounded by pair volume, never corpus size.
+    aggregate per round; exhausting ``max_rounds`` without a fixpoint
+    raises rather than returning silently-unmerged components. Returns a
+    pa.Table (node, lbl); both are bounded by pair volume, never corpus
+    size. Node ids must be non-negative (-1 is the in-band answer-row
+    marker, as in the scatter step).
     """
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
@@ -1039,22 +1044,54 @@ def label_components_distributed(pairs: pa.Table, max_rounds: int = 64):
             "lbl": t["lbl"].cast(pa.int64()),
         })
 
+    def as_requests(t: pa.Table) -> pa.Table:
+        # ask my label-node for ITS label: key = lbl, dst = me
+        return pa.table({
+            "key": t["lbl"],
+            "dst": t["key"],
+            "lbl": pa.array(np.full(t.num_rows, -1, np.int64)),
+        })
+
+    def answer(g: pa.Table) -> pa.Table:
+        dst = g["dst"].to_numpy()
+        lbl = g["lbl"].to_numpy()
+        mine = dst == -1
+        my = lbl[mine].min()               # this node's current label
+        asked = dst[~mine]                 # nodes whose label points here
+        return pa.table({
+            "key": pa.array(asked.astype(np.int64)),
+            "dst": pa.array(np.full(len(asked), -1, np.int64)),
+            "lbl": pa.array(np.full(len(asked), my, np.int64)),
+        })
+
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         # materialize ONCE per round: the convergence aggregate and the
         # next round both read the same executed blocks (no re-execution,
         # and the label table never passes through the driver)
-        labels_ds = (
+        propagated = (
             edges_ds.union(labels_ds)
             .groupby("key").map_groups(scatter, batch_format="pyarrow")
             .groupby("node").aggregate(Min("cand", alias_name="lbl"))
             .map_batches(as_label_rows, batch_format="pyarrow")
+        )
+        # pointer jump: every node appears in exactly one request row, so
+        # the grouped answers ARE the next label table (no extra min)
+        labels_ds = (
+            propagated.map_batches(as_requests, batch_format="pyarrow")
+            .union(propagated)
+            .groupby("key").map_groups(answer, batch_format="pyarrow")
             .materialize()
         )
         cur_sum = labels_ds.aggregate(Sum("lbl"))["sum(lbl)"]
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds")
     out = pa.Table.from_pandas(labels_ds.to_pandas(), preserve_index=False)
     return pa.table({"node": out["key"], "lbl": out["lbl"]})
 

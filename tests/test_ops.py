@@ -487,3 +487,19 @@ def test_index_cache_gc_drops_stale_content_versions(tmp_path):
     assert not os.path.exists(a)          # stale sibling GC'd
     assert os.path.exists(os.path.join(b, "_SUCCESS"))
     shutil.rmtree(src)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_components_path_graph_log_rounds():
+    """A 200-node path is the adversarial chain shape: plain min-label
+    propagation needs ~200 rounds, pointer jumping needs ~log2(200)+2 —
+    so a budget of 12 rounds must converge with every node labeled 0."""
+    import pyarrow as pa
+
+    from raycrawl.dedup import label_components_distributed
+
+    n = 200
+    pairs = pa.table({"a": list(range(n - 1)), "b": list(range(1, n))})
+    lab = label_components_distributed(pairs, max_rounds=12).to_pandas()
+    assert len(lab) == n
+    assert (lab.lbl == 0).all()
