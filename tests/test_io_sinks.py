@@ -15,7 +15,7 @@ def test_export_jsonl_partitioned_roundtrip_and_resume(tmp_path):
     ds = rd.read_parquet(f"{SF}/documents.parquet",
                          columns=["doc_id", "lang", "n_chars"])
     out = str(tmp_path / "exp")
-    written = export_jsonl_partitioned(ds, out, "lang")
+    written = export_jsonl_partitioned(ds, out, "lang", num_shards=4)
     src = pq.read_table(f"{SF}/documents.parquet",
                         columns=["doc_id", "lang", "n_chars"]).to_pandas()
     assert written == src.groupby("lang").size().to_dict()
@@ -24,13 +24,49 @@ def test_export_jsonl_partitioned_roundtrip_and_resume(tmp_path):
     a = back.sort_values("doc_id").reset_index(drop=True)
     b = src.sort_values("doc_id").reset_index(drop=True)
     assert (a[["doc_id", "lang", "n_chars"]].values == b.values).all()
-    # resume: mutate one partition's data file, re-export — committed
-    # partitions are skipped, so the mutation survives
+    # resume: committed shards are skipped, so their files are untouched
     lang0 = sorted(written)[0]
     pdir = os.path.join(out, f"lang={lang0}")
-    fn = [f for f in os.listdir(pdir) if f.endswith(".json")][0]
+    fns = sorted(f for f in os.listdir(pdir) if f.endswith(".jsonl"))
+    assert fns, "expected committed shard files"
+    mtime0 = os.path.getmtime(os.path.join(pdir, fns[0]))
+    written2 = export_jsonl_partitioned(ds, out, "lang", num_shards=4)
+    assert written2 == written
+    assert os.path.getmtime(os.path.join(pdir, fns[0])) == mtime0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_jsonl_crashed_shard_is_rewritten_not_appended(tmp_path):
+    """ADVICE r3 (medium): a crashed, uncommitted shard must be fully
+    re-written on resume — never appended-to / double-counted."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raycrawl.io_sinks import export_jsonl_partitioned, read_back_jsonl
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    out = str(tmp_path / "exp")
+    export_jsonl_partitioned(ds, out, "lang", num_shards=4)
+    # simulate a crash that left a stale data file but no commit marker:
+    # corrupt one shard's file and remove its _OK marker + _SUCCESS
+    lang0 = sorted(os.listdir(out))[0].split("=", 1)[1]
+    pdir = os.path.join(out, f"lang={lang0}")
+    fn = sorted(f for f in os.listdir(pdir) if f.endswith(".jsonl"))[0]
+    shard = int(fn.split("-")[1].split(".")[0])
     with open(os.path.join(pdir, fn), "a") as f:
-        pass  # touch
-    mtime0 = os.path.getmtime(os.path.join(pdir, fn))
-    export_jsonl_partitioned(ds, out, "lang")
-    assert os.path.getmtime(os.path.join(pdir, fn)) == mtime0
+        f.write('{"doc_id": -999, "lang": "zz", "n_chars": 0}\n')
+    os.remove(os.path.join(pdir, f"_OK.{shard}"))
+    os.remove(os.path.join(pdir, "_SUCCESS"))
+    # also leave an orphan tmp file; it must be ignored by read-back
+    with open(os.path.join(pdir, ".tmp-deadbeef"), "w") as f:
+        f.write('{"doc_id": -1}\n')
+
+    written = export_jsonl_partitioned(ds, out, "lang", num_shards=4)
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    assert written == src.groupby("lang").size().to_dict()
+    back = read_back_jsonl(out).to_pandas()
+    assert sorted(back.doc_id) == sorted(src.doc_id)  # no dup, no -999
