@@ -164,8 +164,14 @@ def shingles_dataset(sf_dir: str):
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def batch(t: pa.Table) -> pa.Table:
+        # vectorized twin of the scalar ``shingle_set`` (pytest-pinned
+        # equal): one segmented gram gather + one DuckDB md5 call per
+        # batch, then per-doc sorted-unique via one lexsort-free pass
+        from raycrawl.kernels import md5_gram_hashes
+
         texts = t["text"].to_pylist()
-        shs = [shingle_set(s) for s in texts]
+        h, offs = md5_gram_hashes(texts, k=3)
+        shs = [np.unique(h[offs[i]:offs[i + 1]]) for i in range(len(texts))]
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -488,16 +494,43 @@ def _simhash_from_hashes(hs: np.ndarray) -> int:
 
 def simhash64(text: str) -> int:
     """Classic 64-bit SimHash over md5-derived word-token hashes
-    (vectorized over bits; md5_u64 keeps it SQL-recomputable)."""
+    (vectorized over bits; md5_u64 keeps it SQL-recomputable). Scalar
+    reference twin of the segmented batch path (pytest-pinned equal)."""
     toks = text.split()
     hs = np.fromiter((md5_u64(t) for t in toks), np.uint64, len(toks))
     return _simhash_from_hashes(hs)
 
 
+def _simhash_segmented(h: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """SimHash signatures for every doc of a batch at once: per-bit
+    segmented sums (``np.add.reduceat`` over doc boundaries) — no per-doc
+    Python, memory O(total tokens). Empty docs get signature 0 (same as
+    ``_simhash_from_hashes`` on an empty array)."""
+    n_docs = len(offs) - 1
+    out = np.zeros(n_docs, np.uint64)
+    counts = np.diff(offs)
+    ne = counts > 0
+    if not ne.any():
+        return out
+    starts = offs[:-1][ne]
+    cnt = counts[ne]
+    sig = np.zeros(int(ne.sum()), np.uint64)
+    for b in range(64):
+        ones = np.add.reduceat(
+            ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64), starts)
+        # acc = sum(bit*2 - 1) = 2*ones - cnt; sig bit set iff acc > 0
+        sig |= (np.uint64(1) << np.uint64(b)) * (2 * ones > cnt)
+    out[ne] = sig
+    return out
+
+
 def simhash_batch(t: pa.Table) -> pa.Table:
+    from raycrawl.kernels import md5_gram_hashes
+
     texts = t["text"].to_pylist()
-    hs = np.fromiter((simhash64(s) for s in texts), np.uint64, len(texts))
-    return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hs)})
+    h, offs = md5_gram_hashes(texts, k=1)  # k=1: token hashes, dups kept
+    return pa.table({"doc_id": t["doc_id"],
+                     "simhash": pa.array(_simhash_segmented(h, offs))})
 
 
 def simhashes(sf_dir: str):

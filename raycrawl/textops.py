@@ -343,21 +343,19 @@ def langid_sql() -> str:
 
 def fingerprint_batch(t: pa.Table, k: int = 8) -> pa.Table:
     """Winnowing-style fingerprint: min md5-derived hash over token k-grams
-    (content-defined; stable under whitespace-preserving edits elsewhere)."""
-    from raycrawl.kernels import md5_u64
+    (content-defined; stable under whitespace-preserving edits elsewhere).
+    Vectorized: one segmented gram gather + one DuckDB md5 call per batch,
+    then a per-doc ``minimum.reduceat`` — values bit-identical to the old
+    per-gram scalar loop (empty docs keep the md5("") fingerprint)."""
+    from raycrawl.kernels import md5_gram_hashes, md5_u64
 
     texts = t["text"].to_pylist()
-    fps = np.zeros(len(texts), dtype=np.uint64)
-    ngrams = np.zeros(len(texts), dtype=np.int64)
-    for i, s in enumerate(texts):
-        toks = s.split()
-        if len(toks) < k:
-            fps[i] = np.uint64(md5_u64(" ".join(toks)))
-            ngrams[i] = 1 if toks else 0
-            continue
-        fps[i] = min(md5_u64(" ".join(toks[j : j + k]))
-                     for j in range(len(toks) - k + 1))
-        ngrams[i] = len(toks) - k + 1
+    h, offs = md5_gram_hashes(texts, k=k)
+    ngrams = np.diff(offs)
+    fps = np.full(len(texts), np.uint64(md5_u64("")), dtype=np.uint64)
+    ne = ngrams > 0
+    if ne.any():
+        fps[ne] = np.minimum.reduceat(h, offs[:-1][ne])
     return pa.table(
         {
             "doc_id": t["doc_id"],

@@ -219,3 +219,105 @@ def test_token_hash64_hard_fails_without_polars(monkeypatch):
     with _pytest.raises(RuntimeError):
         k.token_hash64(["tok"])
     monkeypatch.setattr(k, "_TOKEN_LANE_OK", None)
+
+
+# ---------------------------------------------------------------------------
+# vectorized md5 gram lane (r4): the batched DuckDB path must be
+# bit-identical to the scalar md5_u64 reference on every gram shape
+# ---------------------------------------------------------------------------
+
+_EDGE_TEXTS = [
+    "",                      # no tokens
+    "   \t\n  ",             # whitespace only
+    "one",                   # n < k for every k > 1
+    "one two",
+    "a  b\t c\n d",          # collapsing whitespace
+    "héllo wörld foo bar baz qux quux",   # multi-byte utf-8
+    "dup dup dup dup",       # repeated tokens (simhash counts matter)
+    "x " * 50,               # long repeated
+]
+
+
+def _rand_texts(seed, n=40):
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        nw = rng.randrange(0, 30)
+        out.append(" ".join(
+            rng.choice(["alpha", "beta", "γάμμα", "d-e.f", "42", "x"])
+            for _ in range(nw)))
+    return out
+
+
+def test_md5_u64_arrow_matches_scalar():
+    import numpy as np
+
+    from raycrawl.kernels import md5_u64, md5_u64_arrow
+
+    strs = _EDGE_TEXTS + _rand_texts(1)
+    got = md5_u64_arrow(pa.array(strs, pa.string()))
+    exp = np.array([md5_u64(s) for s in strs], np.uint64)
+    assert (got == exp).all()
+
+
+def test_md5_gram_hashes_matches_scalar_grams():
+    import numpy as np
+
+    from raycrawl.kernels import md5_gram_hashes, md5_u64
+
+    texts = _EDGE_TEXTS + _rand_texts(2)
+    for k in (1, 3, 8):
+        h, offs = md5_gram_hashes(texts, k)
+        assert len(offs) == len(texts) + 1 and offs[-1] == len(h)
+        for i, text in enumerate(texts):
+            toks = text.split()
+            if not toks:
+                grams = []
+            elif len(toks) < k:
+                grams = [" ".join(toks)]
+            else:
+                grams = [" ".join(toks[j:j + k])
+                         for j in range(len(toks) - k + 1)]
+            exp = np.array([md5_u64(g) for g in grams], np.uint64)
+            got = h[offs[i]:offs[i + 1]]
+            assert np.array_equal(got, exp), (k, i, text)
+
+
+def test_shingle_simhash_fingerprint_batches_match_scalar():
+    import numpy as np
+
+    from raycrawl.dedup import (_simhash_segmented, shingle_set, simhash64,
+                                simhash_batch)
+    from raycrawl.kernels import md5_gram_hashes, md5_u64
+    from raycrawl.textops import fingerprint_batch
+
+    texts = _EDGE_TEXTS + _rand_texts(3)
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    # shingles (k=3): vectorized unique == scalar shingle_set
+    h, offs = md5_gram_hashes(texts, 3)
+    for i, text in enumerate(texts):
+        assert np.array_equal(np.unique(h[offs[i]:offs[i + 1]]),
+                              shingle_set(text)), text
+
+    # simhash: segmented batch == scalar per doc
+    got = simhash_batch(t)["simhash"].to_numpy()
+    exp = np.array([simhash64(s) for s in texts], np.uint64)
+    assert (got == exp).all()
+
+    # fingerprint (k=8): batch == the old scalar loop
+    fp = fingerprint_batch(t)
+    for i, text in enumerate(texts):
+        toks = text.split()
+        if len(toks) < 8:
+            e_fp, e_n = md5_u64(" ".join(toks)), (1 if toks else 0)
+        else:
+            e_fp = min(md5_u64(" ".join(toks[j:j + 8]))
+                       for j in range(len(toks) - 7))
+            e_n = len(toks) - 7
+        assert int(fp["fingerprint"][i].as_py()) == e_fp, text
+        assert int(fp["n_ngrams"][i].as_py()) == e_n, text
