@@ -142,14 +142,28 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
 
 
 _SHINGLES_CACHE: dict[tuple, object] = {}
+_MEMO_MAX_KEYS = 4  # per cache; oldest-inserted evicted first (ADVICE r3)
 
 
 def _docs_key(sf_dir: str) -> tuple:
-    """Content key for per-sf_dir memo caches: path + size + mtime, so a
-    regenerated corpus at the same path never serves a stale result
-    (ADVICE r2 on the index caches applies to these too)."""
+    """Content key for per-sf_dir memo caches: path + size + mtime PLUS
+    the Ray session id — a MaterializedDataset pins object-store blocks
+    that die with the Ray session, so a ray.shutdown()/init() in the same
+    process must never serve a stale handle (ADVICE r3 #4)."""
+    import ray
+
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    return (sf_dir, st.st_size, st.st_mtime_ns)
+    session = (ray.get_runtime_context().get_job_id()
+               if ray.is_initialized() else None)
+    return (sf_dir, st.st_size, st.st_mtime_ns, session)
+
+
+def _memo_put(cache: dict, key: tuple, value) -> None:
+    """Insert with bounded size: keep the last ``_MEMO_MAX_KEYS`` entries
+    (dict preserves insertion order, so the front is the oldest)."""
+    cache[key] = value
+    while len(cache) > _MEMO_MAX_KEYS:
+        cache.pop(next(iter(cache)))
 
 
 def shingles_dataset(sf_dir: str):
@@ -181,7 +195,7 @@ def shingles_dataset(sf_dir: str):
         )
 
     ds = docs.map_batches(batch, batch_format="pyarrow").materialize()
-    _SHINGLES_CACHE[ck] = ds
+    _memo_put(_SHINGLES_CACHE, ck, ds)
     return ds
 
 
@@ -443,7 +457,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
     cand = _candidate_pairs(grams.map_batches(drop_hot, batch_format="pyarrow"),
                             key=("gram",))
     out = _verify_pairs(cand, sh, threshold)
-    _NGRAM_PAIRS_CACHE[memo_key] = out
+    _memo_put(_NGRAM_PAIRS_CACHE, memo_key, out)
     return out
 
 
@@ -871,13 +885,37 @@ def neardup_clusters(sf_dir: str, threshold: float = 0.6,
     bounded by near-dup volume, never corpus size).
 
     Distributed shape: pair finding is the fully-distributed
-    ``ngram_jaccard_pairs`` plan; the component fold then runs over the
-    PAIR table only (path-compressed union-find) — at this corpus' dup
-    rate that's ~|pairs| driver work. At 100 TB with adversarial dup rates
-    you'd replace the fold with log-round pointer-jumping (iterated
-    min-label joins on the same pair table); the pair table is still the
-    small side by orders of magnitude."""
+    ``ngram_jaccard_pairs`` plan; the component fold is SIZE-GATED
+    (``_label_components``): below ``RAYCRAWL_UNIONFIND_MAX_PAIRS`` it is
+    a path-compressed driver union-find (~|pairs| work), above it the
+    log-round pointer-jumping Dataset fold takes over — so adversarial
+    dup rates where the pair table outgrows one driver heap stay
+    scale-safe end-to-end (VERDICT r3 next-round 6)."""
     pairs = ngram_jaccard_pairs(sf_dir, threshold, df_cap)
+    lab = _label_components(pairs)
+    return _clusters_from_labels(lab)
+
+
+# pair tables below this use the driver union-find; above it (or when the
+# env forces 0, as the forced-path tests do) the pointer-jumping Dataset
+# fold runs instead — same answer, no driver heap dependence
+_UNIONFIND_MAX_PAIRS_DEFAULT = 2_000_000
+
+
+def _label_components(pairs: pa.Table) -> pa.Table:
+    """(node, lbl) component labels over an undirected pair table, gated
+    on pair volume (mirrors ``_broadcast_ok``'s pattern): the driver
+    union-find is cheaper while the pair table fits one heap; past the
+    gate the distributed pointer-jumping fold produces the identical
+    labeling (pytest-pinned equal on both paths)."""
+    gate = int(os.environ.get("RAYCRAWL_UNIONFIND_MAX_PAIRS",
+                              _UNIONFIND_MAX_PAIRS_DEFAULT))
+    if pairs.num_rows > gate:
+        return label_components_distributed(pairs)
+    return _label_components_driver(pairs)
+
+
+def _label_components_driver(pairs: pa.Table) -> pa.Table:
     a = pairs["a"].to_numpy()
     b = pairs["b"].to_numpy()
     parent: dict[int, int] = {}
@@ -898,7 +936,15 @@ def neardup_clusters(sf_dir: str, threshold: float = 0.6,
             parent[hi_] = lo
     docs = sorted(set(a.tolist()) | set(b.tolist()))
     keeper = np.array([find(d) for d in docs], np.int64)
-    docs = np.array(docs, np.int64)
+    return pa.table({"node": pa.array(np.array(docs, np.int64)),
+                     "lbl": pa.array(keeper)})
+
+
+def _clusters_from_labels(lab: pa.Table) -> pa.Table:
+    docs = lab["node"].to_numpy().astype(np.int64)
+    keeper = lab["lbl"].to_numpy().astype(np.int64)
+    order = np.argsort(docs)
+    docs, keeper = docs[order], keeper[order]
     _, inv, counts = np.unique(keeper, return_inverse=True, return_counts=True)
     return pa.table({
         "doc_id": pa.array(docs),
@@ -933,23 +979,12 @@ def neardup_clusters_sql(threshold: float = 0.6, df_cap: int = 1000) -> str:
 # End-to-end dedup apply: materialize the deduplicated corpus
 # ---------------------------------------------------------------------------
 
-def documents_deduped(sf_dir: str, threshold: float = 0.6,
-                      df_cap: int = 1000) -> pa.Table:
-    """The step a training-data pipeline actually ships: the corpus with
-    duplicates REMOVED. Two passes composed:
-
-    1. exact pass — hash-partitioned ``groupby(text_md5)``; every group
-       keeps min doc_id, the rest go on the removal list (emitted inside
-       ``map_groups`` — distributed, output bounded by dup volume);
-    2. near-dup pass — ``neardup_clusters`` keeper assignment over the
-       n-gram-Jaccard pair graph; non-keepers join the removal list.
-
-    The removal set is tiny relative to the corpus (bounded by dup
-    volume), so applying it is a BROADCAST filter: ``ray.put`` the sorted
-    removal ids once, each batch drops matches with one searchsorted —
-    no shuffle touches the wide ``documents`` table. Output: surviving
-    (doc_id, lang, n_chars), ordered.
-    """
+def removal_ids(sf_dir: str, threshold: float = 0.6,
+                df_cap: int = 1000) -> np.ndarray:
+    """Sorted unique doc_ids the dedup passes remove (exact md5 groups'
+    non-min members + near-dup cluster non-keepers) — the broadcast side
+    of every dedup apply, bounded by dup volume, never corpus size.
+    Shared by ``documents_deduped`` and the composed flagship pipeline."""
     import ray
 
     def non_keepers(t: pa.Table) -> pa.Table:
@@ -973,7 +1008,31 @@ def documents_deduped(sf_dir: str, threshold: float = 0.6,
     near_ids = clusters.filter(
         pc.not_equal(clusters["doc_id"], clusters["keeper_doc_id"])
     )["doc_id"].to_numpy()
-    removal = np.unique(np.concatenate([exact_ids, near_ids]).astype(np.int64))
+    return np.unique(np.concatenate([exact_ids, near_ids]).astype(np.int64))
+
+
+def documents_deduped(sf_dir: str, threshold: float = 0.6,
+                      df_cap: int = 1000) -> pa.Table:
+    """The step a training-data pipeline actually ships: the corpus with
+    duplicates REMOVED. Two passes composed:
+
+    1. exact pass — hash-partitioned ``groupby(text_md5)``; every group
+       keeps min doc_id, the rest go on the removal list (emitted inside
+       ``map_groups`` — distributed, output bounded by dup volume);
+    2. near-dup pass — ``neardup_clusters`` keeper assignment over the
+       n-gram-Jaccard pair graph; non-keepers join the removal list.
+
+    The removal set is tiny relative to the corpus (bounded by dup
+    volume), so applying it is a BROADCAST filter: ``ray.put`` the sorted
+    removal ids once, each batch drops matches with one searchsorted —
+    no shuffle touches the wide ``documents`` table. The near-dup
+    component fold inside ``neardup_clusters`` is size-gated
+    (``_label_components``), so the apply path is scale-safe end-to-end.
+    Output: surviving (doc_id, lang, n_chars), ordered.
+    """
+    import ray
+
+    removal = removal_ids(sf_dir, threshold, df_cap)
     rm_ref = ray.put(removal)
 
     def drop_removed(t: pa.Table) -> pa.Table:
@@ -1132,18 +1191,8 @@ def label_components_distributed(pairs: pa.Table, max_rounds: int = 64):
 def neardup_clusters_distributed(sf_dir: str, threshold: float = 0.6,
                                  df_cap: int = 1000) -> pa.Table:
     """Same contract (and same SQL oracle) as ``neardup_clusters``, but
-    the component fold is the distributed min-label propagation — the
-    shape that survives adversarial dup rates where the pair table
-    outgrows one driver heap."""
+    the component fold is ALWAYS the distributed min-label propagation
+    (no size gate) — the shape that survives adversarial dup rates where
+    the pair table outgrows one driver heap."""
     pairs = ngram_jaccard_pairs(sf_dir, threshold, df_cap)
-    lab = label_components_distributed(pairs)
-    docs = lab["node"].to_numpy()
-    keeper = lab["lbl"].to_numpy()
-    order = np.argsort(docs)
-    docs, keeper = docs[order], keeper[order]
-    _, inv, counts = np.unique(keeper, return_inverse=True, return_counts=True)
-    return pa.table({
-        "doc_id": pa.array(docs.astype(np.int64)),
-        "keeper_doc_id": pa.array(keeper.astype(np.int64)),
-        "cluster_size": pa.array(counts[inv].astype(np.int64)),
-    })
+    return _clusters_from_labels(label_components_distributed(pairs))
