@@ -36,6 +36,22 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+try:  # shortest-round-trip float repr in C; values survive read-back exactly
+    import orjson
+
+    def _dump_rows(records: list[dict]) -> bytes:
+        return b"".join(
+            orjson.dumps(r, option=orjson.OPT_SERIALIZE_NUMPY) + b"\n"
+            for r in records)
+except ImportError:  # stdlib json also round-trips floats (repr-based)
+    def _dump_rows(records: list[dict]) -> bytes:
+        def native(o):
+            return o.item() if hasattr(o, "item") else str(o)
+
+        return "".join(
+            json.dumps(r, separators=(",", ":"), default=native) + "\n"
+            for r in records).encode()
+
 
 def _shard_of(col: pa.ChunkedArray | pa.Array, num_shards: int) -> np.ndarray:
     """Deterministic content shard of a key column (int: Knuth multiply;
@@ -112,10 +128,8 @@ def export_jsonl_partitioned(ds, out_dir: str, partition_col: str,
         os.makedirs(pdir, exist_ok=True)
         final = os.path.join(pdir, f"part-{shard:05d}.jsonl")
         tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(body.to_json(orient="records", lines=True))
-            if len(body):
-                f.write("\n")
+        with open(tmp, "wb") as f:
+            f.write(_dump_rows(body.to_dict(orient="records")))
         os.replace(tmp, final)
         with open(os.path.join(pdir, f"_OK.{shard}"), "w") as f:
             json.dump({"rows": int(len(body))}, f)
