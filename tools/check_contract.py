@@ -4,6 +4,9 @@ the sf tables registered as views, compare row count, column names, and an
 order-insensitive value hash. Usage:
 
     python tools/check_contract.py [sf_dir] [name ...]
+
+Pass ``--demoted`` to sweep the demoted registry (variants kept outside
+the driver's 50-row window) instead of the main one.
 """
 
 from __future__ import annotations
@@ -46,8 +49,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--demoted"]
+    demoted = "--demoted" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import ray
 
@@ -61,8 +66,10 @@ def main() -> int:
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entry
 
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    if demoted:
+        qs, oracles = entry.demoted_queries(), entry.demoted_oracle_sql()
+    else:
+        qs, oracles = entry.queries(), entry.oracle_sql()
 
     con = duckdb.connect()
     for t in TABLES:
