@@ -49,6 +49,28 @@ def _host_memory_probe(mb: int = 128) -> dict:
     )
 
 
+def _probe_with_retry() -> tuple[dict, list]:
+    """Opportunistic healthy-window capture (VERDICT r3 next-round 2): the
+    sandbox host's first-touch paging bandwidth swings ~1000× with uptime,
+    and a bench run started in a degraded window burns ~270 s measuring
+    the host, not the engine. Probe first; below BENCH_PROBE_MIN_GBPS
+    re-probe immediately once (the very first touch after process start
+    reads transiently low), then wait BENCH_PROBE_RETRY_SEC between up to
+    BENCH_PROBE_RETRIES further probes; after the budget, run regardless.
+    Every probe lands in the JSON so a reader sees what was waited out."""
+    min_gbps = float(os.environ.get("BENCH_PROBE_MIN_GBPS", "4"))
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "5"))
+    wait = float(os.environ.get("BENCH_PROBE_RETRY_SEC", "60"))
+    history = [_host_memory_probe()]
+    for attempt in range(retries + 1):
+        if history[-1]["first_touch_gbps"] >= min_gbps:
+            break
+        if attempt > 0:
+            time.sleep(wait)
+        history.append(_host_memory_probe())
+    return history[-1], history
+
+
 def _compute_probe(num_cpus: int, tag: str, total_calls: int = 128,
                    probe_pages: int = 1024) -> dict:
     """Warm-compute scaling probe: the crawl's own per-page enrich kernel
@@ -170,9 +192,11 @@ def _run_queries(sf_dir: str) -> dict:
 
     qs = entry.queries()
     picks = [
-        "q1_pricing_summary", "order_lineitem_join_stats", "top_users_by_value",
-        "events_hourly", "token_stats_by_lang", "exact_dedup_groups",
+        "q1_pricing_summary", "order_lineitem_join_stats",
+        "top_users_by_events", "events_hourly_moving_avg",
+        "token_stats_by_lang", "exact_dedup_groups",
         "minhash_neardup_pairs", "embedding_topk",
+        "tfidf_top_terms", "training_corpus",
     ]
     out = {}
     for name in picks:
@@ -204,7 +228,7 @@ def main() -> None:
     ctx.enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    probe = _host_memory_probe()
+    probe, probe_history = _probe_with_retry()
     compute = (_compute_probe(num_cpus, tag)
                if os.environ.get("BENCH_COMPUTE_PROBE") else None)
     headline = _run_headline(num_cpus, tag)
@@ -227,6 +251,8 @@ def main() -> None:
                 "politeness_delay_ms": headline["politeness_delay_ms"],
                 "phase_sec": headline["phase_sec"],
                 "host_mem_probe_gbps": probe,
+                **({"host_mem_probe_history": probe_history}
+                   if len(probe_history) > 1 else {}),
                 **({"compute_probe": compute} if compute else {}),
             }
         )

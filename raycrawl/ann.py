@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -207,18 +208,31 @@ def _commit_index(tmp: str, out: str) -> bool:
     return True
 
 
-def _gc_stale_siblings(out: str) -> None:
-    """Drop SAME-dataset indexes with an outdated content tag (dir name =
+def _gc_stale_siblings(out: str, grace_sec: float = 600.0) -> None:
+    """Drop SAME-dataset indexes with an OUTDATED content tag (dir name =
     '<path_hash>-<content_hash>_<params>'): every corpus regeneration
-    would otherwise strand a full index copy under /tmp forever. Other
-    datasets' indexes (different path hash) are untouched."""
+    would otherwise strand a full index copy under /tmp forever. Matching
+    is on the path hash with a DIFFERENT content hash — same-content
+    param variants (e.g. ivf _c16 next to _c32) are kept, so committing
+    one variant can't thrash-rebuild another (ADVICE r3). Dirs younger
+    than ``grace_sec`` are also kept: a concurrent query may be mid-read
+    in an index that was only just superseded."""
     import shutil
 
     root, name = os.path.split(out)
-    prefix = name.split("-", 1)[0] + "-"
+    path_prefix = name.split("-", 1)[0] + "-"          # '<phash>-'
+    content_prefix = name.split("_", 1)[0]             # '<phash>-<chash>'
+    now = time.time()
     for d in os.listdir(root):
-        if d.startswith(prefix) and d != name and ".tmp." not in d:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if (not d.startswith(path_prefix) or d == name or ".tmp." in d
+                or d.split("_", 1)[0] == content_prefix):
+            continue
+        try:
+            if now - os.stat(os.path.join(root, d)).st_mtime < grace_sec:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def ensure_lsh_index(sf_dir: str,

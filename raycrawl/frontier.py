@@ -319,6 +319,21 @@ def enrich_pages(htmls: list) -> list:
 _TRACE: dict = {}
 
 
+def offer_salt(khi: np.ndarray) -> int:
+    """Task-identity salt over a task's frontier-row key hashes: a fold
+    that is identical on a Ray task retry (same rows) and distinct across
+    tasks (disjoint row sets). khi[0] is mixed in ROTATED so it cannot
+    cancel the XOR-reduce's own khi[0] term — with a plain XOR a
+    single-row batch degenerated to the constant salt 1 for every task
+    (ADVICE r3), losing the distinct-across-tasks property exactly in the
+    smallest-batch case."""
+    n = len(khi)
+    k0 = np.uint64(khi[0]) if n else np.uint64(0)
+    rot = np.uint64((k0 << np.uint64(17)) | (k0 >> np.uint64(47)))
+    acc = np.bitwise_xor.reduce(khi.astype(np.uint64)) if n else np.uint64(0)
+    return int(np.uint64(acc) ^ np.uint64(n) ^ rot)
+
+
 def _trace_mark(stage: str, t0: float) -> float:
     """Opt-in per-stage wall accounting (RAYCRAWL_TRACE_DIR set by the
     driver/bench): accumulates per worker process, appended as one JSON
@@ -583,13 +598,10 @@ def fetch_expand_batch(
         ohi, olo = hash128(child_tbl["node_id"])
         phash, _ = hash128(child_tbl["parent_id"])
         child_tbl = child_tbl.append_column("phash", pa.array(phash, pa.uint64()))
-        # task-identity salt for the shard replay guard: a fold over THIS
-        # task's frontier rows — identical on a Ray task retry, distinct
-        # across tasks (frontier rows are round-unique winners, so two
-        # tasks' row sets are disjoint). Keeps the guard from eating a
-        # legitimate identical offer from a different task (ADVICE r2).
-        salt = int(np.bitwise_xor.reduce(khi) ^ np.uint64(n)
-                   ^ (np.uint64(khi[0]) if n else np.uint64(0)))
+        # task-identity salt for the shard replay guard (ADVICE r2):
+        # identical on a Ray task retry, distinct across tasks (frontier
+        # rows are round-unique winners, so two tasks' row sets differ)
+        salt = offer_salt(khi)
         # every child row ships to its shard: the shard both resolves node
         # winners AND writes the round's edge partition (each row is a Lead
         # edge). Fired now, awaited at the end — overlaps actor processing

@@ -321,3 +321,43 @@ def test_shingle_simhash_fingerprint_batches_match_scalar():
             e_n = len(toks) - 7
         assert int(fp["fingerprint"][i].as_py()) == e_fp, text
         assert int(fp["n_ngrams"][i].as_py()) == e_n, text
+
+
+def test_offer_salt_single_row_batches_stay_distinct():
+    """ADVICE r3: with the old cancelling XOR, every n==1 batch collapsed
+    to salt==1; rotated mixing keeps the row's identity in the salt."""
+    import numpy as np
+
+    from raycrawl.frontier import offer_salt
+
+    keys = [np.array([k], dtype=np.uint64)
+            for k in (7, 11, 2**63 + 5, 123456789)]
+    salts = {offer_salt(k) for k in keys}
+    assert len(salts) == len(keys)
+    assert 1 not in salts
+    # retry-stability: a Ray task retry recomputes the same batch in the
+    # same order -> same salt
+    two = np.array([7, 11], dtype=np.uint64)
+    assert offer_salt(two) == offer_salt(two.copy())
+    assert offer_salt(np.array([], dtype=np.uint64)) == 0
+
+
+def test_ann_gc_keeps_param_variants_and_fresh_dirs(tmp_path):
+    """ADVICE r3: GC after a commit must drop only STALE-content siblings
+    past the grace window — same-content param variants survive."""
+    import os
+    import time
+
+    from raycrawl.ann import _gc_stale_siblings
+
+    root = tmp_path
+    for d in ["ph-aaaa_c16", "ph-aaaa_c32", "ph-bbbb_c16", "ph-cccc_c16",
+              "other-aaaa_c16"]:
+        (root / d).mkdir()
+    old = time.time() - 3600
+    os.utime(root / "ph-bbbb_c16", (old, old))   # stale + old -> dropped
+    # ph-cccc_c16 is stale-content but FRESH -> kept (grace window)
+    _gc_stale_siblings(str(root / "ph-aaaa_c16"))
+    left = sorted(p.name for p in root.iterdir())
+    assert left == ["other-aaaa_c16", "ph-aaaa_c16", "ph-aaaa_c32",
+                    "ph-cccc_c16"]
