@@ -482,6 +482,12 @@ def test_index_cache_gc_drops_stale_content_versions(tmp_path):
     root = str(tmp_path / "lsh")
     a = ensure_lsh_index(src, out_root=root)
     pq.write_table(t.slice(0, t.num_rows - 1), f"{src}/embeddings.parquet")
+    # age the soon-to-be-superseded index past the GC grace window (young
+    # stale siblings are deliberately kept: a concurrent query may be
+    # mid-read in them; grace semantics unit-tested in test_kernels.py)
+    import time as _time
+    old = _time.time() - 700
+    os.utime(a, (old, old))
     b = ensure_lsh_index(src, out_root=root)
     assert a != b
     assert not os.path.exists(a)          # stale sibling GC'd
