@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raycrawl.kernels import list_matrix
+
 _rng = np.random.default_rng(0x5EED)
 _N_PLANES = 6
 _PLANES_CACHE: dict[int, np.ndarray] = {}
@@ -61,7 +63,7 @@ def brute_force_topk(sf_dir: str, query_id: int = 0, k: int = 20) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy()
-        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        m = _normalize(list_matrix(t["embedding"]))
         cos = m @ qn
         mask = ids != query_id
         ids, cos = ids[mask], cos[mask]
@@ -110,7 +112,7 @@ def similar_above_threshold(sf_dir: str, query_id: int = 0,
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy()
-        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        m = _normalize(list_matrix(t["embedding"]))
         cos = m @ qn
         mask = (cos >= threshold) & (ids != query_id)
         return pa.table(
@@ -251,7 +253,7 @@ def ensure_lsh_index(sf_dir: str,
     os.makedirs(tmp, exist_ok=True)
 
     def add_sig(t: pa.Table) -> pa.Table:
-        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        m = _normalize(list_matrix(t["embedding"]))
         sig = _signatures(m.astype(np.float32))
         return t.append_column("sig", pa.array(sig.astype(np.int64), pa.int64()))
 
@@ -296,7 +298,7 @@ def lsh_topk(sf_dir: str, query_id: int = 0, k: int = 20,
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy()
-        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        m = _normalize(list_matrix(t["embedding"]))
         mask = ids != query_id
         if not mask.any():
             return empty
@@ -389,7 +391,7 @@ def ensure_ivf_index(sf_dir: str, n_centroids: int = 16,
     np.save(os.path.join(tmp, "centroids.npy"), C)
 
     def assign_cell(t: pa.Table) -> pa.Table:
-        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        m = _normalize(list_matrix(t["embedding"]))
         cell = np.argmax(m @ C.T, axis=1).astype(np.int64)
         return t.append_column("cell", pa.array(cell, pa.int64()))
 
@@ -434,7 +436,7 @@ def ivf_topk(sf_dir: str, query_id: int = 0, k: int = 20,
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy()
-        m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+        m = _normalize(list_matrix(t["embedding"]))
         mask = ids != query_id
         if not mask.any():
             return empty

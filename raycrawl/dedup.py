@@ -40,7 +40,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from raycrawl.kernels import hash64_int, md5_u64
+from raycrawl.kernels import hash64_int, list_matrix, md5_u64
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 N_PERM = 64
@@ -699,7 +699,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45,
         bp = int(g["bp"][0].as_py())
         i, j = bp // n_blocks, bp % n_blocks
         ids = g["vec_id"].to_numpy()
-        m = np.stack(g["embedding"].to_pylist()).astype(np.float64)
+        m = list_matrix(g["embedding"])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         blk = ids % n_blocks
         if i == j:
@@ -802,7 +802,7 @@ def embedding_neardup_pairs_lsh(sf_dir: str, threshold: float = 0.45) -> pa.Tabl
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def explode(t: pa.Table) -> pa.Table:
-        m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        m = list_matrix(t["embedding"])
         sigs = _ndp_sigs(m)  # (n, L)
         n = len(m)
         idx = np.tile(np.arange(n), _NDP_TABLES)
@@ -818,7 +818,7 @@ def embedding_neardup_pairs_lsh(sf_dir: str, threshold: float = 0.45) -> pa.Tabl
         if g.num_rows < 2:
             return empty
         ids = g["vec_id"].to_numpy()
-        m = np.stack(g["embedding"].to_pylist()).astype(np.float64)
+        m = list_matrix(g["embedding"])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ m.T
         ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))

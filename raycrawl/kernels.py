@@ -510,3 +510,28 @@ def md5_gram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     # the Arrow array aliases the scratch buffers: consumed (and copied into
     # DuckDB's result) before this function returns, never escapes
     return md5_u64_arrow(arr), doc_offs
+
+
+def list_matrix(col) -> np.ndarray:
+    """Arrow ``list<float>`` column -> ``(n, dim)`` float64 matrix without
+    a per-row Python round-trip: uniform-width, null-free lists (the
+    embeddings-table shape) reshape straight off the flat values buffer;
+    ragged or null-bearing columns fall back to the per-row path. At 100 TB
+    this is the difference between a memcpy and 10^10 PyObject boxes in
+    every ANN / embedding-dedup batch."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if col.null_count == 0:
+        if pa.types.is_fixed_size_list(col.type):
+            vals = col.values.to_numpy(zero_copy_only=False)
+            return vals.astype(np.float64).reshape(len(col), col.type.list_size)
+        offs = col.offsets.to_numpy()
+        w = np.diff(offs)
+        if len(w) and w.min() == w.max() and w[0] > 0:
+            # col.values is the UNSLICED child array: index it by offsets
+            vals = col.values.to_numpy(zero_copy_only=False)
+            return (vals[offs[0]:offs[-1]]
+                    .astype(np.float64).reshape(len(col), int(w[0])))
+    return np.stack(col.to_pylist()).astype(np.float64)
