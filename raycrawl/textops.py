@@ -213,20 +213,33 @@ def lang_source_distribution_sql() -> str:
 
 def quality_score_batch(t: pa.Table) -> pa.Table:
     """Per-doc quality heuristics: stopword ratio, punctuation density, mean
-    word length, uppercase ratio — the usual webtext quality gates."""
-    texts = t["text"].to_pylist()
-    n = len(texts)
-    stop_ratio = np.zeros(n)
-    punct_density = np.zeros(n)
-    mean_word_len = np.zeros(n)
-    upper_ratio = np.zeros(n)
-    for i, s in enumerate(texts):
-        words = WORD_RE.findall(s.lower())
-        nw = len(words)
-        stop_ratio[i] = sum(w in STOPWORDS for w in words) / nw if nw else 0.0
-        punct_density[i] = len(PUNCT_RE.findall(s)) / len(s) if s else 0.0
-        mean_word_len[i] = sum(map(len, words)) / nw if nw else 0.0
-        upper_ratio[i] = sum(c.isupper() for c in s) / len(s) if s else 0.0
+    word length, uppercase ratio — the usual webtext quality gates.
+
+    Vectorized in polars (unicode ``\\w``/``\\s``/``\\p{Uppercase}`` classes
+    coincide with Python ``re``/``str.isupper`` — pinned by
+    tests/test_ops.py's scalar-twin check); every count stays an exact
+    integer before the one float division, so outputs are bit-identical to
+    the per-row loop this replaces and to the SQL oracle."""
+    import polars as pl
+
+    col = t["text"]
+    s = pl.from_arrow(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    words = s.str.to_lowercase().str.extract_all(r"\w+")
+    nw = words.list.len().fill_null(0).to_numpy().astype(np.float64)
+    wchars = (words.list.eval(pl.element().str.len_chars())
+              .list.sum().fill_null(0).to_numpy().astype(np.float64))
+    nstop = (words.list.eval(pl.element().is_in(sorted(STOPWORDS))
+                             .cast(pl.UInt32))
+             .list.sum().fill_null(0).to_numpy().astype(np.float64))
+    nchars = s.str.len_chars().to_numpy().astype(np.float64)
+    npunct = s.str.count_matches(r"[^\w\s]").to_numpy().astype(np.float64)
+    nupper = s.str.count_matches(r"\p{Uppercase}").to_numpy().astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        stop_ratio = np.where(nw > 0, nstop / nw, 0.0)
+        mean_word_len = np.where(nw > 0, wchars / nw, 0.0)
+        punct_density = np.where(nchars > 0, npunct / nchars, 0.0)
+        upper_ratio = np.where(nchars > 0, nupper / nchars, 0.0)
     score = (
         0.4 * np.clip(stop_ratio / 0.4, 0, 1)
         + 0.3 * np.clip(1.0 - punct_density * 5, 0, 1)

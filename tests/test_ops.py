@@ -521,3 +521,32 @@ def test_documents_deduped_forced_distributed_fold(monkeypatch):
     monkeypatch.setenv("RAYCRAWL_UNIONFIND_MAX_PAIRS", "0")
     forced = documents_deduped(SF, threshold=0.6).to_pandas()
     assert base.values.tolist() == forced.values.tolist()
+
+
+def test_quality_score_batch_equals_scalar_twin():
+    """The polars-vectorized quality kernel must equal a per-row Python
+    re/str twin exactly — including non-ASCII edges, where the rust-regex
+    unicode classes (\\w, \\s, \\p{Uppercase}) must coincide with Python
+    re's and str.isupper's."""
+    import pyarrow as pa
+
+    from raycrawl.textops import (PUNCT_RE, STOPWORDS, WORD_RE,
+                                  quality_score_batch)
+
+    texts = ["", "   ", "The of and to in!", "HÉLLO Wörld ÀÉ",
+             "ǅmixed Ǆ ǆ", "the the the xx 123_abc",
+             "ALL CAPS!!! ???", "a" * 5000, "Ⅰ roman numeral"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = quality_score_batch(t)
+    for i, s in enumerate(texts):
+        words = WORD_RE.findall(s.lower())
+        nw = len(words)
+        exp = {
+            "stop_ratio": sum(w in STOPWORDS for w in words) / nw if nw else 0.0,
+            "punct_density": len(PUNCT_RE.findall(s)) / len(s) if s else 0.0,
+            "mean_word_len": sum(map(len, words)) / nw if nw else 0.0,
+            "upper_ratio": sum(c.isupper() for c in s) / len(s) if s else 0.0,
+        }
+        for c, v in exp.items():
+            assert got[c][i].as_py() == v, (i, c, got[c][i].as_py(), v)
