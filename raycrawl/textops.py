@@ -296,23 +296,36 @@ def quality_scores_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def langid_batch(t: pa.Table) -> pa.Table:
-    """N-gram/codepoint heuristic language guess per doc."""
-    texts = t["text"].to_pylist()
-    preds = []
-    for s in texts:
-        low = s.lower()
-        if any("一" <= c <= "鿿" for c in s):
-            preds.append("zh")
-            continue
-        best, best_score = "en", -1.0
-        for lang, grams in _LANG_HINTS.items():
-            if not grams:
-                continue
-            score = sum(low.count(g) for g in grams) / (len(low) + 1)
-            if score > best_score:
-                best, best_score = lang, score
-        preds.append(best)
-    return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+    """N-gram/codepoint heuristic language guess per doc. Vectorized in
+    polars: per-hint literal ``count_matches`` (non-overlapping, like
+    ``str.count``) summed as exact ints before the one float division;
+    ``np.argmax``'s first-max tie-break reproduces the scalar loop's
+    dict-order strictly-greater scan, and the CJK short-circuit is the
+    same codepoint range — outputs identical to the per-row loop this
+    replaces (and to langid_sql)."""
+    import polars as pl
+
+    col = t["text"]
+    s = pl.from_arrow(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    n = len(s)
+    if n == 0:
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang_pred": pa.array([], pa.string())})
+    low = s.str.to_lowercase()
+    denom = low.str.len_chars().to_numpy().astype(np.float64) + 1.0
+    langs = [lang for lang, grams in _LANG_HINTS.items() if grams]
+    scores = np.empty((n, len(langs)), dtype=np.float64)
+    for j, lang in enumerate(langs):
+        cnt = np.zeros(n, dtype=np.int64)
+        for g in _LANG_HINTS[lang]:
+            cnt += low.str.count_matches(g, literal=True).to_numpy().astype(np.int64)
+        scores[:, j] = cnt / denom
+    preds = np.array(langs, dtype=object)[np.argmax(scores, axis=1)]
+    zh = s.str.contains(r"[\x{4e00}-\x{9fff}]").to_numpy()
+    preds[zh] = "zh"
+    return pa.table({"doc_id": t["doc_id"],
+                     "lang_pred": pa.array(preds, pa.string())})
 
 
 def langid(sf_dir: str):

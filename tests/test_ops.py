@@ -550,3 +550,34 @@ def test_quality_score_batch_equals_scalar_twin():
         }
         for c, v in exp.items():
             assert got[c][i].as_py() == v, (i, c, got[c][i].as_py(), v)
+
+
+def test_langid_batch_equals_scalar_twin():
+    """The polars-vectorized langid must equal the per-row reference scan:
+    dict-order strictly-greater argmax, non-overlapping gram counts, CJK
+    codepoint short-circuit."""
+    import pyarrow as pa
+
+    from raycrawl.textops import _LANG_HINTS, langid_batch
+
+    texts = ["", "the and der sch", "中文 text", "que que que",
+             " de  de ion", "xyz", "ich und sch der", "los que cio ado",
+             "ententente", "a 一 b"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = langid_batch(t)["lang_pred"].to_pylist()
+    exp = []
+    for s in texts:
+        low = s.lower()
+        if any("一" <= c <= "鿿" for c in s):
+            exp.append("zh")
+            continue
+        best, best_score = "en", -1.0
+        for lang, grams in _LANG_HINTS.items():
+            if not grams:
+                continue
+            score = sum(low.count(g) for g in grams) / (len(low) + 1)
+            if score > best_score:
+                best, best_score = lang, score
+        exp.append(best)
+    assert got == exp
