@@ -48,11 +48,19 @@ def _t(sf_dir: str, name: str, columns=None):
 
 def token_count_batch(t: pa.Table) -> pa.Table:
     """Per-doc token counts: whitespace tokens + BPE-ish regex tokens +
-    char length. Columns named for the SQL oracle."""
-    texts = t["text"].to_pylist()
-    ws = np.fromiter((len(s.split()) for s in texts), np.int64, len(texts))
-    bpe = np.fromiter((len(BPE_RE.findall(s)) for s in texts), np.int64, len(texts))
-    chars = np.fromiter((len(s) for s in texts), np.int64, len(texts))
+    char length. Columns named for the SQL oracle. Vectorized in polars:
+    ``count_matches(r"\\S+")`` counts exactly ``len(s.split())`` runs
+    (unicode-whitespace coincidence, same caveat as the SQL oracle's
+    ``trim + \\s+`` — absent from this corpus), non-overlapping
+    ``count_matches`` equals ``len(findall)``."""
+    import polars as pl
+
+    col = t["text"]
+    s = pl.from_arrow(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    ws = s.str.count_matches(r"\S+").to_numpy().astype(np.int64)
+    bpe = s.str.count_matches(BPE_RE.pattern).to_numpy().astype(np.int64)
+    chars = s.str.len_chars().to_numpy().astype(np.int64)
     return pa.table(
         {
             "doc_id": t["doc_id"],
@@ -125,10 +133,13 @@ def bpe_token_stats_by_lang(sf_dir: str) -> pa.Table:
     docs = _t(sf_dir, "documents", ["text", "lang"])
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        bpe = np.fromiter((len(BPE_ASCII_RE.findall(s)) for s in texts),
-                          np.int64, len(texts))
-        ws = np.fromiter((len(s.split()) for s in texts), np.int64, len(texts))
+        import polars as pl
+
+        s = pl.from_arrow(t["text"].combine_chunks()
+                          if isinstance(t["text"], pa.ChunkedArray)
+                          else t["text"])
+        bpe = s.str.count_matches(BPE_ASCII_PAT).to_numpy().astype(np.int64)
+        ws = s.str.count_matches(r"\S+").to_numpy().astype(np.int64)
         t2 = pa.table({
             "lang": t["lang"],
             "bpe_tokens": pa.array(bpe),
