@@ -579,20 +579,29 @@ def doc_repetition_scores(sf_dir: str) -> pa.Table:
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def batch(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n_tok = np.empty(len(texts), np.int64)
-        n_dis = np.empty(len(texts), np.int64)
-        mx = np.empty(len(texts), np.int64)
-        for i, s in enumerate(texts):
-            toks = np.array(s.split(), dtype=object)
-            n_tok[i] = len(toks)
-            if len(toks):
-                _, counts = np.unique(toks, return_counts=True)
-                n_dis[i] = len(counts)
-                mx[i] = counts.max()
-            else:
-                n_dis[i] = 0
-                mx[i] = 0
+        # vectorized: tokenize + explode + two C-level groupbys; a doc with
+        # no tokens simply has no group rows (zeros prefilled). Identical
+        # counts to the per-row split/np.unique loop this replaces.
+        import polars as pl
+
+        col = t["text"]
+        s = pl.from_arrow(col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray) else col)
+        n = len(s)
+        per = (pl.DataFrame({"i": pl.Series(np.arange(n, dtype=np.int64)),
+                             "tok": s.str.extract_all(r"\S+")})
+               .explode("tok", empty_as_null=False)
+               .drop_nulls("tok")
+               .group_by(["i", "tok"]).len())
+        agg = per.group_by("i").agg(n_tok=pl.col("len").sum(),
+                                    n_dis=pl.len(), mx=pl.col("len").max())
+        n_tok = np.zeros(n, np.int64)
+        n_dis = np.zeros(n, np.int64)
+        mx = np.zeros(n, np.int64)
+        ii = agg["i"].to_numpy()
+        n_tok[ii] = agg["n_tok"].to_numpy()
+        n_dis[ii] = agg["n_dis"].to_numpy()
+        mx[ii] = agg["mx"].to_numpy()
         with np.errstate(invalid="ignore"):
             ttr = n_dis * 1.0 / n_tok
             mxf = mx * 1.0 / n_tok
