@@ -32,7 +32,6 @@ Physical shapes (ray_guide 'Aggregation at scale'):
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -80,9 +79,10 @@ def _join_parts() -> int:
 # ---------------------------------------------------------------------------
 
 def add_md5_batch(t: pa.Table) -> pa.Table:
-    texts = t["text"].to_pylist()
-    h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts]
-    return pa.table({"doc_id": t["doc_id"], "text_md5": pa.array(h, pa.string())})
+    from raycrawl.kernels import md5_hex_arrow
+
+    return pa.table({"doc_id": t["doc_id"],
+                     "text_md5": md5_hex_arrow(t["text"])})
 
 
 def exact_dedup_groups(sf_dir: str) -> pa.Table:

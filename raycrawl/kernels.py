@@ -370,13 +370,19 @@ def md5_u64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
 
 
-def md5_u64_np(strings) -> np.ndarray:
-    """Vectorized-ish ``md5_u64`` over an iterable → uint64 array."""
-    vals = strings.to_pylist() if isinstance(strings, (pa.Array, pa.ChunkedArray)) else list(strings)
-    out = np.empty(len(vals), dtype=np.uint64)
-    for i, v in enumerate(vals):
-        out[i] = int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[8:16], "little")
-    return out
+def md5_hex_arrow(col):
+    """Hex md5 over a pyarrow string column — ONE vectorized DuckDB
+    ``md5()`` call per batch, order-preserving; values identical to
+    ``hashlib.md5(s.encode()).hexdigest()`` (exact-dedup's SQL-checkable
+    key) without a per-row Python call."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return pa.array([], pa.string())
+    tbl = pa.table({"s": col})
+    h = _duck().execute("SELECT md5(s) AS h FROM tbl").arrow()
+    del tbl
+    return h["h"].combine_chunks()
 
 
 # ---------------------------------------------------------------------------
