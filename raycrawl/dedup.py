@@ -39,7 +39,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from raycrawl.kernels import hash64_int, list_matrix, md5_u64
+from raycrawl.kernels import list_matrix, md5_u64
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 N_PERM = 64
@@ -185,12 +185,28 @@ def shingles_dataset(sf_dir: str):
 
         texts = t["text"].to_pylist()
         h, offs = md5_gram_hashes(texts, k=3)
-        shs = [np.unique(h[offs[i]:offs[i + 1]]) for i in range(len(texts))]
+        n = len(texts)
+        # segmented sorted-unique in one lexsort (== per-doc np.unique,
+        # pytest-pinned vs scalar shingle_set), list column built straight
+        # from the deduped flat buffer — no per-row Python, no boxing
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        order = np.lexsort((h, doc_idx))
+        hs, di = h[order], doc_idx[order]
+        if len(hs):
+            keep = np.empty(len(hs), dtype=bool)
+            keep[0] = True
+            keep[1:] = (hs[1:] != hs[:-1]) | (di[1:] != di[:-1])
+            hs, di = hs[keep], di[keep]
+        counts = (np.bincount(di, minlength=n).astype(np.int64)
+                  if len(di) else np.zeros(n, np.int64))
+        new_offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=new_offs[1:])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "shingles": pa.array([s.tolist() for s in shs], pa.list_(pa.uint64())),
-                "n_shingles": pa.array([len(s) for s in shs], pa.int64()),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(new_offs, pa.int32()), pa.array(hs, pa.uint64())),
+                "n_shingles": pa.array(counts, pa.int64()),
             }
         )
 
@@ -201,22 +217,48 @@ def shingles_dataset(sf_dir: str):
 
 def minhash_bands_batch(t: pa.Table) -> pa.Table:
     """(doc_id, shingles) rows → exploded (band_id, band_hash, doc_id) rows
-    for the LSH bucket self-join."""
-    ids = t["doc_id"].to_pylist()
-    shs = t["shingles"].to_pylist()
-    out_doc, out_band, out_hash = [], [], []
-    for doc_id, sh in zip(ids, shs):
-        sig = minhash_signature(np.asarray(sh, dtype=np.uint64))
-        for b in range(N_BANDS):
-            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            out_doc.append(doc_id)
-            out_band.append(b)
-            out_hash.append(hash64_int(chunk.tobytes().hex()))
+    for the LSH bucket self-join. Vectorized: per-perm segmented minima
+    over the batch's flat shingle buffer compute every doc's signature at
+    once (values identical to ``minhash_signature`` — pytest-pinned), then
+    a multiply-xor fold + splitmix finisher collapses each band's rows.
+    The band hash is an INTERNAL bucket key only — equal chunks hash
+    equal under any deterministic function and every candidate is
+    exact-jaccard-verified downstream — so the fold replaces the old
+    per-band blake2b-over-hex Python call without changing results."""
+    ids = t["doc_id"].to_numpy()
+    col = t["shingles"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    offs = col.offsets.to_numpy().astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    base = offs[0]                      # values is the UNSLICED child array
+    flat = flat[base:offs[-1]]
+    offs = offs - base
+    lens = np.diff(offs)
+    sig = np.full((n, N_PERM), _MERSENNE, dtype=np.uint64)
+    nz = np.flatnonzero(lens)
+    if len(nz):
+        # reduceat over non-empty starts: consecutive empty segments share
+        # their offset, so each slice is exactly one document's shingles
+        starts = offs[:-1][nz]
+        with np.errstate(over="ignore"):
+            for p in range(N_PERM):
+                v = (flat * _PERM_A[p] + _PERM_B[p]) % _MERSENNE
+                sig[nz, p] = np.minimum.reduceat(v, starts)
+    sigr = sig.reshape(n, N_BANDS, ROWS_PER_BAND)
+    with np.errstate(over="ignore"):
+        bh = sigr[:, :, 0].copy()
+        for r in range(1, ROWS_PER_BAND):
+            bh = bh * np.uint64(0x100000001B3) ^ sigr[:, :, r]
+        bh ^= bh >> np.uint64(33)
+        bh = bh * np.uint64(0xFF51AFD7ED558CCD)
+        bh ^= bh >> np.uint64(33)
     return pa.table(
         {
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(np.array(out_hash, dtype=np.uint64)),
-            "doc_id": pa.array(out_doc, pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1)),
+            "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
         }
     )
 

@@ -361,3 +361,37 @@ def test_ann_gc_keeps_param_variants_and_fresh_dirs(tmp_path):
     left = sorted(p.name for p in root.iterdir())
     assert left == ["other-aaaa_c16", "ph-aaaa_c16", "ph-aaaa_c32",
                     "ph-cccc_c16"]
+
+
+def test_minhash_bands_batch_vectorized_semantics():
+    """The vectorized bands stage must (a) compute signatures identical to
+    scalar minhash_signature (incl. empty docs), and (b) produce band
+    hashes whose equality pattern matches chunk equality exactly — the
+    property the LSH bucket groupby relies on."""
+    import numpy as np
+
+    from raycrawl.dedup import (N_BANDS, ROWS_PER_BAND, minhash_bands_batch,
+                                minhash_signature, shingle_set)
+
+    texts = ["a b c d e f", "a b c d e f", "x y z w", "", "one two",
+             "a b c d e f g h i j"]
+    shs = [shingle_set(s) for s in texts]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "shingles": pa.array([s.tolist() for s in shs], pa.list_(pa.uint64())),
+    })
+    # exercise the sliced-offsets path too
+    for tbl in (t, t.slice(1)):
+        out = minhash_bands_batch(tbl).to_pandas()
+        ids = tbl["doc_id"].to_pylist()
+        assert len(out) == len(ids) * N_BANDS
+        sig = {d: minhash_signature(shs[d]) for d in ids}
+        bh = {(r.doc_id, r.band_id): r.band_hash for r in out.itertuples()}
+        for da in ids:
+            for db in ids:
+                for b in range(N_BANDS):
+                    chunk_eq = np.array_equal(
+                        sig[da][b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND],
+                        sig[db][b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND])
+                    hash_eq = bh[(da, b)] == bh[(db, b)]
+                    assert chunk_eq == hash_eq, (da, db, b)
