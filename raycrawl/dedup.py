@@ -315,10 +315,20 @@ def _verify_pairs(cand, sh, threshold: float) -> pa.Table:
 
     def _packed(col_out: str):
         def fn(t: pa.Table) -> pa.Table:
-            shs = t["shingles"].to_pylist()
-            packed = [np.asarray(s, dtype="<u8").tobytes() for s in shs]
-            return pa.table({col_out[3:]: t["doc_id"],
-                             col_out: pa.array(packed, pa.binary())})
+            # list<uint64> → binary, built straight from the flat values
+            # buffer (byte offsets = element offsets × 8); no per-row pack
+            col = t["shingles"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy().astype(np.int64)
+            flat = col.values.to_numpy(zero_copy_only=False)
+            buf = np.ascontiguousarray(
+                flat[offs[0]:offs[-1]].astype("<u8", copy=False)).tobytes()
+            byte_offs = ((offs - offs[0]) * 8).astype(np.int32)
+            packed = pa.BinaryArray.from_buffers(
+                pa.binary(), len(col),
+                [None, pa.py_buffer(byte_offs.tobytes()), pa.py_buffer(buf)])
+            return pa.table({col_out[3:]: t["doc_id"], col_out: packed})
         return fn
 
     sh_a = sh.map_batches(_packed("sh_a"), batch_format="pyarrow")
@@ -457,12 +467,14 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
-        shs = t["shingles"].to_pylist()
-        lens = np.fromiter((len(s) for s in shs), np.int64, len(shs))
-        flat = np.concatenate([np.asarray(s, dtype=np.uint64) for s in shs]) \
-            if len(shs) else np.empty(0, np.uint64)
+        col = t["shingles"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy().astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        flat = flat[offs[0]:offs[-1]].astype(np.uint64, copy=False)
         return pa.table(
-            {"doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+            {"doc_id": pa.array(np.repeat(ids, np.diff(offs)), pa.int64()),
              "gram": pa.array(flat)}
         )
 
