@@ -101,7 +101,7 @@ def _compute_probe(num_cpus: int, tag: str, total_calls: int = 128,
             self._pages = pages_ref if isinstance(pages_ref, list) else list(pages_ref)
 
         def run(self) -> int:
-            return len(self._enrich(self._pages))
+            return len(self._enrich(self._pages)["n_tokens"])
 
     actors = [EnrichProbe.remote(ref) for _ in range(num_cpus)]
     ray.get([a.run.remote() for a in actors])        # warm pass, untimed

@@ -199,37 +199,78 @@ _NO_ENRICH = dict(n_tokens=None, quality=None, simhash=None,
                   fingerprint=None, minhash0=None, lang_pred=None)
 
 
-def enrich_pages(htmls: list) -> list:
-    """Batched ``enrich_page``: identical outputs (asserted by pytest), one
-    order of magnitude fewer hash calls. ALL pages' token windows hash in
-    ONE ``token_hash64`` call; simhash/fingerprint/minhash-lane arrays
-    are computed globally and reduced per page with C-level slice ops —
-    the per-page Python that remains is tag-strip/split/regex (the
-    irreducible parse) and the tiny quality/langid scalars.
+_FEAT_NAMES = ("n_tokens", "quality", "simhash", "fingerprint",
+               "minhash0", "lang_pred")
 
-    ``htmls[i] is None`` (failed fetch / enrich off) → ``None`` out.
-    """
+
+def enrich_pages(htmls: list) -> dict:
+    """Batched ``enrich_page``: value-identical per page (asserted by
+    pytest), returned as COLUMNS — ``{feature: object ndarray aligned with
+    htmls}`` with ``None`` where ``htmls[i] is None`` — so the round
+    assembly feeds Arrow directly instead of re-pivoting 10^6 dicts.
+
+    Fully vectorized: tag-strip / tokenize / window / quality / langid run
+    as polars column ops (``\\S+`` runs coincide with ``str.split()`` on
+    this corpus — same caveat as the SQL oracles), ALL pages' token
+    windows hash in ONE ``token_hash64`` call, simhash bits pack across
+    the whole batch, and the only per-page Python left is two C-level
+    slice minima (fingerprint/minhash windows overlap page boundaries in
+    the global roll array, so a segmented reduce can't express them)."""
+    import polars as pl
+
     from raycrawl.dedup import _MERSENNE, _PERM_A, _PERM_B
-    from raycrawl.textops import _LANG_HINTS, STOPWORDS, WORD_RE
+    from raycrawl.textops import _LANG_HINTS, STOPWORDS
 
     n = len(htmls)
-    out: list = [None] * n
-    idxs = [i for i in range(n) if htmls[i] is not None]
-    if not idxs:
+    out = {k: np.full(n, None, dtype=object) for k in _FEAT_NAMES}
+    idxs = np.array([i for i in range(n) if htmls[i] is not None],
+                    dtype=np.int64)
+    m = len(idxs)
+    if m == 0:
         return out
 
-    texts = [_TAG_RE.sub("", htmls[i]) for i in idxs]
-    token_lists = [t.split() for t in texts]
-    windows = [t[:_MAX_TOKENS] for t in token_lists]
-    lens = np.array([len(w) for w in windows], dtype=np.int64)
-    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    s = pl.Series([htmls[int(i)] for i in idxs], dtype=pl.String)
+    text = s.str.replace_all(_TAG_RE.pattern, "")
+    toks = text.str.extract_all(r"\S+")
+    n_tok = toks.list.len().to_numpy().astype(np.int64)
+    window = toks.list.head(_MAX_TOKENS)
+    lens = np.minimum(n_tok, _MAX_TOKENS)
+    starts = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
 
-    flat = [tok for w in windows for tok in w]
-    if flat:
+    # quality over the joined window — the exact string " ".join(window)
+    wlow = window.list.join(" ").str.to_lowercase()
+    words = wlow.str.extract_all(r"\w+")
+    nw = words.list.len().fill_null(0).to_numpy().astype(np.float64)
+    nstop = (words.list.eval(pl.element().is_in(sorted(STOPWORDS))
+                             .cast(pl.UInt32))
+             .list.sum().fill_null(0).to_numpy().astype(np.float64))
+    wchars = (words.list.eval(pl.element().str.len_chars())
+              .list.sum().fill_null(0).to_numpy().astype(np.float64))
+    with np.errstate(invalid="ignore"):
+        stop_ratio = np.where(nw > 0, nstop / nw, 0.0)
+        mean_wl = np.where(nw > 0, wchars / nw, 0.0)
+    quality = (0.5 * np.minimum(stop_ratio / 0.4, 1.0)
+               + 0.5 * np.minimum(mean_wl / 8.0, 1.0))
+
+    # langid over the first _LANGID_CHARS chars (slice THEN lowercase,
+    # like the scalar), np.argmax first-max == dict-order tie-break
+    low = text.str.slice(0, _LANGID_CHARS).str.to_lowercase()
+    denom = low.str.len_chars().to_numpy().astype(np.float64) + 1.0
+    hint_langs = [lang for lang, grams in _LANG_HINTS.items() if grams]
+    scores = np.empty((m, len(hint_langs)), dtype=np.float64)
+    for j, lang in enumerate(hint_langs):
+        cnt = np.zeros(m, dtype=np.int64)
+        for g in _LANG_HINTS[lang]:
+            cnt += low.str.count_matches(g, literal=True).to_numpy().astype(np.int64)
+        scores[:, j] = cnt / denom
+    lang_pred = np.array(hint_langs, dtype=object)[np.argmax(scores, axis=1)]
+
+    flat = window.explode(empty_as_null=False).drop_nulls()
+    if len(flat):
         from raycrawl.kernels import token_hash64
 
-        th_all = token_hash64(flat)
+        th_all = token_hash64(flat.to_arrow())
     else:
         th_all = np.empty(0, dtype=np.uint64)
     T = len(th_all)
@@ -253,7 +294,6 @@ def enrich_pages(htmls: list) -> list:
             # contiguous ≤window×64 block sum; loop count is pages, not
             # tokens — the hot bytes stream exactly once
             bits[s_nz[j]:e_nz[j]].sum(axis=0, dtype=np.int32, out=ones_cnt[j])
-        nz_pos = {int(p): j for j, p in enumerate(nz)}
     # rolling k-gram fingerprint array (global; a slice [start, start+len-K]
     # stays inside its page by construction)
     K = _FP_K
@@ -274,45 +314,29 @@ def enrich_pages(htmls: list) -> list:
     else:
         p0 = np.empty(0, dtype=np.uint64)
 
-    for j, i in enumerate(idxs):
-        text = texts[j]
-        n_tok = len(token_lists[j])
-        ln = int(lens[j])
-        s = int(starts[j])
+    sim = np.zeros(m, dtype=np.uint64)
+    fp = np.zeros(m, dtype=np.uint64)
+    mh = np.zeros(m, dtype=np.uint64)
+    if T:
+        # simhash packs across the whole batch at once: (n_nz, 64) sign
+        # bits → (n_nz, 8) bytes → one uint64 per page
+        acc = 2 * ones_cnt - lens[nz][:, None].astype(np.int32)
+        sim[nz] = np.ascontiguousarray(
+            np.packbits((acc > 0).astype(np.uint8), axis=1,
+                        bitorder="little")).view(np.uint64).ravel()
+        for j in nz:
+            ln = int(lens[j])
+            s0 = int(starts[j])
+            seg_min = th_all[s0:s0 + ln].min()
+            fp[j] = roll[s0:s0 + ln - K + 1].min() if ln >= K else seg_min
+            mh[j] = p0[s0:s0 + ln - 2].min() if ln >= 3 else seg_min
 
-        wtext = " ".join(windows[j])
-        words = WORD_RE.findall(wtext.lower())
-        nw = len(words)
-        stop_ratio = sum(w in STOPWORDS for w in words) / nw if nw else 0.0
-        mean_wl = sum(map(len, words)) / nw if nw else 0.0
-        quality = (0.5 * min(stop_ratio / 0.4, 1.0)
-                   + 0.5 * min(mean_wl / 8.0, 1.0))
-
-        if ln:
-            acc = 2 * ones_cnt[nz_pos[j]].astype(np.int32) - ln
-            sim_bits = np.packbits((acc > 0).astype(np.uint8),
-                                   bitorder="little")
-            simhash = int(np.frombuffer(sim_bits.tobytes(),
-                                        dtype=np.uint64)[0])
-            seg_min = int(th_all[s : s + ln].min())
-            fingerprint = (int(roll[s : s + ln - K + 1].min())
-                           if ln >= K else seg_min)
-            minhash0 = (int(p0[s : s + ln - 2].min())
-                        if ln >= 3 else seg_min)
-        else:
-            simhash, fingerprint, minhash0 = 0, 0, 0
-
-        low = text[:_LANGID_CHARS].lower()
-        best, best_score = "en", -1.0
-        for lang, grams in _LANG_HINTS.items():
-            if not grams:
-                continue
-            score = sum(low.count(g) for g in grams) / (len(low) + 1)
-            if score > best_score:
-                best, best_score = lang, score
-        out[i] = dict(n_tokens=n_tok, quality=quality, simhash=simhash,
-                      fingerprint=fingerprint, minhash0=minhash0,
-                      lang_pred=best)
+    out["n_tokens"][idxs] = n_tok.tolist()
+    out["quality"][idxs] = quality.tolist()
+    out["simhash"][idxs] = sim.tolist()
+    out["fingerprint"][idxs] = fp.tolist()
+    out["minhash0"][idxs] = mh.tolist()
+    out["lang_pred"][idxs] = lang_pred
     return out
 
 
@@ -417,7 +441,7 @@ def fetch_expand_batch(
     _t = _time.perf_counter()
     khi, klo = hash128(corpus_key_strings(batch["name"], batch["http_type"]))
     fetched = [None] * n
-    pages = [None] * n
+    pages = None                 # set by enrich_pages when enrich is on
     cur_part, index, html_col = None, None, None
     for i in order:
         p = int(parts_arr[i]) if parts_arr is not None else 0
@@ -553,13 +577,10 @@ def fetch_expand_batch(
     # error; COMPLETED stores the old counter -- job.rs:104-121)
     att_np = np.where(ok | robots, attempt_np - 1, attempt_np)
 
-    feat_names = ("n_tokens", "quality", "simhash", "fingerprint",
-                  "minhash0", "lang_pred")
     if enrich:
-        feat_cols = {k: [p[k] if p is not None else None for p in pages]
-                     for k in feat_names}
+        feat_cols = pages                      # columns already (object ndarrays)
     else:
-        feat_cols = {k: [None] * n for k in feat_names}
+        feat_cols = {k: [None] * n for k in _FEAT_NAMES}
 
     pid_col = pc_.binary_join_element_wise(
         batch["http_type"].combine_chunks(),

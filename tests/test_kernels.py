@@ -162,11 +162,13 @@ def test_enrich_pages_equals_enrich_page():
         "<b>uno dos tres el la de que y en un ser se no haber por</b>",
     ]
     got = enrich_pages(htmls)
-    for h, g in zip(htmls, got):
+    for i, h in enumerate(htmls):
         if h is None:
-            assert g is None
+            assert all(got[k][i] is None for k in got)
         else:
-            assert g == enrich_page(h), h[:60]
+            exp = enrich_page(h)
+            for k, v in exp.items():
+                assert got[k][i] == v, (i, k, got[k][i], v, h[:60])
 
 
 # --- identity hash: self-contained, library-independent ---------------------
