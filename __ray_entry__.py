@@ -226,7 +226,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
     each is subsumed by an in-window sibling (pagination/filter variants,
     an exact twin of a sketch, a forced-path twin) and stays correctness-
     covered by tests/test_demoted.py instead. Same contract as queries()."""
-    from raycrawl import ann, dedup, multimodal, relational, sketches
+    from raycrawl import ann, dedup, multimodal, relational, sketches, textops
 
     def crawl_list_page(_sf):
         from raycrawl.queries import list_crawls as q
@@ -266,6 +266,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "video_sample_summary": multimodal.video_sample_summary,
         "audio_window_summary": multimodal.audio_window_summary,
         "embedding_similar_threshold": ann.similar_above_threshold,
+        "documents_pii_scrub": textops.pii_scrub,
         # rows-only (approximate/RNG — pytest-pinned to oracled exact twins)
         "events_user_hll": sketches.events_user_hll,
         "events_value_quantiles_sketch": sketches.events_value_quantiles_sketch,
@@ -551,7 +552,7 @@ def demoted_oracle_sql() -> dict[str, str]:
     Ray query against its SQL at small sf). The six approximate/RNG-body
     entries have no SQL by nature — their exactness envelope is pinned by
     dedicated pytests against oracled exact twins."""
-    from raycrawl import ann, dedup, multimodal, relational
+    from raycrawl import ann, dedup, multimodal, relational, textops
 
     c = _crawl_sql_bundle()
     demoted = {k: c[k] for k in ("crawl_list_page", "crawl_list_completed",
@@ -568,5 +569,6 @@ def demoted_oracle_sql() -> dict[str, str]:
         "video_sample_summary": multimodal.video_sample_summary_sql(),
         "audio_window_summary": multimodal.audio_window_summary_sql(),
         "embedding_similar_threshold": ann.similar_above_threshold_sql(),
+        "documents_pii_scrub": textops.pii_scrub_sql(),
     })
     return demoted

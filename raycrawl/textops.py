@@ -636,3 +636,132 @@ def doc_repetition_scores_sql() -> str:
            mx * 1.0 / n_tokens AS max_tok_frac
     FROM agg ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data compliance lane)
+# ---------------------------------------------------------------------------
+# Standard webtext-pipeline stage (CCNet/Dolma-style): replace emails, phone
+# numbers and IPv4 addresses with typed placeholder tokens before training.
+# The synthetic documents corpus contains no organic PII, so the operator
+# demonstrates on deterministically PLANTED spans: a pure function of doc_id
+# appends an email to every 3rd doc, a phone to every 5th, an IP to every
+# 7th — and the oracle SQL mirrors the exact same injection, so the
+# regexp_replace comparison verifies real (non-identity) scrubbing work.
+# Patterns are chosen inside the common subset of rust-regex (polars) and
+# RE2 (DuckDB) semantics — parity pinned by tests/test_ops.py.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b555-\d{4}\b"
+
+
+def pii_inject_expr():
+    """Polars expression appending the deterministic planted PII spans to
+    ``text`` (mirrored verbatim in pii_scrub_sql)."""
+    import polars as pl
+
+    did = pl.col("doc_id")
+    return (
+        pl.col("text")
+        + pl.when(did % 3 == 0)
+        .then(pl.lit(" contact user") + did.cast(pl.Utf8)
+              + pl.lit("@example.com now"))
+        .otherwise(pl.lit(""))
+        + pl.when(did % 5 == 0)
+        .then(pl.lit(" call 555-")
+              + (did % 10000).cast(pl.Utf8).str.zfill(4) + pl.lit(" today"))
+        .otherwise(pl.lit(""))
+        + pl.when(did % 7 == 0)
+        .then(pl.lit(" from 10.") + (did % 256).cast(pl.Utf8) + pl.lit(".")
+              + (did % 200).cast(pl.Utf8) + pl.lit(".")
+              + (did % 100).cast(pl.Utf8) + pl.lit(" logged"))
+        .otherwise(pl.lit(""))
+    )
+
+
+def pii_scrub_batch(t: pa.Table) -> pa.Table:
+    """Inject the planted spans, count matches per PII class, scrub
+    email → ``<EMAIL>``, IP → ``<IP>``, phone → ``<PHONE>`` (in that fixed
+    order), and emit the scrubbed text's md5 so the oracle compares the
+    full replacement output, not just counts. All columnar polars."""
+    import polars as pl
+
+    from raycrawl.kernels import md5_hex_arrow
+
+    df = pl.DataFrame({
+        "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()
+                                if isinstance(t["doc_id"], pa.ChunkedArray)
+                                else t["doc_id"]),
+        "text": pl.from_arrow(t["text"].combine_chunks()
+                              if isinstance(t["text"], pa.ChunkedArray)
+                              else t["text"]),
+    })
+    df = df.with_columns(pii_inject_expr().alias("inj"))
+    inj = pl.col("inj")
+    df = df.with_columns(
+        inj.str.count_matches(PII_EMAIL_RE).cast(pl.Int64).alias("n_email"),
+        inj.str.count_matches(PII_IP_RE).cast(pl.Int64).alias("n_ip"),
+        inj.str.count_matches(PII_PHONE_RE).cast(pl.Int64).alias("n_phone"),
+        inj.str.replace_all(PII_EMAIL_RE, "<EMAIL>")
+        .str.replace_all(PII_IP_RE, "<IP>")
+        .str.replace_all(PII_PHONE_RE, "<PHONE>").alias("scrubbed"),
+    )
+    df = df.with_columns(
+        pl.col("scrubbed").str.len_chars().cast(pl.Int64).alias("n_chars_scrubbed"))
+    scrubbed = df["scrubbed"].to_arrow()
+    return pa.table({
+        "doc_id": df["doc_id"].to_arrow(),
+        "n_email": df["n_email"].to_arrow(),
+        "n_phone": df["n_phone"].to_arrow(),
+        "n_ip": df["n_ip"].to_arrow(),
+        "n_chars_scrubbed": df["n_chars_scrubbed"].to_arrow(),
+        "text_md5": md5_hex_arrow(scrubbed.combine_chunks()
+                                  if isinstance(scrubbed, pa.ChunkedArray)
+                                  else scrubbed),
+    })
+
+
+def pii_scrub(sf_dir: str):
+    """Per-doc PII scrub summary Dataset (oracle: pii_scrub_sql). At the
+    100 TB point this is one zero-shuffle map_batches pass; the scrubbed
+    text itself would flow to the next stage / export sink rather than a
+    per-doc digest — the digest is the oracle-comparable surface."""
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        pii_scrub_batch, batch_format="pyarrow")
+
+
+def pii_scrub_sql() -> str:
+    return f"""
+    WITH inj AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' from 10.' || (doc_id % 256) || '.' || (doc_id % 200)
+                          || '.' || (doc_id % 100) || ' logged'
+                     ELSE '' END AS t
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_email,
+             len(regexp_extract_all(t, '{PII_IP_RE}')) AS n_ip,
+             len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phone,
+             regexp_replace(regexp_replace(regexp_replace(t,
+                 '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_IP_RE}', '<IP>', 'g'),
+                 '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+      FROM inj
+    )
+    SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_phone AS BIGINT) AS n_phone, CAST(n_ip AS BIGINT) AS n_ip,
+           CAST(length(scrubbed) AS BIGINT) AS n_chars_scrubbed,
+           md5(scrubbed) AS text_md5
+    FROM s ORDER BY doc_id
+    """

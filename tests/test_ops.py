@@ -581,3 +581,36 @@ def test_langid_batch_equals_scalar_twin():
                 best, best_score = lang, score
         exp.append(best)
     assert got == exp
+
+
+def test_pii_scrub_batch_matches_duckdb_on_edge_cases():
+    """Polars (rust regex) and DuckDB (RE2) must agree on the PII patterns
+    over adversarial spans: multiple matches, boundary cases that must NOT
+    match (5-digit phone tail, trailing dot domains), and injected spans."""
+    import duckdb
+    import pyarrow as pa
+
+    from raycrawl.textops import pii_scrub_batch
+
+    texts = [
+        "plain words only",
+        "a@b.co touching c.d-e@f.gh.ij twice",
+        "ip 10.1.2.33 and 255.255.255.255 but not 1.2.3.4.5 alone?",
+        "call 555-0042 not 555-12345 nor x555-1234",
+        "MIXED user9@Example.COM then 10.0.0.1 then 555-9999",
+        "",
+    ]
+    ids = list(range(0, 6 * 7, 7))  # hit every injection residue class
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    got = pii_scrub_batch(t).to_pandas().sort_values("doc_id")
+
+    from raycrawl.textops import pii_scrub_sql
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.sql(pii_scrub_sql()).df().sort_values("doc_id")
+    for c in ["n_email", "n_phone", "n_ip", "n_chars_scrubbed", "text_md5"]:
+        assert list(got[c]) == list(want[c]), c
+    # the planted spans were really found and removed (non-identity scrub)
+    assert got["n_email"].sum() > 0 and got["n_phone"].sum() > 0
