@@ -267,6 +267,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "audio_window_summary": multimodal.audio_window_summary,
         "embedding_similar_threshold": ann.similar_above_threshold,
         "documents_pii_scrub": textops.pii_scrub,
+        "documents_decontamination": textops.decontamination_report,
         # rows-only (approximate/RNG — pytest-pinned to oracled exact twins)
         "events_user_hll": sketches.events_user_hll,
         "events_value_quantiles_sketch": sketches.events_value_quantiles_sketch,
@@ -570,5 +571,6 @@ def demoted_oracle_sql() -> dict[str, str]:
         "audio_window_summary": multimodal.audio_window_summary_sql(),
         "embedding_similar_threshold": ann.similar_above_threshold_sql(),
         "documents_pii_scrub": textops.pii_scrub_sql(),
+        "documents_decontamination": textops.decontamination_sql(),
     })
     return demoted

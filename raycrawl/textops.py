@@ -765,3 +765,106 @@ def pii_scrub_sql() -> str:
            md5(scrubbed) AS text_md5
     FROM s ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (training-data hygiene lane)
+# ---------------------------------------------------------------------------
+
+def decontamination_report(sf_dir: str, k: int = 4, benchmark_mod: int = 97):
+    """Corpus docs sharing at least one word ``k``-gram with a held-out
+    benchmark slice — the eval-set decontamination pass every LLM
+    training-data pipeline runs before training (flag, then drop or
+    ablate). The benchmark here is the deterministic slice
+    ``doc_id % benchmark_mod == 0`` (~1% of the corpus) standing in for an
+    external eval set; returns ``(doc_id, n_bench_grams_hit)`` for every
+    contaminated non-benchmark doc. Oracle: decontamination_sql.
+
+    100 TB shape — the canonical broadcast-asymmetric join: eval sets are
+    tiny (MBs) next to the corpus, so the benchmark side's distinct gram
+    hashes are collected to the driver ONCE, sorted, and broadcast via
+    ``ray.put``; the corpus side is one zero-shuffle ``map_batches`` pass
+    doing a segmented per-doc distinct + one ``searchsorted`` membership
+    probe per batch. No shuffle ever touches the wide table. Gram
+    semantics and md5_u64 hashing are shared with the dedup lane
+    (``kernels.md5_gram_hashes`` — 64-bit collisions vs the SQL's
+    string-level grams are ~0 and identical to the MinHash lane's
+    documented envelope)."""
+    import ray
+
+    from raycrawl.kernels import md5_gram_hashes
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_gram_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = ids % benchmark_mod == 0
+        if not sel.any():
+            return pa.table({"h": pa.array([], pa.uint64())})
+        texts = [x for x, s in zip(t["text"].to_pylist(), sel) if s]
+        h, _ = md5_gram_hashes(texts, k)
+        return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
+
+    bench = np.unique(
+        docs.map_batches(bench_gram_batch, batch_format="pyarrow")
+        .to_pandas()["h"].to_numpy().astype(np.uint64))
+    bench_ref = ray.put(bench)
+
+    def hits_batch(t: pa.Table) -> pa.Table:
+        bench_sorted = ray.get(bench_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % benchmark_mod != 0
+        ids = ids[keep]
+        texts = [x for x, s in zip(t["text"].to_pylist(), keep) if s]
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bench_grams_hit": pa.array([], pa.int64())})
+        if len(texts) == 0 or len(bench_sorted) == 0:
+            return empty
+        h, offs = md5_gram_hashes(texts, k)
+        if len(h) == 0:
+            return empty
+        n = len(texts)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        # per-doc distinct grams (mirrors the SQL's SELECT DISTINCT)
+        order = np.lexsort((h, doc_idx))
+        hs, di = h[order], doc_idx[order]
+        kmask = np.empty(len(hs), dtype=bool)
+        kmask[0] = True
+        kmask[1:] = (hs[1:] != hs[:-1]) | (di[1:] != di[:-1])
+        hs, di = hs[kmask], di[kmask]
+        pos = np.searchsorted(bench_sorted, hs)
+        pos_c = np.minimum(pos, len(bench_sorted) - 1)
+        hit = bench_sorted[pos_c] == hs
+        counts = np.bincount(di[hit], minlength=n).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table({"doc_id": pa.array(ids[nz], pa.int64()),
+                         "n_bench_grams_hit": pa.array(counts[nz], pa.int64())})
+
+    out = docs.map_batches(hits_batch, batch_format="pyarrow").to_pandas()
+    # typed collect: the report is bounded by contamination volume (tiny
+    # next to the corpus), and an all-empty Dataset would lose its schema
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"] if len(out) else [], pa.int64()),
+        "n_bench_grams_hit": pa.array(
+            out["n_bench_grams_hit"] if len(out) else [], pa.int64()),
+    })
+
+
+def decontamination_sql(k: int = 4, benchmark_mod: int = 97) -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(CASE WHEN len(toks) < {k}
+                             THEN [array_to_string(toks, ' ')]
+                             ELSE list_transform(range(1, len(toks) - {k} + 2),
+                                                 i -> array_to_string(toks[i:i+{k - 1}], ' '))
+                        END) AS gr
+          FROM t),
+    dg AS (SELECT DISTINCT doc_id, gr FROM g),
+    bench AS (SELECT DISTINCT gr FROM dg WHERE doc_id % {benchmark_mod} = 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_grams_hit
+    FROM dg JOIN bench USING (gr)
+    WHERE doc_id % {benchmark_mod} <> 0
+    GROUP BY doc_id ORDER BY doc_id
+    """
