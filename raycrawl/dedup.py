@@ -257,7 +257,9 @@ def minhash_bands_batch(t: pa.Table) -> pa.Table:
     return pa.table(
         {
             "band_id": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1)),
+            # int64 view — join-key dtype must stay shuffle-safe (see the
+            # gram column in ngram explode); equality semantics unchanged
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64), pa.int64()),
             "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
         }
     )
@@ -270,9 +272,17 @@ def jaccard(s1: np.ndarray, s2: np.ndarray) -> float:
     return inter / (len(s1) + len(s2) - inter)
 
 
-def _candidate_pairs(bands, key=("band_id", "band_hash")):
+def _candidate_pairs(bands, key=("band_id", "band_hash"), with_count=False):
     """Keyed rows → distinct candidate (a, b) pairs, a < b, fully
-    distributed: hash self-join on ``key``, then groupby dedup."""
+    distributed: hash self-join on ``key``, then groupby dedup.
+
+    ``with_count=True`` additionally carries ``n_shared`` = the number of
+    key rows the pair co-occurred under. When the keyed rows are one row
+    per DISTINCT per-doc shingle (the ngram path), that count IS
+    ``|A ∩ B|`` exactly, so the caller can finish Jaccard arithmetically
+    without re-touching shingle sets. (For the MinHash band key the count
+    means "matching bands" — not an intersection — so its caller ignores
+    it.)"""
     parts = _join_parts()
     joined = bands.join(
         bands,
@@ -296,12 +306,95 @@ def _candidate_pairs(bands, key=("band_id", "band_hash")):
 
     from ray.data.aggregate import Count
 
-    return (
+    agg = (
         joined.map_batches(ordered, batch_format="pyarrow")
         .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"])
+        .aggregate(Count(alias_name="n_shared"))
     )
+    return agg if with_count else agg.select_columns(["a", "b"])
+
+
+def _verify_pairs_by_count(cand, sh, threshold: float,
+                           hot_u64: np.ndarray | None = None) -> pa.Table:
+    """(a, b, n_shared) candidates → exact (a, b, jaccard), a < b, sorted —
+    the ngram path's verify. Because each doc's shingles are DISTINCT,
+    ``n_shared`` from the gram self-join is exactly the COLD intersection
+    ``|A ∩ B \\ hot|``; each side additionally carries an H-bit mask of
+    which df-capped hot grams it contains (H = |hot| is the bounded
+    corpus-wide boilerplate set), so the full intersection is
+    ``n_shared + popcount(mask_a & mask_b)`` and
+    ``jaccard = inter / (|A| + |B| - inter)`` — exact over FULL gram sets
+    (matching the SQL spec) while only ints + H/8 bytes ride the pair
+    table, never the shingle sets themselves (same 64-bit-hash collision
+    envelope as the set-based verify it replaces)."""
+    parts = _join_parts()
+    n_hot = 0 if hot_u64 is None else len(hot_u64)
+    hbytes = (n_hot + 7) // 8
+
+    def _sized(id_out: str, n_out: str, m_out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {id_out: t["doc_id"], n_out: t["n_shingles"]}
+            if n_hot:
+                col = t["shingles"]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                offs = col.offsets.to_numpy().astype(np.int64)
+                rel = offs - offs[0]
+                flat = col.values.to_numpy(zero_copy_only=False)
+                flat = flat[offs[0]:offs[-1]].astype(np.uint64, copy=False)
+                n = len(col)
+                idx = np.minimum(np.searchsorted(hot_u64, flat), n_hot - 1)
+                match = hot_u64[idx] == flat
+                doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(rel))
+                mask = np.zeros((n, hbytes), np.uint8)
+                mi, rows = idx[match], doc_idx[match]
+                np.bitwise_or.at(
+                    mask, (rows, mi >> 3),
+                    (np.uint8(1) << (mi & 7).astype(np.uint8)))
+                cols[m_out] = pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(hbytes), n, [None, pa.py_buffer(mask.tobytes())])
+            return pa.table(cols)
+        return fn
+
+    withs = cand.join(
+        sh.map_batches(_sized("a", "n_a", "m_a"), batch_format="pyarrow"),
+        "inner", parts, on=("a",), right_on=("a",),
+        left_suffix="", right_suffix="_ra")
+    withs = withs.join(
+        sh.map_batches(_sized("b", "n_b", "m_b"), batch_format="pyarrow"),
+        "inner", parts, on=("b",), right_on=("b",),
+        left_suffix="", right_suffix="_rb")
+
+    def _mask_matrix(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buf = np.frombuffer(col.buffers()[1], np.uint8)
+        start = col.offset * hbytes
+        return buf[start:start + len(col) * hbytes].reshape(len(col), hbytes)
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t["n_shared"].to_numpy().astype(np.float64)
+        if n_hot and t.num_rows:
+            both = _mask_matrix(t["m_a"]) & _mask_matrix(t["m_b"])
+            inter = inter + np.unpackbits(both, axis=1).sum(axis=1)
+        na = t["n_a"].to_numpy().astype(np.float64)
+        nb = t["n_b"].to_numpy().astype(np.float64)
+        j = inter / (na + nb - inter)
+        keep = j >= threshold
+        return pa.table(
+            {"a": pa.array(t["a"].to_numpy()[keep], pa.int64()),
+             "b": pa.array(t["b"].to_numpy()[keep], pa.int64()),
+             "jaccard": pa.array(j[keep], pa.float64())}
+        )
+
+    out = withs.map_batches(finish, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    out = out.sort_values(["a", "b"])
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def _verify_pairs(cand, sh, threshold: float) -> pa.Table:
@@ -473,9 +566,14 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
         offs = col.offsets.to_numpy().astype(np.int64)
         flat = col.values.to_numpy(zero_copy_only=False)
         flat = flat[offs[0]:offs[-1]].astype(np.uint64, copy=False)
+        # int64 VIEW of the uint64 hashes: bit-exact, and keeps Ray's
+        # sort/shuffle on this key zero-copy Arrow — raw uint64 values
+        # >= 2^63 overflow the int64 rebuild inside the shuffle and fall
+        # back to pickled-object blocks (observed at sf0.1: the groupby
+        # below silently serialized every block as Python objects)
         return pa.table(
             {"doc_id": pa.array(np.repeat(ids, np.diff(offs)), pa.int64()),
-             "gram": pa.array(flat)}
+             "gram": pa.array(flat.view(np.int64), pa.int64())}
         )
 
     grams = sh.map_batches(explode, batch_format="pyarrow")
@@ -490,8 +588,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
             batch_format="pyarrow")
         .to_pandas()
     )
-    hot = (np.sort(hot_tbl["gram"].to_numpy().astype(np.uint64))
-           if "gram" in hot_tbl.columns else np.empty(0, np.uint64))
+    hot = (np.sort(hot_tbl["gram"].to_numpy().astype(np.int64))
+           if "gram" in hot_tbl.columns else np.empty(0, np.int64))
     if len(hot):
         import logging
 
@@ -509,8 +607,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
         return t.filter(pa.array(h[idx] != g))
 
     cand = _candidate_pairs(grams.map_batches(drop_hot, batch_format="pyarrow"),
-                            key=("gram",))
-    out = _verify_pairs(cand, sh, threshold)
+                            key=("gram",), with_count=True)
+    out = _verify_pairs_by_count(
+        cand, sh, threshold,
+        hot_u64=np.sort(hot.astype(np.int64).view(np.uint64))
+        if len(hot) else None)
     _memo_put(_NGRAM_PAIRS_CACHE, memo_key, out)
     return out
 
@@ -628,9 +729,14 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3,
         return pa.table(
             {
                 "band_id": pa.array(rows_band, pa.int32()),
-                "band_val": pa.array(np.array(rows_val, dtype=np.uint64)),
+                "band_val": pa.array(np.array(rows_val, dtype=np.int64)),
                 "doc_id": pa.array(rows_doc, pa.int64()),
-                "simhash": pa.array(np.array(rows_sig, dtype=np.uint64)),
+                # int64 view: this column rides the band_val groupby
+                # shuffle; uint64 values >= 2^63 would pickle-fallback
+                # (bucket_pairs casts back with a wrapping astype)
+                "simhash": pa.array(
+                    np.array(rows_sig, dtype=np.uint64).view(np.int64),
+                    pa.int64()),
             }
         )
 
