@@ -272,9 +272,55 @@ def jaccard(s1: np.ndarray, s2: np.ndarray) -> float:
     return inter / (len(s1) + len(s2) - inter)
 
 
+_MIX_PRIMES = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F)
+
+
+def _count_by_key_partitioned(ds, keys: tuple, alias: str, n_parts=None):
+    """Exact per-key counts over integer key columns via a per-batch polars
+    partial count → ONE bounded hash-partition shuffle → per-partition
+    final sum. Replaces Ray's sort-based ``groupby(keys).aggregate(Count)``
+    on large key tables: the sort shuffle measured 45 s on the 1.3M-row
+    candidate-pair table at sf0.1 where this shape takes 0.3 s. Equal keys
+    co-locate by construction (part = avalanched 64-bit mix of the key
+    tuple, mod ``n_parts``), so per-partition sums are final — no second
+    shuffle, nothing funnels through the driver. ``n_parts`` must follow
+    data size at real scale (each partition is one in-memory table in one
+    task; default sizes to cluster CPUs, right for the bench box)."""
+    import polars as pl
+    import ray
+
+    if n_parts is None:
+        n_parts = (max(8, int(ray.cluster_resources().get("CPU", 8)))
+                   if ray.is_initialized() else 8)
+    cols = list(keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t.select(cols)).group_by(cols).len()
+              .with_columns(pl.col("len").cast(pl.Int64)))
+        out = df.to_arrow()
+        mix = np.zeros(out.num_rows, np.uint64)
+        for i, k in enumerate(cols):
+            v = out[k].to_numpy().astype(np.int64, copy=False).view(np.uint64)
+            mix ^= (v + np.uint64(i + 1)) * np.uint64(_MIX_PRIMES[i % 2])
+        mix ^= mix >> np.uint64(33)
+        mix *= np.uint64(0xFF51AFD7ED558CCD)
+        mix ^= mix >> np.uint64(33)
+        part = (mix % np.uint64(n_parts)).astype(np.int32)
+        return out.append_column("part", pa.array(part, pa.int32()))
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t.select(cols + ["len"]))
+              .group_by(cols).agg(pl.col("len").sum().alias(alias)))
+        return df.to_arrow()
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("part").map_groups(final, batch_format="pyarrow"))
+
+
 def _candidate_pairs(bands, key=("band_id", "band_hash"), with_count=False):
     """Keyed rows → distinct candidate (a, b) pairs, a < b, fully
-    distributed: hash self-join on ``key``, then groupby dedup.
+    distributed: hash self-join on ``key``, then a hash-partitioned
+    count-dedup (``_count_by_key_partitioned``).
 
     ``with_count=True`` additionally carries ``n_shared`` = the number of
     key rows the pair co-occurred under. When the keyed rows are one row
@@ -304,14 +350,10 @@ def _candidate_pairs(bands, key=("band_id", "band_hash"), with_count=False):
         return pa.table({"a": pa.array(a[keep], pa.int64()),
                          "b": pa.array(b[keep], pa.int64())})
 
-    from ray.data.aggregate import Count
-
-    agg = (
-        joined.map_batches(ordered, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_shared"))
-    )
-    return agg if with_count else agg.select_columns(["a", "b"])
+    counted = _count_by_key_partitioned(
+        joined.map_batches(ordered, batch_format="pyarrow"),
+        ("a", "b"), "n_shared")
+    return counted if with_count else counted.select_columns(["a", "b"])
 
 
 def _verify_pairs_by_count(cand, sh, threshold: float,
@@ -547,7 +589,6 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
     That regime is the boilerplate-dedup problem and is routed through
     ``minhash_neardup_pairs``; here the capped count is logged so a run
     can see what was dropped."""
-    from ray.data.aggregate import Count
     import pyarrow.compute as pc
     import ray
 
@@ -582,7 +623,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
     # aggregate output, so only the hot grams (bounded small — they are by
     # definition the corpus-wide boilerplate set) ever reach the driver.
     hot_tbl = (
-        grams.groupby("gram").aggregate(Count(alias_name="df"))
+        _count_by_key_partitioned(grams, ("gram",), "df")
         .map_batches(
             lambda t: t.filter(pc.greater(t["df"], df_cap)).select(["gram"]),
             batch_format="pyarrow")
