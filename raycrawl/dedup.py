@@ -445,8 +445,41 @@ def _verify_pairs(cand, sh, threshold: float) -> pa.Table:
     set (packed as raw little-endian uint64 bytes — Acero hash joins don't
     carry list<> payload columns), then the verify is exact per batch. The
     cap/band approximations of the candidate generators can only MISS
-    pairs, never change a reported jaccard value."""
+    pairs, never change a reported jaccard value.
+
+    The candidate table is materialized first (it feeds both joins) and,
+    while it stays under ``RAYCRAWL_UNIONFIND_MAX_PAIRS`` — the same
+    bounded-by-dup-volume posture as the component fold — its distinct doc
+    ids are broadcast so each join's shingle side is pre-filtered to
+    candidate docs only: the corpus-wide list column never enters a
+    shuffle, only the (tiny) near-dup docs' sets do. Above the gate the
+    pre-filter is skipped and the joins run over the full shingle table."""
+    import os
+
+    import ray
+
     parts = _join_parts()
+    cand = cand.materialize()
+    gate = int(os.environ.get("RAYCRAWL_UNIONFIND_MAX_PAIRS", str(5_000_000)))
+    ids_ref = None
+    if cand.count() <= gate:
+        cp = cand.to_pandas()
+        ids_ref = ray.put(np.unique(np.concatenate(
+            [cp["a"].to_numpy(np.int64), cp["b"].to_numpy(np.int64)])))
+
+    def _prefiltered(ds):
+        if ids_ref is None:
+            return ds
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            d = t["doc_id"].to_numpy()
+            if not len(ids):
+                return t.slice(0, 0)
+            idx = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
+            return t.filter(pa.array(ids[idx] == d))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
 
     def _packed(col_out: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -466,8 +499,8 @@ def _verify_pairs(cand, sh, threshold: float) -> pa.Table:
             return pa.table({col_out[3:]: t["doc_id"], col_out: packed})
         return fn
 
-    sh_a = sh.map_batches(_packed("sh_a"), batch_format="pyarrow")
-    sh_b = sh.map_batches(_packed("sh_b"), batch_format="pyarrow")
+    sh_a = _prefiltered(sh).map_batches(_packed("sh_a"), batch_format="pyarrow")
+    sh_b = _prefiltered(sh).map_batches(_packed("sh_b"), batch_format="pyarrow")
     withs = cand.join(sh_a, "inner", parts, on=("a",), right_on=("a",),
                       left_suffix="", right_suffix="_ra")
     withs = withs.join(sh_b, "inner", parts, on=("b",), right_on=("b",),
