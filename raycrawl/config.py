@@ -37,8 +37,10 @@ class CrawlConfig:
     enrich: bool = False
 
     # Seen-filter backend: "set" (exact python set of 16-byte keys; test
-    # scale) or "sortedruns" (numpy sorted runs + Bloom front; the 10^10
-    # design point).  "auto" picks sortedruns above auto_backend_threshold.
+    # scale), "sortedruns" (numpy sorted runs + Bloom front; the 10^10
+    # design point) or "cuckoo" (same runs behind a cuckoo-filter front:
+    # ~2^-13 FP at ~20 bits/key, deletion-capable, safe-degrade on
+    # overflow).  "auto" picks sortedruns above auto_backend_threshold.
     # Rounds with ≤ this many frontier rows run the same stage function
     # driver-side (no Dataset execution): tiny BFS rounds and retry tails
     # are pure fixed overhead as distributed jobs.

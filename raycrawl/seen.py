@@ -17,7 +17,9 @@ Design (the 10^10-URL design point, tested at small scale):
 - Backends: ``set`` — exact Python set of 16-byte keys (test scale);
   ``sortedruns`` — Bloom front + sorted numpy runs with vectorized
   searchsorted membership and periodic compaction (scale path; ~16 B/key
-  flat arrays instead of ~100 B/key Python set entries).
+  flat arrays instead of ~100 B/key Python set entries); ``cuckoo`` —
+  the same exact runs behind a cuckoo-filter front (lower FP rate,
+  deletion support, safe all-True degrade on overflow).
 - Checkpointing: per-round deltas are returned by ``commit`` and written to
   Parquet by the driver; ``bulk_load`` restores (resume = union of deltas).
 """
@@ -84,13 +86,147 @@ class _Bloom:
         return bit.all(axis=0).astype(bool)
 
 
+class _Cuckoo:
+    """Vectorized cuckoo filter over (hi, lo) uint64 key pairs.
+
+    Public algorithm (Fan, Andersen, Kaminsky, Mitzenmacher, "Cuckoo
+    Filter: Practically Better Than Bloom", CoNEXT 2014): buckets of 4
+    16-bit fingerprints, two candidate buckets per key via the
+    partial-key-cuckoo XOR trick (``i2 = i1 ^ hash(fp)``, involutive when
+    the bucket count is a power of two), eviction chains on full buckets.
+    vs the Bloom front: ~2⁻¹³ false-positive rate at ~20 bits/key and
+    deletion support; same no-false-negative contract while ``overflow``
+    is False. On an eviction-chain failure (table effectively full) the
+    filter degrades SAFELY: ``maybe_contains`` returns all-True so the
+    exact backing runs still decide membership — never a false negative.
+
+    Inserts are batch-vectorized: multi-pass "one key per bucket per pass"
+    placement into empty slots (numpy-only), with the per-key eviction
+    loop reserved for the stragglers a full bucket leaves behind (rare
+    below ~0.84 load). Deterministic throughout — slot choice is
+    ``kick % 4``, no RNG — so crawl replays are bit-identical.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, expected_keys: int):
+        m = 1
+        while m * self.SLOTS * 0.84 < max(64, expected_keys):
+            m <<= 1
+        self.m = m
+        self._mask = np.uint64(m - 1)
+        self.table = np.zeros((m, self.SLOTS), dtype=np.uint16)
+        self.overflow = False
+        self._n = 0
+
+    @staticmethod
+    def _fp(hi: np.ndarray) -> np.ndarray:
+        # fingerprint in 1..65535 (0 is the empty-slot sentinel)
+        return (hi % np.uint64(65535) + np.uint64(1)).astype(np.uint16)
+
+    @staticmethod
+    def _fp_hash(fp: np.ndarray) -> np.ndarray:
+        x = fp.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = x * np.uint64(0x9E3779B97F4A7C15)
+        return x ^ (x >> np.uint64(31))
+
+    def _buckets(self, hi, lo):
+        fp = self._fp(np.asarray(hi, dtype=np.uint64))
+        i1 = (np.asarray(lo, dtype=np.uint64) & self._mask).astype(np.int64)
+        i2 = ((i1.astype(np.uint64) ^ self._fp_hash(fp)) & self._mask).astype(np.int64)
+        return fp, i1, i2
+
+    def maybe_contains(self, hi, lo) -> np.ndarray:
+        if self.overflow:
+            return np.ones(len(hi), dtype=bool)
+        fp, i1, i2 = self._buckets(hi, lo)
+        col = fp[:, None]
+        return ((self.table[i1] == col).any(axis=1)
+                | (self.table[i2] == col).any(axis=1))
+
+    def add(self, hi, lo) -> None:
+        if self.overflow or len(hi) == 0:
+            return
+        fp, i1, i2 = self._buckets(hi, lo)
+        col = fp[:, None]
+        present = ((self.table[i1] == col).any(axis=1)
+                   | (self.table[i2] == col).any(axis=1))
+        remaining = np.flatnonzero(~present)
+        # vectorized placement: each pass writes at most one key per bucket
+        # (np.unique picks the winner) so concurrent writes never collide
+        while remaining.size:
+            before = remaining.size
+            for buckets in (i1, i2):
+                for slot in range(self.SLOTS):
+                    if remaining.size == 0:
+                        break
+                    b = buckets[remaining]
+                    idx = remaining[self.table[b, slot] == 0]
+                    if idx.size == 0:
+                        continue
+                    _, first = np.unique(buckets[idx], return_index=True)
+                    chosen = idx[first]
+                    self.table[buckets[chosen], slot] = fp[chosen]
+                    self._n += chosen.size
+                    remaining = remaining[~np.isin(remaining, chosen)]
+            if remaining.size == before:
+                break  # no empty slot in either bucket → eviction path
+        for j in remaining:
+            if not self._insert_evict(fp[j], int(i1[j])):
+                self.overflow = True
+                return
+
+    def _insert_evict(self, f: np.uint16, i: int) -> bool:
+        for kick in range(self.MAX_KICKS):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = f
+                self._n += 1
+                return True
+            s = kick % self.SLOTS  # deterministic victim
+            f, row[s] = row[s], f
+            i = int((np.uint64(i) ^ self._fp_hash(np.asarray([f]))[0])
+                    & self._mask)
+        return False
+
+    def delete(self, hi, lo) -> np.ndarray:
+        """Remove one stored copy per key; True where a copy was found.
+        Not used by the crawl (seen-sets only grow) — exercised by tests
+        to pin the cuckoo-specific capability Bloom lacks."""
+        fp, i1, i2 = self._buckets(hi, lo)
+        out = np.zeros(len(fp), dtype=bool)
+        for j in range(len(fp)):
+            for i in (i1[j], i2[j]):
+                slots = np.flatnonzero(self.table[i] == fp[j])
+                if slots.size:
+                    self.table[i, slots[0]] = 0
+                    self._n -= 1
+                    out[j] = True
+                    break
+        return out
+
+
+def _make_front(front: str, expected_keys: int, bits_per_key: int):
+    if front == "bloom":
+        return _Bloom(expected_keys * bits_per_key)
+    if front == "cuckoo":
+        return _Cuckoo(expected_keys)
+    raise ValueError(f"unknown seen front {front!r}")
+
+
 class _SortedRunsBackend:
-    """Bloom front + sorted (hi, lo) runs; vectorized binary search."""
+    """Bloom-or-cuckoo front + sorted (hi, lo) runs; vectorized binary
+    search. The front only short-circuits definite misses (no false
+    negatives by construction), so membership stays EXACT — required for
+    oracle-equal crawls — while ~99% of novel-URL probes skip the runs."""
 
     def __init__(self, expected_keys: int = 10_000_000, bits_per_key: int = 12,
-                 compact_above: int = 8):
+                 compact_above: int = 8, front: str = "bloom"):
         self._runs: list[tuple[np.ndarray, np.ndarray]] = []  # (hi sorted, lo)
-        self._bloom = _Bloom(expected_keys * bits_per_key)
+        self._bloom = _make_front(front, expected_keys, bits_per_key)
         self._compact_above = compact_above
         self._n = 0
 
@@ -149,6 +285,9 @@ def make_backend(kind: str, expected_keys: int = 1_000_000, bits_per_key: int = 
         return _SetBackend()
     if kind == "sortedruns":
         return _SortedRunsBackend(expected_keys=expected_keys, bits_per_key=bits_per_key)
+    if kind == "cuckoo":  # sorted runs behind a cuckoo (not Bloom) front
+        return _SortedRunsBackend(expected_keys=expected_keys,
+                                  bits_per_key=bits_per_key, front="cuckoo")
     raise ValueError(f"unknown seen backend {kind!r}")
 
 

@@ -14,7 +14,7 @@ def _keys(n, seed=0):
             rng.integers(0, 1 << 63, n).astype(np.uint64))
 
 
-@pytest.mark.parametrize("kind", ["set", "sortedruns"])
+@pytest.mark.parametrize("kind", ["set", "sortedruns", "cuckoo"])
 def test_backend_membership(kind):
     b = make_backend(kind, expected_keys=10_000)
     hi, lo = _keys(5_000, seed=1)
@@ -46,6 +46,53 @@ def test_bloom_no_false_negatives():
     other_hi, other_lo = _keys(50_000, seed=5)
     fp = bl.maybe_contains(other_hi, other_lo).mean()
     assert fp < 0.05  # 12 bits/key → well under 5% false positives
+
+
+def test_cuckoo_no_false_negatives_and_low_fp():
+    from raycrawl.seen import _Cuckoo
+
+    ck = _Cuckoo(5_000)
+    hi, lo = _keys(5_000, seed=4)
+    for i in range(0, 5_000, 700):  # incremental adds, uneven batches
+        ck.add(hi[i : i + 700], lo[i : i + 700])
+    assert not ck.overflow
+    assert ck.maybe_contains(hi, lo).all()  # the filter contract
+    other_hi, other_lo = _keys(100_000, seed=5)
+    fp = ck.maybe_contains(other_hi, other_lo).mean()
+    assert fp < 0.005  # 16-bit fingerprints: ~2*4/2^16 ≈ 0.012% expected
+
+
+def test_cuckoo_delete_then_probe():
+    from raycrawl.seen import _Cuckoo
+
+    ck = _Cuckoo(2_000)
+    hi, lo = _keys(1_000, seed=6)
+    ck.add(hi, lo)
+    deleted = ck.delete(hi[:100], lo[:100])
+    assert deleted.all()
+    # remaining keys still present (no false negatives introduced)
+    assert ck.maybe_contains(hi[100:], lo[100:]).all()
+
+
+def test_cuckoo_overflow_degrades_to_all_true():
+    from raycrawl.seen import _Cuckoo
+
+    ck = _Cuckoo(64)  # tiny table: 64 buckets min → force overflow
+    hi, lo = _keys(50_000, seed=7)
+    ck.add(hi, lo)
+    assert ck.overflow
+    # safe degrade: never a false negative — everything maybe-contained,
+    # the exact sorted runs behind it still decide true membership
+    assert ck.maybe_contains(hi, lo).all()
+
+
+def test_cuckoo_backend_exact_after_overflow():
+    b = make_backend("cuckoo", expected_keys=100)  # undersized front
+    hi, lo = _keys(30_000, seed=8)
+    b.add(hi, lo)
+    assert b.contains(hi, lo).all()
+    miss_hi, miss_lo = _keys(5_000, seed=9)
+    assert not b.contains(miss_hi, miss_lo).any()  # exactness survives
 
 
 def _offer_table(rows):
