@@ -263,6 +263,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "documents_hash_sample": relational.documents_hash_sample,
         "events_ordered_page": relational.events_ordered_page,
         "neardup_clusters_distributed": dedup.neardup_clusters_distributed,
+        "documents_substring_deduped": dedup.substring_dedup_apply,
         "video_sample_summary": multimodal.video_sample_summary,
         "audio_window_summary": multimodal.audio_window_summary,
         "embedding_similar_threshold": ann.similar_above_threshold,
@@ -567,6 +568,7 @@ def demoted_oracle_sql() -> dict[str, str]:
         "documents_hash_sample": relational.documents_hash_sample_sql(),
         "events_ordered_page": relational.events_ordered_page_sql(),
         "neardup_clusters_distributed": dedup.neardup_clusters_sql(),
+        "documents_substring_deduped": dedup.substring_dedup_sql(),
         "video_sample_summary": multimodal.video_sample_summary_sql(),
         "audio_window_summary": multimodal.audio_window_summary_sql(),
         "embedding_similar_threshold": ann.similar_above_threshold_sql(),

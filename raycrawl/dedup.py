@@ -1430,3 +1430,202 @@ def neardup_clusters_distributed(sf_dir: str, threshold: float = 0.6,
     the pair table outgrows one driver heap."""
     pairs = ngram_jaccard_pairs(sf_dir, threshold, df_cap)
     return _clusters_from_labels(label_components_distributed(pairs))
+
+
+# ---------------------------------------------------------------------------
+# exact substring-span dedup (duplicated k-word-gram removal)
+# ---------------------------------------------------------------------------
+#
+# The document-level passes above decide keep-or-drop per doc; real
+# training corpora also carry duplicated SPANS inside otherwise-unique
+# documents (boilerplate, quoted passages). Public algorithm: exact
+# substring deduplication à la Lee et al., "Deduplicating Training Data
+# Makes Language Models Better" (ACL 2022) — they build a corpus-wide
+# suffix array; the fixed-k gram-hash formulation here is the
+# shuffle-friendly variant of the same rule (a duplicated span of length
+# >= k is exactly a run of duplicated k-grams), which maps onto one
+# hash-partitioned exchange instead of a global suffix sort.
+#
+# Rule (mirrored verbatim in the SQL oracle): a k-word-gram occurrence is
+# REMOVED iff an identical gram occurs earlier in corpus order
+# (doc_id, pos) — the globally-first occurrence is canonical and kept.
+# Removed occurrences mark their k word positions; a doc's kept text is
+# its unmarked words re-joined. Gram semantics (tokenize, short-doc
+# whole-text gram, md5_number_lower hashing) are shared with the
+# MinHash/n-gram lanes via kernels.md5_gram_hashes, so engine and oracle
+# agree by construction. Precondition shared with those lanes: texts are
+# non-empty after trim (the testdata corpora satisfy it).
+
+SUBSTR_K = 8  # duplicated-span granularity (words); one knob, both sides
+
+
+def substring_dup_occurrences(sf_dir: str, k: int = SUBSTR_K):
+    """Dataset of non-canonical duplicated-gram occurrences
+    (doc_id, pos), pos 1-based. One linear scan emits every gram
+    occurrence packed as ``doc_id<<32 | pos`` (corpus order == integer
+    order), ONE hash-partition exchange on the gram hash co-locates equal
+    grams, and each partition emits all-but-first per hash group — no
+    sort shuffle, nothing through the driver. The occurrence table is
+    O(total words): that is inherent to exact substring dedup (Lee et
+    al.'s suffix array is the same size); the exchange is the one wide
+    step."""
+    import ray
+
+    from raycrawl.kernels import md5_gram_hashes
+
+    n_parts = (max(8, int(ray.cluster_resources().get("CPU", 8)))
+               if ray.is_initialized() else 8)
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        h, offs = md5_gram_hashes(texts, k=k)
+        ids = t["doc_id"].to_numpy()
+        if ids.size and int(ids.max()) >= (1 << 32):
+            raise ValueError("substring dedup packs doc_id<<32|pos: "
+                             "doc_id must fit 32 bits")
+        counts = np.diff(offs)
+        di = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        pos = (np.arange(len(h), dtype=np.int64)
+               - np.repeat(offs[:-1], counts) + 1)
+        okey = ((ids[di].astype(np.uint64) << np.uint64(32))
+                | pos.astype(np.uint64))
+        mix = h ^ (h >> np.uint64(33))
+        with np.errstate(over="ignore"):
+            mix = mix * np.uint64(0xFF51AFD7ED558CCD)
+        mix ^= mix >> np.uint64(33)
+        part = (mix % np.uint64(n_parts)).astype(np.int32)
+        return pa.table({"h": pa.array(h, pa.uint64()),
+                         "okey": pa.array(okey, pa.uint64()),
+                         "part": pa.array(part, pa.int32())})
+
+    def emit_dups(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        ok = g["okey"].to_numpy()
+        order = np.lexsort((ok, h))
+        hs, oks = h[order], ok[order]
+        first = np.zeros(len(hs), dtype=bool)
+        if len(hs):
+            first[0] = True
+            first[1:] = hs[1:] != hs[:-1]
+        sel = oks[~first]  # every non-first member of a hash group
+        return pa.table({
+            "doc_id": pa.array((sel >> np.uint64(32)).astype(np.int64)),
+            "pos": pa.array((sel & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+        })
+
+    return (docs.map_batches(grams, batch_format="pyarrow")
+            .groupby("part").map_groups(emit_dups, batch_format="pyarrow"))
+
+
+def substring_dedup_apply(sf_dir: str, k: int = SUBSTR_K) -> pa.Table:
+    """Per-doc result of removing every non-canonical duplicated k-gram
+    span: (doc_id, n_removed_words, n_kept_words, kept_md5), ordered.
+
+    The removal set is bounded by duplicated-span volume, so the apply is
+    the broadcast pattern of ``documents_deduped``: collect the (small)
+    occurrence list once, ``ray.put`` it sorted by packed key, and one
+    ``map_batches`` pass over ``documents`` slices each doc's removals by
+    searchsorted, unions spans with a prefix-sum difference array, and
+    re-joins kept words; kept-text md5 is ONE DuckDB call per batch
+    (md5_u64_arrow). Only affected docs pay the per-doc word loop; clean
+    docs take the vectorized polars normalize path. A loud cap
+    (RAYCRAWL_SUBSTR_MAX_OCC) guards the broadcast envelope — beyond it,
+    route the occurrences through a doc_id hash join instead."""
+    import polars as pl
+    import ray
+
+    from raycrawl.kernels import md5_u64_arrow
+
+    occ = substring_dup_occurrences(sf_dir, k).to_pandas()
+    cap = int(os.environ.get("RAYCRAWL_SUBSTR_MAX_OCC", "2000000"))
+    if len(occ) > cap:
+        raise RuntimeError(
+            f"{len(occ)} duplicated-gram occurrences exceed the broadcast "
+            f"cap {cap}; raise RAYCRAWL_SUBSTR_MAX_OCC or switch the apply "
+            "to a doc_id hash join")
+    rm = np.sort((occ["doc_id"].to_numpy().astype(np.uint64) << np.uint64(32))
+                 | occ["pos"].to_numpy().astype(np.uint64))
+    rm_ref = ray.put(rm)
+
+    def apply(t: pa.Table) -> pa.Table:
+        rm = ray.get(rm_ref)
+        ids = t["doc_id"].to_numpy()
+        df = pl.from_arrow(t.select(["text"]))
+        norm = df.select(
+            pl.col("text").str.strip_chars()
+            .str.replace_all(r"\s+", " ").alias("n"))["n"]
+        n_words = (norm.str.count_matches(" ") + 1).to_numpy().copy()
+        n_words[norm.str.len_chars().to_numpy() == 0] = 0
+        kept_texts = norm.to_list()
+        n_kept = n_words.copy()
+        lo = np.searchsorted(rm, ids.astype(np.uint64) << np.uint64(32))
+        hi = np.searchsorted(rm, (ids.astype(np.uint64) + np.uint64(1))
+                             << np.uint64(32))
+        for i in np.flatnonzero(hi > lo):  # affected docs only
+            words = kept_texts[i].split(" ") if kept_texts[i] else []
+            n = len(words)
+            pos = (rm[lo[i]:hi[i]] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            delta = np.zeros(n + 1, np.int64)
+            np.add.at(delta, pos - 1, 1)
+            np.add.at(delta, np.minimum(pos - 1 + k, n), -1)
+            marked = np.cumsum(delta[:n]) > 0
+            kept = [w for w, m in zip(words, marked) if not m]
+            kept_texts[i] = " ".join(kept)
+            n_kept[i] = len(kept)
+        md5 = md5_u64_arrow(pa.array(kept_texts, pa.string()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_removed_words": pa.array((n_words - n_kept).astype(np.int64)),
+            "n_kept_words": pa.array(n_kept.astype(np.int64)),
+            "kept_md5": pa.array(md5, pa.uint64()),
+        })
+
+    out = (_t(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(apply, batch_format="pyarrow")
+           .sort("doc_id").to_pandas())
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def substring_dedup_sql(k: int = SUBSTR_K) -> str:
+    """DuckDB twin of ``substring_dedup_apply`` — same tokenize/short-doc
+    gram CASE as ``_jaccard_pairs_sql``, same canonical-first rule via
+    row_number over (doc_id, pos), same span union via the position
+    cross-join, md5_number_lower == kernels.md5_u64_arrow."""
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(CASE WHEN len(t) < {k} THEN [1]
+                        ELSE range(1, len(t) - {k} + 2) END) AS pos,
+                 unnest(CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(range(1, len(t) - {k} + 2),
+                                            i -> array_to_string(t[i:i+{k - 1}], ' '))
+                        END) AS gram
+          FROM toks),
+    r AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY md5_number_lower(gram)
+                                    ORDER BY doc_id, pos) AS rn
+          FROM g),
+    occ AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+    mark AS (SELECT DISTINCT o.doc_id, o.pos + d.range AS mpos
+             FROM occ o, range(0, {k}) d),
+    w AS (SELECT doc_id, unnest(t) AS word,
+                 unnest(range(1, len(t) + 1)) AS pos FROM toks),
+    kept AS (SELECT w.doc_id, w.word, w.pos
+             FROM w LEFT JOIN mark m
+               ON m.doc_id = w.doc_id AND m.mpos = w.pos
+             WHERE m.doc_id IS NULL),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   md5_number_lower(string_agg(word, ' ' ORDER BY pos))
+                     AS kmd5
+            FROM kept GROUP BY doc_id),
+    nw AS (SELECT doc_id, len(t) AS n_words FROM toks)
+    SELECT nw.doc_id,
+           CAST(nw.n_words - coalesce(agg.n_kept, 0) AS BIGINT)
+             AS n_removed_words,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept_words,
+           coalesce(agg.kmd5, md5_number_lower('')) AS kept_md5
+    FROM nw LEFT JOIN agg ON agg.doc_id = nw.doc_id
+    ORDER BY nw.doc_id
+    """

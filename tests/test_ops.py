@@ -389,6 +389,77 @@ def test_documents_deduped_removes_exact_and_near_dups():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_substring_dedup_adversarial_edges_match_oracle(tmp_path):
+    """Exact substring-span dedup (Lee et al. 2022 rule, gram-hash form)
+    vs the DuckDB twin on adversarial shapes: cross-doc span share, exact
+    whole-doc dup (fully scrubbed), short-doc whole-text gram, within-doc
+    self-repetition, overlapping spans — plus first-occurrence-kept
+    semantics checked explicitly."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from raycrawl.dedup import substring_dedup_apply, substring_dedup_sql
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([
+            "a b c d e f g h i j k l",            # canonical source
+            "x y a b c d e f g h z w",            # shares the 8-gram a..h
+            "short doc",                           # <k words
+            "short doc",                           # exact dup of short doc
+            "a b c d e f g h i j k l",            # exact dup of 0
+            "one two three four five six seven",   # 7 words, unique
+            "p q r s t u v w p q r s t u v w p q r s t u v w",  # 3× repeat
+            "m n o p q r s t m n o p q r s t",    # within-doc dup 8-gram
+            "tail a b c d e f g h i j k l end",   # overlapping dup grams
+            "zz yy xx ww vv uu tt ss rr qq",      # unique
+        ], pa.string()),
+    })
+    d = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(docs, d + "/documents.parquet")
+    got = substring_dedup_apply(d).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = con.execute(substring_dedup_sql()).arrow().to_pandas()
+    for c in ("doc_id", "n_removed_words", "n_kept_words"):
+        got[c] = got[c].astype("int64")
+        want[c] = want[c].astype("int64")
+    got["kept_md5"] = got["kept_md5"].astype("uint64")
+    want["kept_md5"] = want["kept_md5"].astype("uint64")
+    assert got.equals(want)
+    # first occurrence is kept, later ones scrubbed
+    assert got.n_removed_words[0] == 0
+    assert got.n_removed_words[4] == 12 and got.n_kept_words[4] == 0
+    assert got.n_removed_words[3] == 2 and got.n_kept_words[3] == 0
+    assert got.n_removed_words[6] == 16 and got.n_kept_words[6] == 8
+    assert got.n_removed_words[9] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_substring_dedup_sf_corpus_matches_oracle():
+    import duckdb
+
+    from raycrawl.dedup import substring_dedup_apply, substring_dedup_sql
+
+    got = substring_dedup_apply(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(substring_dedup_sql()).arrow().to_pandas()
+    for c in ("doc_id", "n_removed_words", "n_kept_words"):
+        got[c] = got[c].astype("int64")
+        want[c] = want[c].astype("int64")
+    got["kept_md5"] = got["kept_md5"].astype("uint64")
+    want["kept_md5"] = want["kept_md5"].astype("uint64")
+    assert got.equals(want)
+    assert (got.n_removed_words > 0).any()  # the corpus has planted spans
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_distributed_label_propagation_equals_union_find():
     from raycrawl.dedup import neardup_clusters, neardup_clusters_distributed
 
