@@ -233,6 +233,16 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
 
         return q(_demo_nodes_mod(), limit=1, offset=1)
 
+    def _crawl_hits(_sf):
+        # graph lane sibling of the in-window crawl_pagerank: Kleinberg
+        # HITS in exact integer units (raycrawl/graph.py)
+        _ensure_demo()
+        from raycrawl.demo import demo_ckpts
+        from raycrawl.graph import crawl_hits as q
+        from raycrawl.queries import load_edges
+
+        return q(load_edges(demo_ckpts()), "demo1")
+
     def crawl_list_completed(_sf):
         from raycrawl.queries import list_crawls as q
 
@@ -264,6 +274,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "events_ordered_page": relational.events_ordered_page,
         "neardup_clusters_distributed": dedup.neardup_clusters_distributed,
         "documents_substring_deduped": dedup.substring_dedup_apply,
+        "crawl_hits": _crawl_hits,
         "video_sample_summary": multimodal.video_sample_summary,
         "audio_window_summary": multimodal.audio_window_summary,
         "embedding_similar_threshold": ann.similar_above_threshold,
@@ -554,7 +565,7 @@ def demoted_oracle_sql() -> dict[str, str]:
     Ray query against its SQL at small sf). The six approximate/RNG-body
     entries have no SQL by nature — their exactness envelope is pinned by
     dedicated pytests against oracled exact twins."""
-    from raycrawl import ann, dedup, multimodal, relational, textops
+    from raycrawl import ann, dedup, graph, multimodal, relational, textops
 
     c = _crawl_sql_bundle()
     demoted = {k: c[k] for k in ("crawl_list_page", "crawl_list_completed",
@@ -569,6 +580,7 @@ def demoted_oracle_sql() -> dict[str, str]:
         "events_ordered_page": relational.events_ordered_page_sql(),
         "neardup_clusters_distributed": dedup.neardup_clusters_sql(),
         "documents_substring_deduped": dedup.substring_dedup_sql(),
+        "crawl_hits": graph.crawl_hits_sql(c["_edges_rel"], "demo1"),
         "video_sample_summary": multimodal.video_sample_summary_sql(),
         "audio_window_summary": multimodal.audio_window_summary_sql(),
         "embedding_similar_threshold": ann.similar_above_threshold_sql(),

@@ -506,6 +506,31 @@ def test_crawl_pagerank_matches_integer_reference():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_crawl_hits_matches_integer_reference():
+    """HITS in exact integer units: driver path equals the single-process
+    recurrence; the sharded Dataset path equals it too (fewer iterations
+    keep the tiny-graph test fast); hubs and authorities separate."""
+    from raycrawl.demo import demo_ckpts, ensure_demo_crawls
+    from raycrawl.graph import crawl_hits, hits_reference
+    from raycrawl.queries import load_edges
+
+    ensure_demo_crawls()
+    got = crawl_hits(load_edges(demo_ckpts()), "demo1").to_pandas()
+    edges = load_edges(demo_ckpts()).to_pandas()
+    edges = edges[edges.crawl_id == "demo1"]
+    want = hits_reference(edges.src.tolist(), edges.dst.tolist())
+    assert {r.node: (r.auth_units, r.hub_units)
+            for r in got.itertuples()} == want
+    assert got.auth_units.nunique() > 1
+    assert got.hub_units.nunique() > 1
+    dist = crawl_hits(load_edges(demo_ckpts()), "demo1", iters=2,
+                      distributed=True).to_pandas()
+    want2 = hits_reference(edges.src.tolist(), edges.dst.tolist(), iters=2)
+    assert {r.node: (r.auth_units, r.hub_units)
+            for r in dist.itertuples()} == want2
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_distributed_components_empty_pair_graph():
     """A threshold no pair reaches must yield an empty cluster table from
     BOTH folds (the distributed one used to crash on the empty Dataset
