@@ -300,7 +300,7 @@ def scaling() -> None:
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (8 → 32 CPUs, identical input)",
+                "metric": f"scaling efficiency ({lo} → {hi} CPUs, identical input)",
                 "cpus_lo": lo,
                 "cpus_hi": hi,
                 "crawl_sec_lo": t_lo,
