@@ -275,6 +275,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters_distributed": dedup.neardup_clusters_distributed,
         "documents_substring_deduped": dedup.substring_dedup_apply,
         "crawl_hits": _crawl_hits,
+        "embedding_kmeans": ann.embedding_kmeans,
         "video_sample_summary": multimodal.video_sample_summary,
         "audio_window_summary": multimodal.audio_window_summary,
         "embedding_similar_threshold": ann.similar_above_threshold,
@@ -581,6 +582,7 @@ def demoted_oracle_sql() -> dict[str, str]:
         "neardup_clusters_distributed": dedup.neardup_clusters_sql(),
         "documents_substring_deduped": dedup.substring_dedup_sql(),
         "crawl_hits": graph.crawl_hits_sql(c["_edges_rel"], "demo1"),
+        "embedding_kmeans": ann.embedding_kmeans_sql(),
         "video_sample_summary": multimodal.video_sample_summary_sql(),
         "audio_window_summary": multimodal.audio_window_summary_sql(),
         "embedding_similar_threshold": ann.similar_above_threshold_sql(),

