@@ -276,6 +276,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "documents_substring_deduped": dedup.substring_dedup_apply,
         "crawl_hits": _crawl_hits,
         "embedding_kmeans": ann.embedding_kmeans,
+        "embedding_semantic_dedup": ann.embedding_semantic_dedup,
         "video_sample_summary": multimodal.video_sample_summary,
         "audio_window_summary": multimodal.audio_window_summary,
         "embedding_similar_threshold": ann.similar_above_threshold,
@@ -583,6 +584,7 @@ def demoted_oracle_sql() -> dict[str, str]:
         "documents_substring_deduped": dedup.substring_dedup_sql(),
         "crawl_hits": graph.crawl_hits_sql(c["_edges_rel"], "demo1"),
         "embedding_kmeans": ann.embedding_kmeans_sql(),
+        "embedding_semantic_dedup": ann.embedding_semantic_dedup_sql(),
         "video_sample_summary": multimodal.video_sample_summary_sql(),
         "audio_window_summary": multimodal.audio_window_summary_sql(),
         "embedding_similar_threshold": ann.similar_above_threshold_sql(),

@@ -577,10 +577,12 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 4) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def embedding_kmeans_sql(k: int = 8, iters: int = 4) -> str:
-    """Unrolled exact-integer k-means twin. Linear CTE chain (the HITS
-    lesson: DuckDB inlines CTEs, so no CTE is referenced twice except the
-    flat quantized table q, which has no chain behind it)."""
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """The WITH-body of the exact-integer k-means twin (shared by
+    ``embedding_kmeans_sql`` and ``embedding_semantic_dedup_sql``).
+    Linear CTE chain (the HITS lesson: DuckDB inlines CTEs, so no CTE is
+    referenced twice except the flat quantized table q, which has no
+    chain behind it). Ends with ``asgF`` = the final assignment."""
     step_tpl = """
     dist{i} AS (
       SELECT q.vec_id, m.j, SUM((q.qv - m.mu) * (q.qv - m.mu)) AS d2
@@ -601,7 +603,7 @@ def embedding_kmeans_sql(k: int = 8, iters: int = 4) -> str:
     steps = ",".join(step_tpl.format(i=i + 1, i0=i) for i in range(iters))
     fi = iters + 1
     return f"""
-    WITH q AS (
+    q AS (
       SELECT vec_id,
              unnest(range(1, len(embedding) + 1)) AS d,
              unnest(list_transform(embedding,
@@ -617,10 +619,116 @@ def embedding_kmeans_sql(k: int = 8, iters: int = 4) -> str:
       SELECT q.vec_id, m.j, SUM((q.qv - m.mu) * (q.qv - m.mu)) AS d2
       FROM q JOIN c{iters} m ON m.d = q.d
       GROUP BY q.vec_id, m.j
-    )
-    SELECT vec_id, j AS cluster, d2 AS dist2_units FROM (
-      SELECT vec_id, j, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
-      FROM dist{fi}) WHERE rk = 1
+    ),
+    asgF AS (
+      SELECT vec_id, j, d2 FROM (
+        SELECT vec_id, j, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
+        FROM dist{fi}) WHERE rk = 1
+    )"""
+
+
+def embedding_kmeans_sql(k: int = 8, iters: int = 4) -> str:
+    return f"""
+    WITH {_kmeans_ctes(k, iters)}
+    SELECT vec_id, j AS cluster, d2 AS dist2_units FROM asgF
     ORDER BY vec_id
+    """
+
+
+def embedding_semantic_dedup(sf_dir: str, k: int = 8, iters: int = 4,
+                             threshold: float = 0.45) -> pa.Table:
+    """SemDeDup composed end-to-end (Abbas et al. 2023): k-means the
+    embeddings, find cosine-≥-threshold pairs WITHIN each cluster only,
+    assign every clustered vector its component's min-id keeper. Output
+    (vec_id, keeper_vec_id, cluster_size) — bounded by near-dup volume
+    like ``dedup.neardup_clusters``.
+
+    Scale shape: the quadratic pair step runs inside
+    ``groupby(cluster).map_groups`` — O(Σ n_c²) instead of O(N²), the
+    whole point of clustering first. Cross-cluster near-dup pairs are
+    missed by construction (SemDeDup's documented recall tradeoff); the
+    exact sibling ``dedup.embedding_neardup_pairs`` is the oracle for
+    recall measurements. Keeper fold reuses the size-gated component
+    labeling from the document lane."""
+    import ray
+
+    from raycrawl.dedup import _clusters_from_labels, _label_components
+
+    clusters = embedding_kmeans(sf_dir, k, iters)
+    cid = clusters["vec_id"].to_numpy()              # sorted by vec_id
+    cj = clusters["cluster"].to_numpy()
+    ref = ray.put((cid, cj))
+
+    def tag(t: pa.Table) -> pa.Table:
+        cid, cj = ray.get(ref)
+        pos = np.searchsorted(cid, t["vec_id"].to_numpy())
+        return t.append_column("cluster", pa.array(cj[pos], pa.int64()))
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        m = _normalize(list_matrix(g["embedding"]))
+        sims = m @ m.T
+        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+        if len(ai) == 0:
+            return empty
+        a, b = ids[ai], ids[bj]
+        return pa.table({"a": pa.array(np.minimum(a, b), pa.int64()),
+                         "b": pa.array(np.maximum(a, b), pa.int64())})
+
+    pairs_df = (
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(group_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(pairs_df) == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "keeper_vec_id": pa.array([], pa.int64()),
+                         "cluster_size": pa.array([], pa.int64())})
+    lab = _label_components(pa.table({
+        "a": pa.array(pairs_df["a"].to_numpy(), pa.int64()),
+        "b": pa.array(pairs_df["b"].to_numpy(), pa.int64()),
+    }))
+    out = _clusters_from_labels(lab)
+    return out.rename_columns(["vec_id", "keeper_vec_id", "cluster_size"])
+
+
+def embedding_semantic_dedup_sql(k: int = 8, iters: int = 4,
+                                 threshold: float = 0.45) -> str:
+    """k-means CTE chain → within-cluster cosine pairs → recursive-CTE
+    transitive closure + min-label keeper (mirrors
+    ``dedup.neardup_clusters_sql``). ``asgF`` is referenced twice, which
+    re-expands the (linear) k-means chain a constant 2× — bounded, unlike
+    the per-iteration double-reference the HITS oracle had to avoid."""
+    return f"""
+    WITH RECURSIVE {_kmeans_ctes(k, iters)},
+    pr AS (
+      SELECT ca.vec_id AS a, cb.vec_id AS b
+      FROM asgF ca
+      JOIN asgF cb ON cb.j = ca.j AND cb.vec_id > ca.vec_id
+      JOIN embeddings x ON x.vec_id = ca.vec_id
+      JOIN embeddings y ON y.vec_id = cb.vec_id
+      WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                   CAST(y.embedding AS DOUBLE[]))
+            >= {threshold}),
+    eg AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+    ng AS (SELECT DISTINCT a AS v FROM eg),
+    reach(s, t) AS (
+      SELECT v, v FROM ng
+      UNION
+      SELECT r.s, eg.b FROM reach r JOIN eg ON eg.a = r.t
+    ),
+    lbl AS (SELECT s AS vec_id, CAST(min(t) AS BIGINT) AS keeper_vec_id
+            FROM reach GROUP BY s)
+    SELECT vec_id, keeper_vec_id,
+           CAST(count(*) OVER (PARTITION BY keeper_vec_id) AS BIGINT)
+             AS cluster_size
+    FROM lbl ORDER BY vec_id
     """

@@ -522,6 +522,26 @@ def test_embedding_kmeans_deterministic_and_balanced():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_embedding_semantic_dedup_within_cluster_subset_of_exact():
+    """SemDeDup composition: every within-cluster pair component is a
+    subset of the exact all-pairs graph at the same threshold; keepers
+    are component minima; pairs straddling a cluster boundary are the
+    documented recall loss (oracle equality swept by test_demoted)."""
+    from raycrawl.ann import embedding_kmeans, embedding_semantic_dedup
+    from raycrawl.dedup import embedding_neardup_pairs
+
+    sd = embedding_semantic_dedup(SF).to_pandas()
+    assert len(sd) > 0  # the corpus has planted embedding near-dups
+    assert (sd.keeper_vec_id <= sd.vec_id).all()
+    exact = embedding_neardup_pairs(SF).to_pandas()
+    exact_nodes = set(exact.a) | set(exact.b)
+    assert set(sd.vec_id) <= exact_nodes  # no pair invented by clustering
+    km = embedding_kmeans(SF).to_pandas().set_index("vec_id").cluster
+    # a clustered vector shares its kmeans cluster with its keeper
+    assert (km[sd.vec_id].to_numpy() == km[sd.keeper_vec_id].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_crawl_hits_matches_integer_reference():
     """HITS in exact integer units: driver path equals the single-process
     recurrence; the sharded Dataset path equals it too (fewer iterations
