@@ -1522,69 +1522,109 @@ def substring_dedup_apply(sf_dir: str, k: int = SUBSTR_K) -> pa.Table:
     """Per-doc result of removing every non-canonical duplicated k-gram
     span: (doc_id, n_removed_words, n_kept_words, kept_md5), ordered.
 
-    The removal set is bounded by duplicated-span volume, so the apply is
-    the broadcast pattern of ``documents_deduped``: collect the (small)
-    occurrence list once, ``ray.put`` it sorted by packed key, and one
-    ``map_batches`` pass over ``documents`` slices each doc's removals by
-    searchsorted, unions spans with a prefix-sum difference array, and
-    re-joins kept words; kept-text md5 is ONE DuckDB call per batch
-    (md5_u64_arrow). Only affected docs pay the per-doc word loop; clean
-    docs take the vectorized polars normalize path. A loud cap
-    (RAYCRAWL_SUBSTR_MAX_OCC) guards the broadcast envelope — beyond it,
-    route the occurrences through a doc_id hash join instead."""
-    import polars as pl
+    Size-gated two ways (mirrors ``documents_deduped`` / ``_broadcast_ok``):
+    below RAYCRAWL_SUBSTR_MAX_OCC the removal set broadcasts (``ray.put``
+    the occurrences sorted by packed key; each batch slices its docs'
+    removals by searchsorted); above it the occurrences are packed into
+    per-doc position lists (bounded by affected docs) and LEFT-OUTER
+    hash-joined onto ``documents`` — one keyed shuffle, never a driver
+    round-trip. Both paths share ``_apply_span_removals`` (union spans
+    with a prefix-sum difference array, re-join kept words, ONE DuckDB
+    md5 call per batch); only affected docs pay the per-doc word loop,
+    clean docs take the vectorized polars normalize path. Both paths are
+    pytest-pinned equal (forced-path test)."""
     import ray
+
+    occ_ds = substring_dup_occurrences(sf_dir, k).materialize()
+    cap = int(os.environ.get("RAYCRAWL_SUBSTR_MAX_OCC", "2000000"))
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    if occ_ds.count() <= cap:
+        occ = occ_ds.to_pandas()
+        rm = np.sort(
+            (occ["doc_id"].to_numpy().astype(np.uint64) << np.uint64(32))
+            | occ["pos"].to_numpy().astype(np.uint64))
+        rm_ref = ray.put(rm)
+
+        def apply_bcast(t: pa.Table) -> pa.Table:
+            rm = ray.get(rm_ref)
+            ids = t["doc_id"].to_numpy()
+            lo = np.searchsorted(rm, ids.astype(np.uint64) << np.uint64(32))
+            hi = np.searchsorted(rm, (ids.astype(np.uint64) + np.uint64(1))
+                                 << np.uint64(32))
+            pos_rows = [
+                (rm[lo[i]:hi[i]] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                if hi[i] > lo[i] else None
+                for i in range(len(ids))
+            ]
+            return _apply_span_removals(t, pos_rows, k)
+
+        staged = docs.map_batches(apply_bcast, batch_format="pyarrow")
+    else:
+        def pack_positions(g: pa.Table) -> pa.Table:
+            # positions ship as one int64 byte blob per doc: Acero hash
+            # joins reject list-typed payload columns, binary is fine
+            return pa.table({
+                "doc_id": g["doc_id"].slice(0, 1),
+                "rm_pos": pa.array([g["pos"].to_numpy()
+                                    .astype(np.int64).tobytes()],
+                                   pa.binary()),
+            })
+
+        pos_lists = (occ_ds.groupby("doc_id")
+                     .map_groups(pack_positions, batch_format="pyarrow"))
+        joined = docs.join(pos_lists, "left_outer",
+                           num_partitions=_join_parts(), on=("doc_id",))
+
+        def apply_joined(t: pa.Table) -> pa.Table:
+            pos_rows = [
+                np.frombuffer(v, np.int64) if v is not None else None
+                for v in t["rm_pos"].to_pylist()
+            ]
+            return _apply_span_removals(t, pos_rows, k)
+
+        staged = joined.map_batches(apply_joined, batch_format="pyarrow")
+
+    out = staged.sort("doc_id").to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _apply_span_removals(t: pa.Table, pos_rows: list, k: int) -> pa.Table:
+    """Shared apply kernel: normalize every text (vectorized polars),
+    then for each row with gram positions, union the k-word spans via a
+    prefix-sum difference array and re-join the unmarked words. Returns
+    (doc_id, n_removed_words, n_kept_words, kept_md5)."""
+    import polars as pl
 
     from raycrawl.kernels import md5_u64_arrow
 
-    occ = substring_dup_occurrences(sf_dir, k).to_pandas()
-    cap = int(os.environ.get("RAYCRAWL_SUBSTR_MAX_OCC", "2000000"))
-    if len(occ) > cap:
-        raise RuntimeError(
-            f"{len(occ)} duplicated-gram occurrences exceed the broadcast "
-            f"cap {cap}; raise RAYCRAWL_SUBSTR_MAX_OCC or switch the apply "
-            "to a doc_id hash join")
-    rm = np.sort((occ["doc_id"].to_numpy().astype(np.uint64) << np.uint64(32))
-                 | occ["pos"].to_numpy().astype(np.uint64))
-    rm_ref = ray.put(rm)
-
-    def apply(t: pa.Table) -> pa.Table:
-        rm = ray.get(rm_ref)
-        ids = t["doc_id"].to_numpy()
-        df = pl.from_arrow(t.select(["text"]))
-        norm = df.select(
-            pl.col("text").str.strip_chars()
-            .str.replace_all(r"\s+", " ").alias("n"))["n"]
-        n_words = (norm.str.count_matches(" ") + 1).to_numpy().copy()
-        n_words[norm.str.len_chars().to_numpy() == 0] = 0
-        kept_texts = norm.to_list()
-        n_kept = n_words.copy()
-        lo = np.searchsorted(rm, ids.astype(np.uint64) << np.uint64(32))
-        hi = np.searchsorted(rm, (ids.astype(np.uint64) + np.uint64(1))
-                             << np.uint64(32))
-        for i in np.flatnonzero(hi > lo):  # affected docs only
-            words = kept_texts[i].split(" ") if kept_texts[i] else []
-            n = len(words)
-            pos = (rm[lo[i]:hi[i]] & np.uint64(0xFFFFFFFF)).astype(np.int64)
-            delta = np.zeros(n + 1, np.int64)
-            np.add.at(delta, pos - 1, 1)
-            np.add.at(delta, np.minimum(pos - 1 + k, n), -1)
-            marked = np.cumsum(delta[:n]) > 0
-            kept = [w for w, m in zip(words, marked) if not m]
-            kept_texts[i] = " ".join(kept)
-            n_kept[i] = len(kept)
-        md5 = md5_u64_arrow(pa.array(kept_texts, pa.string()))
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "n_removed_words": pa.array((n_words - n_kept).astype(np.int64)),
-            "n_kept_words": pa.array(n_kept.astype(np.int64)),
-            "kept_md5": pa.array(md5, pa.uint64()),
-        })
-
-    out = (_t(sf_dir, "documents", ["doc_id", "text"])
-           .map_batches(apply, batch_format="pyarrow")
-           .sort("doc_id").to_pandas())
-    return pa.Table.from_pandas(out, preserve_index=False)
+    df = pl.from_arrow(t.select(["text"]))
+    norm = df.select(
+        pl.col("text").str.strip_chars()
+        .str.replace_all(r"\s+", " ").alias("n"))["n"]
+    n_words = (norm.str.count_matches(" ") + 1).to_numpy().copy()
+    n_words[norm.str.len_chars().to_numpy() == 0] = 0
+    kept_texts = norm.to_list()
+    n_kept = n_words.copy()
+    for i, pos in enumerate(pos_rows):
+        if pos is None or len(pos) == 0:
+            continue
+        words = kept_texts[i].split(" ") if kept_texts[i] else []
+        n = len(words)
+        delta = np.zeros(n + 1, np.int64)
+        np.add.at(delta, pos - 1, 1)
+        np.add.at(delta, np.minimum(pos - 1 + k, n), -1)
+        marked = np.cumsum(delta[:n]) > 0
+        kept = [w for w, m in zip(words, marked) if not m]
+        kept_texts[i] = " ".join(kept)
+        n_kept[i] = len(kept)
+    md5 = md5_u64_arrow(pa.array(kept_texts, pa.string()))
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_removed_words": pa.array((n_words - n_kept).astype(np.int64)),
+        "n_kept_words": pa.array(n_kept.astype(np.int64)),
+        "kept_md5": pa.array(md5, pa.uint64()),
+    })
 
 
 def substring_dedup_sql(k: int = SUBSTR_K) -> str:

@@ -440,6 +440,20 @@ def test_substring_dedup_adversarial_edges_match_oracle(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_substring_dedup_forced_join_path_equals_broadcast(monkeypatch):
+    """RAYCRAWL_SUBSTR_MAX_OCC=0 forces the scale path (per-doc position
+    lists left-outer hash-joined onto documents); output must equal the
+    broadcast path exactly."""
+    from raycrawl.dedup import substring_dedup_apply
+
+    want = substring_dedup_apply(SF).to_pandas()
+    monkeypatch.setenv("RAYCRAWL_SUBSTR_MAX_OCC", "0")
+    got = substring_dedup_apply(SF).to_pandas()
+    assert got.equals(want)
+    assert (got.n_removed_words > 0).any()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_substring_dedup_sf_corpus_matches_oracle():
     import duckdb
 
