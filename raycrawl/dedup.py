@@ -74,6 +74,17 @@ def _join_parts() -> int:
     return 4
 
 
+def _join_parts_for(n_rows: int) -> int:
+    """Join partition count guarded for tiny inputs: Ray's hash-shuffle
+    join builds a ZERO-COLUMN table for any partition that received no
+    blocks from one side, and pyarrow's join then fails with "No match
+    ... for key field" — so when the smaller side has few rows, collapse
+    to ONE partition (guaranteed non-empty) instead of scattering rows
+    across mostly-empty partitions. Above the guard, partition fill is a
+    volume certainty and the parallel count applies."""
+    return 1 if n_rows < 256 else _join_parts()
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (SQL-checkable: md5 both sides)
 # ---------------------------------------------------------------------------
@@ -369,7 +380,14 @@ def _verify_pairs_by_count(cand, sh, threshold: float,
     (matching the SQL spec) while only ints + H/8 bytes ride the pair
     table, never the shingle sets themselves (same 64-bit-hash collision
     envelope as the set-based verify it replaces)."""
-    parts = _join_parts()
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    parts = _join_parts_for(n_cand)
     n_hot = 0 if hot_u64 is None else len(hot_u64)
     hbytes = (n_hot + 7) // 8
 
@@ -458,11 +476,17 @@ def _verify_pairs(cand, sh, threshold: float) -> pa.Table:
 
     import ray
 
-    parts = _join_parts()
     cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    parts = _join_parts_for(n_cand)
     gate = int(os.environ.get("RAYCRAWL_UNIONFIND_MAX_PAIRS", str(5_000_000)))
     ids_ref = None
-    if cand.count() <= gate:
+    if n_cand <= gate:
         cp = cand.to_pandas()
         ids_ref = ray.put(np.unique(np.concatenate(
             [cp["a"].to_numpy(np.int64), cp["b"].to_numpy(np.int64)])))
@@ -1572,9 +1596,11 @@ def substring_dedup_apply(sf_dir: str, k: int = SUBSTR_K) -> pa.Table:
             })
 
         pos_lists = (occ_ds.groupby("doc_id")
-                     .map_groups(pack_positions, batch_format="pyarrow"))
+                     .map_groups(pack_positions, batch_format="pyarrow")
+                     .materialize())
         joined = docs.join(pos_lists, "left_outer",
-                           num_partitions=_join_parts(), on=("doc_id",))
+                           num_partitions=_join_parts_for(pos_lists.count()),
+                           on=("doc_id",))
 
         def apply_joined(t: pa.Table) -> pa.Table:
             pos_rows = [
@@ -1604,20 +1630,8 @@ def _apply_span_removals(t: pa.Table, pos_rows: list, k: int) -> pa.Table:
         .str.replace_all(r"\s+", " ").alias("n"))["n"]
     n_words = (norm.str.count_matches(" ") + 1).to_numpy().copy()
     n_words[norm.str.len_chars().to_numpy() == 0] = 0
-    kept_texts = norm.to_list()
-    n_kept = n_words.copy()
-    for i, pos in enumerate(pos_rows):
-        if pos is None or len(pos) == 0:
-            continue
-        words = kept_texts[i].split(" ") if kept_texts[i] else []
-        n = len(words)
-        delta = np.zeros(n + 1, np.int64)
-        np.add.at(delta, pos - 1, 1)
-        np.add.at(delta, np.minimum(pos - 1 + k, n), -1)
-        marked = np.cumsum(delta[:n]) > 0
-        kept = [w for w, m in zip(words, marked) if not m]
-        kept_texts[i] = " ".join(kept)
-        n_kept[i] = len(kept)
+    kept_texts, n_kept = _scrub_norm_texts(norm.to_list(), n_words,
+                                           pos_rows, k)
     md5 = md5_u64_arrow(pa.array(kept_texts, pa.string()))
     return pa.table({
         "doc_id": t["doc_id"],
@@ -1669,3 +1683,37 @@ def substring_dedup_sql(k: int = SUBSTR_K) -> str:
     FROM nw LEFT JOIN agg ON agg.doc_id = nw.doc_id
     ORDER BY nw.doc_id
     """
+
+
+def _scrub_norm_texts(kept_texts: list, n_words: np.ndarray,
+                      pos_rows: list, k: int) -> tuple:
+    """Span-union removal over NORMALIZED texts: for each row with gram
+    positions, mark the k-word spans via a prefix-sum difference array
+    and re-join the unmarked words. Mutates/returns (kept_texts, n_kept).
+    Shared by the apply kernel and the training pipeline's scrub stage."""
+    n_kept = n_words.copy()
+    for i, pos in enumerate(pos_rows):
+        if pos is None or len(pos) == 0:
+            continue
+        words = kept_texts[i].split(" ") if kept_texts[i] else []
+        n = len(words)
+        delta = np.zeros(n + 1, np.int64)
+        np.add.at(delta, pos - 1, 1)
+        np.add.at(delta, np.minimum(pos - 1 + k, n), -1)
+        marked = np.cumsum(delta[:n]) > 0
+        kept = [w for w, m in zip(words, marked) if not m]
+        kept_texts[i] = " ".join(kept)
+        n_kept[i] = len(kept)
+    return kept_texts, n_kept
+
+
+def substring_removal_packed(sf_dir: str, k: int = SUBSTR_K) -> np.ndarray:
+    """The broadcast side of a substring-scrub stage: every non-canonical
+    duplicated-gram occurrence packed ``doc_id<<32|pos`` and sorted, so a
+    consumer slices per-doc removals with two searchsorteds (bounded by
+    duplicated-span volume; the joined scale path lives in
+    ``substring_dedup_apply``)."""
+    occ = substring_dup_occurrences(sf_dir, k).to_pandas()
+    return np.sort(
+        (occ["doc_id"].to_numpy().astype(np.uint64) << np.uint64(32))
+        | occ["pos"].to_numpy().astype(np.uint64))

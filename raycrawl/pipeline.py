@@ -38,15 +38,25 @@ from raycrawl.textops import quality_score_batch
 
 
 def _clean_keyed_dataset(sf_dir: str, threshold: float, df_cap: int,
-                         min_quality: float, seed: int, columns: list[str]):
-    """documents -> (dedup + quality filter + shuffle key) in one fused
-    map_batches pass; returns the UNSORTED Dataset (the caller decides
-    whether to pay the global sort or let the export's routing shuffle
-    subsume it). ``columns`` are the payload columns carried through
-    (doc_id and text are always read; text is dropped unless requested)."""
+                         min_quality: float, seed: int, columns: list[str],
+                         substring_k: int | None = None):
+    """documents -> (dedup + optional substring scrub + quality filter +
+    shuffle key) in one fused map_batches pass; returns the UNSORTED
+    Dataset (the caller decides whether to pay the global sort or let the
+    export's routing shuffle subsume it). ``columns`` are the payload
+    columns carried through (doc_id and text are always read; text is
+    dropped unless requested). With ``substring_k`` set, duplicated
+    k-word-gram spans are scrubbed from surviving docs' text BEFORE
+    quality scoring (dedup.substring_* semantics; the scrub's removal set
+    broadcasts like the doc-level one, bounded by duplicated-span
+    volume)."""
     import ray
 
+    from raycrawl.dedup import _scrub_norm_texts, substring_removal_packed
+
     rm_ref = ray.put(removal_ids(sf_dir, threshold, df_cap))
+    sub_ref = (ray.put(substring_removal_packed(sf_dir, substring_k))
+               if substring_k else None)
     mod32 = np.uint64(1 << 32)
     salt = np.uint64((seed * 2654435761) % (1 << 32))
     read_cols = sorted({"doc_id", "text", *columns})
@@ -57,6 +67,32 @@ def _clean_keyed_dataset(sf_dir: str, threshold: float, df_cap: int,
             ids = t["doc_id"].to_numpy()
             pos = np.clip(np.searchsorted(rm, ids), 0, len(rm) - 1)
             t = t.filter(pa.array(rm[pos] != ids))
+        if sub_ref is not None:
+            import polars as pl
+
+            sub = ray.get(sub_ref)
+            ids = t["doc_id"].to_numpy()
+            lo = np.searchsorted(sub, ids.astype(np.uint64) << np.uint64(32))
+            hi = np.searchsorted(sub, (ids.astype(np.uint64) + np.uint64(1))
+                                 << np.uint64(32))
+            aff = np.flatnonzero(hi > lo)
+            if len(aff):
+                norm = (pl.from_arrow(t.select(["text"]))
+                        .select(pl.col("text").str.strip_chars()
+                                .str.replace_all(r"\s+", " ").alias("n"))["n"])
+                texts = t["text"].to_pylist()
+                sub_texts = [norm[int(i)] for i in aff]
+                pos_rows = [
+                    (sub[lo[i]:hi[i]] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                    for i in aff
+                ]
+                scrubbed, _ = _scrub_norm_texts(
+                    sub_texts, np.zeros(len(aff), np.int64), pos_rows,
+                    substring_k)
+                for j, i in enumerate(aff):
+                    texts[int(i)] = scrubbed[j]
+                t = t.set_column(t.schema.get_field_index("text"), "text",
+                                 pa.array(texts, pa.string()))
         q = quality_score_batch(t)["quality"].to_numpy()
         t = t.append_column("quality", pa.array(q))
         t = t.filter(pa.array(q >= min_quality))
@@ -134,7 +170,8 @@ def training_corpus_sql(threshold: float = 0.6, df_cap: int = 1000,
 
 def run_training_pipeline(sf_dir: str, out_dir: str, threshold: float = 0.6,
                           df_cap: int = 1000, min_quality: float = 0.52,
-                          seed: int = 7, num_shards: int = 8) -> dict:
+                          seed: int = 7, num_shards: int = 8,
+                          substring_k: int | None = None) -> dict:
     """The shipping path: clean (dedup + quality + shuffle key) and export
     as lang-partitioned JSONL WITH the text payload. The global sort is
     deliberately skipped here — the export's content-hash routing shuffle
@@ -145,7 +182,8 @@ def run_training_pipeline(sf_dir: str, out_dir: str, threshold: float = 0.6,
     from raycrawl.io_sinks import export_jsonl_partitioned
 
     ds = _clean_keyed_dataset(sf_dir, threshold, df_cap, min_quality, seed,
-                              columns=["doc_id", "lang", "text"])
+                              columns=["doc_id", "lang", "text"],
+                              substring_k=substring_k)
     return export_jsonl_partitioned(ds, out_dir, partition_col="lang",
                                     shard_key_col="doc_id",
                                     num_shards=num_shards)

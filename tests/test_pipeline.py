@@ -77,3 +77,51 @@ def test_training_pipeline_export_kill_resume(tmp_path):
     assert (a["shuffle_key"].values == b["shuffle_key"].values).all()
     assert (a["quality"].values == b["quality"].values).all()
     assert (a["text"].str.len().values > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_training_pipeline_substring_scrub_stage(tmp_path):
+    """Optional substring-scrub stage, exercised on a corpus where a doc
+    SHARES one 8-gram with an earlier doc without being a doc-level dup
+    (so it survives dedup and must come out scrubbed): exported text is
+    exactly what substring_dedup_apply certifies (md5 cross-check), the
+    shared span is gone from the later doc and kept in the canonical
+    one, and the stage composes with dedup + quality + export."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycrawl.dedup import substring_dedup_apply
+    from raycrawl.io_sinks import read_back_jsonl
+    from raycrawl.kernels import md5_u64_arrow
+    from raycrawl.pipeline import run_training_pipeline
+
+    marker = " ".join(f"m{i}" for i in range(8))
+    d0 = marker + " " + " ".join(f"a{i}" for i in range(20))
+    d1 = " ".join(f"b{i}" for i in range(20)) + " " + marker + " " + \
+        " ".join(f"c{i}" for i in range(10))
+    d2 = " ".join(f"z{i}" for i in range(25))
+    d3 = " ".join(f"w{i}" for i in range(30))      # near-dup pair so the
+    d4 = d3 + " extra"                             # pair lane is non-empty
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([d0, d1, d2, d3, d4], pa.string()),
+        "lang": pa.array(["en", "en", "de", "de", "de"], pa.string()),
+    }), sf + "/documents.parquet")
+
+    out = str(tmp_path / "corpus")
+    run_training_pipeline(sf, out, num_shards=2, min_quality=0.0,
+                          substring_k=8)
+    back = read_back_jsonl(out).to_pandas().sort_values("doc_id")
+    assert back.doc_id.tolist() == [0, 1, 2, 3]  # only the near-dup d4 removed
+    texts = dict(zip(back.doc_id, back.text))
+    assert texts[0] == d0                      # canonical copy untouched
+    assert "m0" not in texts[1]                # shared span scrubbed
+    assert texts[1] == d1.replace(marker + " ", "")
+    assert texts[2] == d2
+
+    cert = substring_dedup_apply(sf, k=8).to_pandas().set_index("doc_id")
+    got_md5 = md5_u64_arrow(pa.array(back.text.tolist(), pa.string()))
+    assert (got_md5 == cert.loc[back.doc_id, "kept_md5"].to_numpy()).all()
+    assert cert.loc[1, "n_removed_words"] == 8
