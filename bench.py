@@ -59,7 +59,7 @@ def _probe_with_retry() -> tuple[dict, list]:
     BENCH_PROBE_RETRIES further probes; after the budget, run regardless.
     Every probe lands in the JSON so a reader sees what was waited out."""
     min_gbps = float(os.environ.get("BENCH_PROBE_MIN_GBPS", "4"))
-    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "5"))
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "8"))
     wait = float(os.environ.get("BENCH_PROBE_RETRY_SEC", "60"))
     history = [_host_memory_probe()]
     for attempt in range(retries + 1):
