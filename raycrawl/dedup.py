@@ -885,14 +885,15 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3,
         .groupby(["band_id", "band_val"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
-        .drop_duplicates(subset=["a", "b"])
-        .sort_values(["a", "b"])
     )
+    # all-empty group outputs lose their schema entirely (Ray drops empty
+    # frames), so check emptiness BEFORE touching columns
     if len(pairs) == 0:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
              "hamming": pa.array([], pa.int64())}
         )
+    pairs = pairs.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
     return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
