@@ -767,7 +767,17 @@ def compacted_nodes(ckpt: str, rounds: int):
                 .aggregate(Max("enc", alias_name="enc"))
                 .to_arrow_refs()
             )
-            last = pa.concat_tables([ray.get(ref) for ref in last])
+            # Ray's groupby can emit zero-row blocks with an EMPTY schema
+            # (observed on ray 2.49.2 when an input block has no "parent"
+            # rows) — rebuild every block against the expected schema so
+            # concat never sees a schema mismatch.
+            enc_schema = pa.schema([("node_id", pa.string()),
+                                    ("enc", pa.int64())])
+            last = pa.concat_tables([
+                pa.Table.from_batches(ray.get(ref).to_batches() or [],
+                                      schema=enc_schema)
+                for ref in last
+            ])
             enc = last["enc"].to_numpy(zero_copy_only=False)
             hi, lo = hash128(last["node_id"].combine_chunks())
             order = np.lexsort((lo, hi))
