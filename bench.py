@@ -166,23 +166,33 @@ def _run_headline(num_cpus: int, tag: str) -> dict:
     wall = time.perf_counter() - t0
 
     urls = 1  # root fetch
-    phases = {"t_fetch_s": 0.0, "t_barrier_s": 0.0, "t_frontier_s": 0.0}
+    phases = {"t_setup_s": 0.0, "t_fetch_s": 0.0, "t_barrier_s": 0.0,
+              "t_frontier_s": 0.0}
     for r in range(1, res.rounds_run + 1):
         with open(os.path.join(ck, f"round={r:04d}", "counters.json")) as f:
             c = json.load(f)
         urls += c["frontier_size"]
         for k in phases:
             phases[k] = round(phases[k] + float(c.get(k, 0.0)), 3)
+    try:  # crawl-level fixed costs (actor spin-up, seen restore, finalize)
+        with open(os.path.join(ck, "phases.json")) as f:
+            fixed = {k: round(float(v), 3) for k, v in json.load(f).items()}
+    except OSError:
+        fixed = {}
     return dict(
         crawl_sec=round(wall, 3),
         urls_crawled=urls,
         urls_per_sec=round(urls / wall, 1),
         rounds=res.rounds_run,
         politeness_delay_ms=politeness_ms,
-        # per-phase accounting summed over rounds: fetch+enrich tasks,
-        # round barrier (shard commit), frontier assembly — lets a reader
-        # see WHERE the wall went without rerunning
+        # per-phase accounting summed over rounds: round setup (frontier
+        # prep + begin_round RPCs), fetch+enrich tasks, round barrier
+        # (shard commit), frontier assembly — lets a reader see WHERE the
+        # wall went without rerunning
         phase_sec=phases,
+        # one-off costs outside the per-round loop; wall − (sum(phase_sec)
+        # + sum(fixed_sec)) is then pure driver/loop slack
+        fixed_sec=fixed,
     )
 
 
@@ -250,6 +260,7 @@ def main() -> None:
                 "rounds": headline["rounds"],
                 "politeness_delay_ms": headline["politeness_delay_ms"],
                 "phase_sec": headline["phase_sec"],
+                "fixed_sec": headline["fixed_sec"],
                 "host_mem_probe_gbps": probe,
                 **({"host_mem_probe_history": probe_history}
                    if len(probe_history) > 1 else {}),
@@ -326,6 +337,8 @@ def scaling() -> None:
                 "host_mem_probe_gbps_hi": r_hi.get("host_mem_probe_gbps"),
                 "phase_sec_lo": r_lo.get("phase_sec"),
                 "phase_sec_hi": r_hi.get("phase_sec"),
+                "fixed_sec_lo": r_lo.get("fixed_sec"),
+                "fixed_sec_hi": r_hi.get("fixed_sec"),
             }
         )
     )

@@ -347,10 +347,12 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
     with a few hundred frontier rows costs more in executor startup than in
     work. Bounded: children ≤ frontier × page fan-out."""
     import functools
+    import time as _time
 
     import pyarrow.dataset as pads
     import ray
 
+    t_enter = _time.perf_counter()
     frontier = (frontier_table if frontier_table is not None
                 else pads.dataset(_parquet_files([prev])).to_table())
     from raycrawl.fetch import PartitionedCorpus, host_partition_ids
@@ -366,6 +368,7 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
         round_no=r, politeness_delay_ms=0.0,
         respect_robots=cfg.respect_robots, enrich=cfg.enrich,
     )
+    t0 = _time.perf_counter()
     outs = []
     for off in range(0, frontier.num_rows, cfg.fetch_batch_size):
         outs.append(fn(frontier.slice(off, cfg.fetch_batch_size)))
@@ -376,8 +379,10 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
     )
     ro_path = os.path.join(rdir, "round_out")
     _write_table(ro, ro_path)
+    t_fetch = _time.perf_counter() - t0
 
     stats = _finish_barrier(rdir, seen_handles, nodes_path, edges_path)
+    t_barrier = _time.perf_counter() - t0 - t_fetch
 
     nodes = pads.dataset(_parquet_files([nodes_path])).to_table(
         columns=FRONTIER_SCHEMA.names + ["status"]
@@ -410,6 +415,10 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
         edges_created=int(sum(s["edges_written"] for s in stats)
                           + sum(len(s["seed_rows"]) for s in stats)),
         seen_size=int(sum(s["seen_size"] for s in stats)),
+        t_setup_s=round(t0 - t_enter, 3),
+        t_fetch_s=round(t_fetch, 3),
+        t_barrier_s=round(t_barrier, 3),
+        t_frontier_s=round(_time.perf_counter() - t0 - t_fetch - t_barrier, 3),
     )
     with open(os.path.join(rdir, "counters.json"), "w") as f:
         json.dump(counters, f)
@@ -438,9 +447,11 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     Parent status updates ARE round_out; edges live in the shard-written
     per-round partitions (manifest-composed at finalize)."""
     import functools
+    import time as _time
 
     import ray
 
+    t_enter = _time.perf_counter()
     prev = os.path.join(_round_dir(ckpt, r - 1), "frontier")
     rdir = _round_dir(ckpt, r)
     shutil.rmtree(rdir, ignore_errors=True)
@@ -544,9 +555,8 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
         )
         _write_ds(round_out, ro_path, ROUND_OUT_SCHEMA)
 
-    import time as _time
-
     t0 = _time.perf_counter()
+    t_setup = t0 - t_enter  # frontier prep + begin_round RPCs (untimed before)
     ro_path = os.path.join(rdir, "round_out")
     try:
         _execute_fetch_stage()
@@ -638,6 +648,7 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
         edges_created=int(sum(s["edges_written"] for s in stats)
                           + sum(len(s["seed_rows"]) for s in stats)),
         seen_size=int(sum(s["seen_size"] for s in stats)),
+        t_setup_s=round(t_setup, 3),
         t_fetch_s=round(t_fetch, 3),
         t_barrier_s=round(t_barrier, 3),
         t_frontier_s=round(_time.perf_counter() - t0 - t_fetch - t_barrier, 3),
