@@ -141,7 +141,7 @@ class CrawlResult:
         return os.path.join(self.ckpt_dir, "final", "edges")
 
     def nodes(self):
-        return _read(self.nodes_path)
+        return read_nodes(self.ckpt_dir)
 
     def edges(self):
         return read_edges(self.ckpt_dir)
@@ -669,6 +669,14 @@ CODE_STATUS = {v: k for k, v in STATUS_CODE.items()}
 # (tests force 0 to exercise the distributed path on small crawls)
 UPDATE_DRIVER_GATE = 5_000_000
 
+# node/edge volume above which _finalize stops rewriting the wide tables:
+# final/ gets only the manifest over the immutable per-round partitions
+# (plus the ~25 B/node status-update sidecar for nodes), and readers
+# compose lazily (read_nodes / read_edges). At 100 TB the terminal
+# compaction must never re-shuffle or re-write the whole corpus.
+NODES_REWRITE_GATE = 1_000_000
+EDGES_REWRITE_GATE = 1_000_000
+
 # new-node volume above which the next-round frontier is assembled as a
 # streaming Dataset execution instead of a driver-side Arrow concat
 FRONTIER_DRIVER_GATE = 6_000_000
@@ -693,30 +701,21 @@ def read_edges(ckpt_dir: str):
     return parts.union(rd.read_parquet(m["round_edge_files"]))
 
 
-def compacted_nodes(ckpt: str, rounds: int):
-    """Current node rows after ``rounds`` committed rounds: creation deltas
-    + keep-last status updates, as a (lazy) Dataset. Shared by ``_finalize``
-    (the terminal compaction) and ``raycrawl.live`` (mid-crawl snapshots —
-    the reference's live Bolt reads, crawl_service.rs:68-134).
+def _node_status_updates(ckpt: str, rounds: int):
+    """Compact status-update broadcast payload after ``rounds`` committed
+    rounds: the LAST update per node as a SORTED structured (hi,lo) key
+    array + int8 status codes + int32 attempts (~25 B/updated node, no
+    strings). ``None`` when no round has written updates yet.
 
-    Fully vectorized: the last status update per node is found either by a
+    Fully vectorized: the last update per node is found either by a
     driver-side numpy keep-last on 128-bit node hashes (below a 5M-row
     gate) or a native ``Max`` over an integer encoding of (round, status,
-    attempts) — no per-group Python. Both paths produce the same compact
-    broadcast payload — a SORTED structured (hi,lo) key array + int8
-    status codes + int32 attempts (~25 B/updated node, no strings) — and
-    every worker applies it with one ``np.searchsorted`` per batch.
-    """
+    attempts) — no per-group Python."""
     import pyarrow.dataset as pads
     import ray.data as rd
     from ray.data.aggregate import Max
 
     pc_ = pa.compute
-
-    node_files = _parquet_files(
-        [os.path.join(_round_dir(ckpt, r), "nodes") for r in range(rounds + 1)]
-    )
-    creates = rd.read_parquet(node_files)
 
     upd_dirs = [
         os.path.join(_round_dir(ckpt, r), "round_out") for r in range(1, rounds + 1)
@@ -725,105 +724,160 @@ def compacted_nodes(ckpt: str, rounds: int):
     if os.path.isdir(cancel_dir):
         upd_dirs.append(cancel_dir)
     upd_files = _parquet_files(upd_dirs)
+    if not upd_files:
+        return None
 
     key_dt = np.dtype([("hi", "u8"), ("lo", "u8")])
+
+    # Last status update per node. Updates ≈ fetched parents (≤ Σ
+    # frontier sizes) — orders of magnitude fewer than creates.
+    import ray
+
+    upd_ds = pads.dataset(upd_files)
+    if upd_ds.count_rows() <= UPDATE_DRIVER_GATE:
+        ut = upd_ds.to_table(
+            columns=["row_type", "node_id", "status", "attempts", "round"]
+        )
+        ut = ut.filter(pc_.equal(ut["row_type"], "parent"))
+        hi, lo = hash128(ut["node_id"].combine_chunks())
+        rno = ut["round"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes_all = pc_.index_in(
+            ut["status"], value_set=pa.array(list(STATUS_CODE.keys()))
+        ).to_numpy(zero_copy_only=False).astype(np.int8)
+        atts_all = ut["attempts"].to_numpy(zero_copy_only=False).astype(np.int32)
+        order = np.lexsort((rno, lo, hi))  # key asc, round asc within key
+        shi, slo = hi[order], lo[order]
+        is_last = np.ones(len(order), dtype=bool)
+        if len(order):
+            is_last[:-1] = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
+        keys = np.empty(int(is_last.sum()), dtype=key_dt)
+        keys["hi"], keys["lo"] = shi[is_last], slo[is_last]
+        codes = codes_all[order][is_last]
+        atts = atts_all[order][is_last]
+    else:
+        def encode(t: pa.Table) -> pa.Table:
+            t = t.filter(pc_.equal(t["row_type"], "parent"))
+            code = pc_.index_in(
+                t["status"], value_set=pa.array(list(STATUS_CODE.keys()))
+            ).cast(pa.int64())
+            enc = pc_.add(
+                pc_.add(
+                    pc_.multiply(t["round"].cast(pa.int64()), pa.scalar(1 << 14)),
+                    pc_.multiply(code, pa.scalar(1 << 10)),
+                ),
+                t["attempts"].cast(pa.int64()),
+            )
+            return pa.table({"node_id": t["node_id"], "enc": enc})
+
+        last = (
+            rd.read_parquet(upd_files, columns=["row_type", "node_id", "status",
+                                                "attempts", "round"])
+            .map_batches(encode, batch_format="pyarrow")
+            .groupby("node_id")
+            .aggregate(Max("enc", alias_name="enc"))
+            .to_arrow_refs()
+        )
+        # Ray's groupby can emit zero-row blocks with an EMPTY schema
+        # (observed on ray 2.49.2 when an input block has no "parent"
+        # rows) — rebuild every block against the expected schema so
+        # concat never sees a schema mismatch.
+        enc_schema = pa.schema([("node_id", pa.string()),
+                                ("enc", pa.int64())])
+        last = pa.concat_tables([
+            pa.Table.from_batches(ray.get(ref).to_batches() or [],
+                                  schema=enc_schema)
+            for ref in last
+        ])
+        enc = last["enc"].to_numpy(zero_copy_only=False)
+        hi, lo = hash128(last["node_id"].combine_chunks())
+        order = np.lexsort((lo, hi))
+        keys = np.empty(len(order), dtype=key_dt)
+        keys["hi"], keys["lo"] = hi[order], lo[order]
+        codes = ((enc >> 10) & 0xF).astype(np.int8)[order]
+        atts = (enc & 0x3FF).astype(np.int32)[order]
+
+    return keys, codes, atts
+
+
+def _apply_updates_fn(upd_ref):
+    """Batch fn applying a broadcast ``_node_status_updates`` payload to
+    creation-delta node rows: one ``np.searchsorted`` per batch, strings
+    never shuffled. Shared by the terminal compaction (``compacted_nodes``)
+    and the lazy at-read path (``read_nodes``)."""
+    pc_ = pa.compute
     status_names = np.array(list(STATUS_CODE.keys()))
 
-    if upd_files:
-        # Last status update per node. Updates ≈ fetched parents (≤ Σ
-        # frontier sizes) — orders of magnitude fewer than creates.
-        import ray
-
-        upd_ds = pads.dataset(upd_files)
-        if upd_ds.count_rows() <= UPDATE_DRIVER_GATE:
-            ut = upd_ds.to_table(
-                columns=["row_type", "node_id", "status", "attempts", "round"]
-            )
-            ut = ut.filter(pc_.equal(ut["row_type"], "parent"))
-            hi, lo = hash128(ut["node_id"].combine_chunks())
-            rno = ut["round"].to_numpy(zero_copy_only=False).astype(np.int64)
-            codes_all = pc_.index_in(
-                ut["status"], value_set=pa.array(list(STATUS_CODE.keys()))
-            ).to_numpy(zero_copy_only=False).astype(np.int8)
-            atts_all = ut["attempts"].to_numpy(zero_copy_only=False).astype(np.int32)
-            order = np.lexsort((rno, lo, hi))  # key asc, round asc within key
-            shi, slo = hi[order], lo[order]
-            is_last = np.ones(len(order), dtype=bool)
-            if len(order):
-                is_last[:-1] = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
-            keys = np.empty(int(is_last.sum()), dtype=key_dt)
-            keys["hi"], keys["lo"] = shi[is_last], slo[is_last]
-            codes = codes_all[order][is_last]
-            atts = atts_all[order][is_last]
+    def apply_bcast(t: pa.Table) -> pa.Table:
+        keys, codes, atts = _bcast_get(upd_ref)
+        qhi, qlo = hash128(t["node_id"].combine_chunks())
+        q = np.empty(len(qhi), dtype=keys.dtype)
+        q["hi"], q["lo"] = qhi, qlo
+        if len(keys):
+            pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+            found = keys[pos] == q
         else:
-            def encode(t: pa.Table) -> pa.Table:
-                t = t.filter(pc_.equal(t["row_type"], "parent"))
-                code = pc_.index_in(
-                    t["status"], value_set=pa.array(list(STATUS_CODE.keys()))
-                ).cast(pa.int64())
-                enc = pc_.add(
-                    pc_.add(
-                        pc_.multiply(t["round"].cast(pa.int64()), pa.scalar(1 << 14)),
-                        pc_.multiply(code, pa.scalar(1 << 10)),
-                    ),
-                    t["attempts"].cast(pa.int64()),
-                )
-                return pa.table({"node_id": t["node_id"], "enc": enc})
+            pos = np.zeros(len(q), dtype=np.int64)
+            found = np.zeros(len(q), dtype=bool)
+        is_url = pc_.equal(t["node_type"], "URL").to_numpy(zero_copy_only=False)
+        m = found & is_url
+        has = pa.array(m)
+        st = pc_.if_else(has, pa.array(status_names[codes[pos]]), t["status"])
+        att = pc_.if_else(has, pa.array(atts[pos], pa.int32()), t["attempts"])
+        t = t.set_column(t.schema.get_field_index("status"), "status", st)
+        return t.set_column(
+            t.schema.get_field_index("attempts"), "attempts", att
+        )
 
-            last = (
-                rd.read_parquet(upd_files, columns=["row_type", "node_id", "status",
-                                                    "attempts", "round"])
-                .map_batches(encode, batch_format="pyarrow")
-                .groupby("node_id")
-                .aggregate(Max("enc", alias_name="enc"))
-                .to_arrow_refs()
-            )
-            # Ray's groupby can emit zero-row blocks with an EMPTY schema
-            # (observed on ray 2.49.2 when an input block has no "parent"
-            # rows) — rebuild every block against the expected schema so
-            # concat never sees a schema mismatch.
-            enc_schema = pa.schema([("node_id", pa.string()),
-                                    ("enc", pa.int64())])
-            last = pa.concat_tables([
-                pa.Table.from_batches(ray.get(ref).to_batches() or [],
-                                      schema=enc_schema)
-                for ref in last
-            ])
-            enc = last["enc"].to_numpy(zero_copy_only=False)
-            hi, lo = hash128(last["node_id"].combine_chunks())
-            order = np.lexsort((lo, hi))
-            keys = np.empty(len(order), dtype=key_dt)
-            keys["hi"], keys["lo"] = hi[order], lo[order]
-            codes = ((enc >> 10) & 0xF).astype(np.int8)[order]
-            atts = (enc & 0x3FF).astype(np.int32)[order]
+    return apply_bcast
 
-        upd_ref = ray.put((keys, codes, atts))
 
-        def apply_bcast(t: pa.Table) -> pa.Table:
-            keys, codes, atts = _bcast_get(upd_ref)
-            qhi, qlo = hash128(t["node_id"].combine_chunks())
-            q = np.empty(len(qhi), dtype=keys.dtype)
-            q["hi"], q["lo"] = qhi, qlo
-            if len(keys):
-                pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
-                found = keys[pos] == q
-            else:
-                pos = np.zeros(len(q), dtype=np.int64)
-                found = np.zeros(len(q), dtype=bool)
-            is_url = pc_.equal(t["node_type"], "URL").to_numpy(zero_copy_only=False)
-            m = found & is_url
-            has = pa.array(m)
-            st = pc_.if_else(has, pa.array(status_names[codes[pos]]), t["status"])
-            att = pc_.if_else(has, pa.array(atts[pos], pa.int32()), t["attempts"])
-            t = t.set_column(t.schema.get_field_index("status"), "status", st)
-            return t.set_column(
-                t.schema.get_field_index("attempts"), "attempts", att
-            )
+def compacted_nodes(ckpt: str, rounds: int):
+    """Current node rows after ``rounds`` committed rounds: creation deltas
+    + keep-last status updates, as a (lazy) Dataset. Shared by ``_finalize``
+    (the terminal compaction) and ``raycrawl.live`` (mid-crawl snapshots —
+    the reference's live Bolt reads, crawl_service.rs:68-134)."""
+    import ray
+    import ray.data as rd
 
-        final_nodes = creates.map_batches(apply_bcast, batch_format="pyarrow")
-    else:
-        final_nodes = creates
-    return final_nodes
+    node_files = _parquet_files(
+        [os.path.join(_round_dir(ckpt, r), "nodes") for r in range(rounds + 1)]
+    )
+    creates = rd.read_parquet(node_files)
+    upd = _node_status_updates(ckpt, rounds)
+    if upd is None:
+        return creates
+    return creates.map_batches(_apply_updates_fn(ray.put(upd)),
+                               batch_format="pyarrow")
+
+
+def read_nodes(ckpt_dir: str):
+    """Final node Dataset for a crawl — compacted parquet when small, or
+    (above ``NODES_REWRITE_GATE``) the immutable per-round creation deltas
+    with the keep-last status-update payload applied lazily per batch. At
+    the 100 TB design point the terminal compaction never rewrites the wide
+    node table; the ~25 B/node update sidecar is the only finalize artifact
+    and every reader pays one searchsorted per batch."""
+    import ray
+    import ray.data as rd
+
+    ndir = os.path.join(ckpt_dir, "final", "nodes")
+    manifest = os.path.join(ndir, "nodes_manifest.json")
+    if not os.path.exists(manifest):
+        return rd.read_parquet(_parquet_files([ndir]))
+    with open(manifest) as f:
+        m = json.load(f)
+    ds = rd.read_parquet(m["node_files"])
+    upath = os.path.join(ndir, "status_updates", "updates.parquet")
+    if not os.path.exists(upath):
+        return ds
+    ut = pq.read_table(upath)
+    keys = np.empty(ut.num_rows, dtype=np.dtype([("hi", "u8"), ("lo", "u8")]))
+    keys["hi"] = ut["hi"].to_numpy(zero_copy_only=False)
+    keys["lo"] = ut["lo"].to_numpy(zero_copy_only=False)
+    codes = ut["code"].to_numpy(zero_copy_only=False).astype(np.int8)
+    atts = ut["atts"].to_numpy(zero_copy_only=False).astype(np.int32)
+    return ds.map_batches(_apply_updates_fn(ray.put((keys, codes, atts))),
+                          batch_format="pyarrow")
 
 
 def _finalize(ckpt: str, rounds: int, cancelled: bool) -> None:
@@ -833,8 +887,37 @@ def _finalize(ckpt: str, rounds: int, cancelled: bool) -> None:
 
     fdir = os.path.join(ckpt, "final")
     shutil.rmtree(fdir, ignore_errors=True)
-    _write_ds(compacted_nodes(ckpt, rounds), os.path.join(fdir, "nodes"),
-              NODES_SCHEMA)
+
+    node_files = _parquet_files(
+        [os.path.join(_round_dir(ckpt, r), "nodes") for r in range(rounds + 1)]
+    )
+    n_nodes = 0
+    for r in range(0, rounds + 1):
+        cpath = os.path.join(_round_dir(ckpt, r), "counters.json")
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                n_nodes += json.load(f).get("nodes_created", 0)
+    ndir = os.path.join(fdir, "nodes")
+    if n_nodes <= NODES_REWRITE_GATE:
+        _write_ds(compacted_nodes(ckpt, rounds), ndir, NODES_SCHEMA)
+    else:
+        # Scale path: per-round creation deltas are immutable and already in
+        # NODES_SCHEMA; persist only the keep-last status-update payload and
+        # a manifest. read_nodes() applies the updates lazily per batch.
+        os.makedirs(ndir, exist_ok=True)
+        upd = _node_status_updates(ckpt, rounds)
+        if upd is not None:
+            keys, codes, atts = upd
+            os.makedirs(os.path.join(ndir, "status_updates"), exist_ok=True)
+            pq.write_table(
+                pa.table({"hi": pa.array(keys["hi"], pa.uint64()),
+                          "lo": pa.array(keys["lo"], pa.uint64()),
+                          "code": pa.array(codes, pa.int8()),
+                          "atts": pa.array(atts, pa.int32())}),
+                os.path.join(ndir, "status_updates", "updates.parquet"),
+            )
+        with open(os.path.join(ndir, "nodes_manifest.json"), "w") as f:
+            json.dump(dict(node_files=node_files), f)
 
     # Edges: bootstrap delta (round 0, all src == seed/ROOT id) + per-round
     # edge partitions written by the seen shards at each barrier. Edges are
@@ -887,7 +970,7 @@ def _finalize(ckpt: str, rounds: int, cancelled: bool) -> None:
             os.path.join(edir, "part-seed.parquet"),
         )
 
-    if n_edges <= 5_000_000:
+    if n_edges <= EDGES_REWRITE_GATE:
         if round_edge_files:
             _write_ds(rd.read_parquet(round_edge_files), edir, EDGES_SCHEMA)
     else:

@@ -29,17 +29,18 @@ def _read(path):
 
 
 def load_nodes(ckpt_dirs):
-    """final/nodes of one or more crawls → one Dataset."""
+    """Final nodes of one or more crawls → one Dataset (manifest-aware:
+    big crawls compose creation deltas + lazy status updates, see
+    crawl.read_nodes)."""
     if isinstance(ckpt_dirs, str):
         ckpt_dirs = [ckpt_dirs]
-    import ray.data as rd
+    from raycrawl.crawl import read_nodes
 
-    files = []
+    out = None
     for d in ckpt_dirs:
-        nd = os.path.join(d, "final", "nodes")
-        files.extend(os.path.join(nd, f) for f in sorted(os.listdir(nd))
-                     if f.endswith(".parquet"))
-    return rd.read_parquet(files)
+        ds = read_nodes(d)
+        out = ds if out is None else out.union(ds)
+    return out
 
 
 def load_edges(ckpt_dirs):

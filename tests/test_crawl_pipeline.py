@@ -174,6 +174,23 @@ def test_finalize_distributed_update_path(tiny_corpus, tmp_path, monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_finalize_manifest_path(tiny_corpus, tmp_path, monkeypatch):
+    """Force the >NODES/EDGES_REWRITE_GATE finalize (no wide-table rewrite:
+    nodes_manifest + status-update sidecar, edges manifest) and assert the
+    lazily-composed read_nodes/read_edges view is still oracle-equal."""
+    from raycrawl import crawl as crawl_mod
+
+    monkeypatch.setattr(crawl_mod, "NODES_REWRITE_GATE", 0)
+    monkeypatch.setattr(crawl_mod, "EDGES_REWRITE_GATE", 0)
+    s = _seeds(tiny_corpus)[0]
+    res = _run(tiny_corpus, s["url"], int(s["depth"]), str(tmp_path / "ckm"))
+    assert os.path.exists(os.path.join(
+        res.ckpt_dir, "final", "nodes", "nodes_manifest.json"))
+    o = oracle_crawl(tiny_corpus, s["url"], int(s["depth"]), crawl_id="t")
+    _compare(res, o)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_frontier_distributed_assembly_path(tiny_corpus, tmp_path, monkeypatch):
     """Force the >gate streaming-Dataset frontier assembly (no driver-side
     Arrow concat, next_frontier handed off via parquet instead of memory)
