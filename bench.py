@@ -153,7 +153,9 @@ def _run_headline(num_cpus: int, tag: str) -> dict:
     shutil.rmtree(ck, ignore_errors=True)
     shutil.rmtree(ck + "_warm", ignore_errors=True)
 
-    corpus_ref = ray.put(corpus_table)
+    from raycrawl.fetch import broadcast_corpus
+
+    corpus_ref = broadcast_corpus(corpus_table)  # table + sorted index, one put
     # untimed warm crawl (depth 1): pays worker imports + per-worker corpus
     # index ONCE — the steady-state throughput of a long crawl is what the
     # headline measures, not Python process cold start

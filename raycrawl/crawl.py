@@ -1062,14 +1062,18 @@ def crawl(
         corpus_ref = pcorpus
         expected_rows = pcorpus.num_rows
     else:
+        from raycrawl.fetch import broadcast_corpus, resolve_corpus_table
+
         if corpus_table is None and corpus_ref is not None:
-            corpus_table = ray.get(corpus_ref)
+            corpus_table = resolve_corpus_table(ray.get(corpus_ref))
         if corpus_table is None:
             corpus_table = build_fetch_corpus(corpus_dir)
         if not os.path.exists(os.path.join(_round_dir(ckpt_dir, 0), "_DONE")):
             _bootstrap(ckpt_dir, corpus_table, seed_url, depth, crawl_id, cfg)
         if corpus_ref is None:
-            corpus_ref = ray.put(corpus_table)
+            # broadcast table + driver-precomputed sorted index: workers
+            # warm zero-copy instead of each re-indexing the corpus
+            corpus_ref = broadcast_corpus(corpus_table)
         expected_rows = corpus_table.num_rows
 
     _ph["corpus_boot_s"] = round(_time.perf_counter() - _t, 2)

@@ -67,32 +67,87 @@ def corpus_key_strings(names, protos) -> "pa.Array":
     return pc.binary_join_element_wise(names, protos, "\x00")
 
 
-def get_corpus_index(corpus_ref):
-    """(hash128-key→row dict, html column) for a broadcast corpus ref;
-    cached per worker process (zero-copy ray.get from plasma on first call).
+class CorpusIndex:
+    """Sorted-key128 corpus lookup: one structured (hi,lo) uint64 array in
+    key order plus the permutation back to table rows. ~32 B/row vs ~250
+    B/row for the former per-worker Python dict, and — decisive at scale —
+    the arrays are plain numpy, so a driver-precomputed index rides the
+    ``ray.put`` broadcast ZERO-COPY into every worker instead of each
+    worker re-hashing and re-indexing the whole corpus at warm-up.
 
-    Keys are the 128-bit hashes of "name\x00http_type" — built with one
-    vectorized hash pass + dict(zip(...)), ~100× cheaper per worker than
-    materializing per-row Python strings for the whole corpus. 128 bits →
-    collision-free for any realistic corpus (birthday bound ~2^64 rows).
-    """
+    Keys are the 128-bit hashes of "name\\x00http_type" — collision-free
+    for any realistic corpus (birthday bound ~2^64 rows)."""
+
+    KEY_DT = np.dtype([("hi", "u8"), ("lo", "u8")])
+    __slots__ = ("keys", "perm")
+
+    def __init__(self, keys: np.ndarray, perm: np.ndarray):
+        self.keys = keys
+        self.perm = perm
+
+    @classmethod
+    def build(cls, names, protos) -> "CorpusIndex":
+        from raycrawl.kernels import hash128
+
+        hi, lo = hash128(corpus_key_strings(names, protos))
+        perm = np.lexsort((lo, hi)).astype(np.int64)
+        keys = np.empty(len(hi), dtype=cls.KEY_DT)
+        keys["hi"], keys["lo"] = hi[perm], lo[perm]
+        return cls(keys, perm)
+
+    def lookup(self, qhi: np.ndarray, qlo: np.ndarray) -> np.ndarray:
+        """Vectorized: query hash pairs → table row indices, -1 on miss."""
+        q = np.empty(len(qhi), dtype=self.KEY_DT)
+        q["hi"], q["lo"] = qhi, qlo
+        if not len(self.keys):
+            return np.full(len(q), -1, dtype=np.int64)
+        pos = np.minimum(np.searchsorted(self.keys, q), len(self.keys) - 1)
+        return np.where(self.keys[pos] == q, self.perm[pos], np.int64(-1))
+
+
+def broadcast_corpus(corpus_table: pa.Table):
+    """Driver-side corpus prep for the broadcast layout: compute the sorted
+    CorpusIndex ONCE and ``ray.put`` it alongside the table, so worker
+    warm-up is a zero-copy plasma read (the partitioned layout's analogue
+    is the prebuilt on-disk ``ensure_partitioned_corpus`` cache)."""
+    import ray
+
+    idx = CorpusIndex.build(
+        corpus_table["name"].combine_chunks(),
+        corpus_table["http_type"].combine_chunks(),
+    )
+    return ray.put((corpus_table, idx.keys, idx.perm))
+
+
+def resolve_corpus_table(obj) -> pa.Table:
+    """The pages table behind either broadcast payload shape."""
+    return obj[0] if isinstance(obj, tuple) else obj
+
+
+def get_corpus_index(corpus_ref):
+    """(CorpusIndex, html column) for a broadcast corpus ref; cached per
+    worker process (zero-copy ray.get from plasma on first call). Accepts
+    a ref to either a bare pages table (index built here, once per worker)
+    or a ``broadcast_corpus`` (table, keys, perm) payload (index arrives
+    precomputed, zero-copy)."""
     key = corpus_ref.hex() if hasattr(corpus_ref, "hex") else id(corpus_ref)
     hit = _CORPUS_CACHE.get(key)
     if hit is not None:
         return hit
-    if isinstance(corpus_ref, pa.Table):
-        table = corpus_ref
+    if isinstance(corpus_ref, (pa.Table, tuple)):
+        obj = corpus_ref
     else:
         import ray
 
-        table = ray.get(corpus_ref)
-    from raycrawl.kernels import hash128
-
-    keys = corpus_key_strings(
-        table["name"].combine_chunks(), table["http_type"].combine_chunks()
-    )
-    hi, lo = hash128(keys)
-    index = dict(zip(zip(hi.tolist(), lo.tolist()), range(len(hi))))
+        obj = ray.get(corpus_ref)
+    if isinstance(obj, tuple):
+        table, keys, perm = obj
+        index = CorpusIndex(keys, perm)
+    else:
+        table = obj
+        index = CorpusIndex.build(
+            table["name"].combine_chunks(), table["http_type"].combine_chunks()
+        )
     _CORPUS_CACHE.clear()  # one corpus live at a time per worker
     _CORPUS_CACHE[key] = (index, table["html"])
     return _CORPUS_CACHE[key]
@@ -186,21 +241,17 @@ class PartitionedCorpus:
         return host_partition_ids(names, self.n_parts)
 
     def slot(self, p: int):
-        """(key128→row-index dict, html column) for partition p, via the
-        per-worker LRU (partition parquet read + index build on miss)."""
+        """(CorpusIndex, html column) for partition p, via the per-worker
+        LRU (partition parquet read + index build on miss)."""
         key = (self.part_dir, int(p))
         hit = _PART_CACHE.get(key)
         if hit is not None:
             _PART_CACHE.move_to_end(key)
             return hit
         table = pq.read_table(os.path.join(self.part_dir, f"part-{int(p):03d}.parquet"))
-        from raycrawl.kernels import hash128
-
-        keys = corpus_key_strings(
+        index = CorpusIndex.build(
             table["name"].combine_chunks(), table["http_type"].combine_chunks()
         )
-        hi, lo = hash128(keys)
-        index = dict(zip(zip(hi.tolist(), lo.tolist()), range(len(hi))))
         _PART_CACHE[key] = (index, table["html"])
         while len(_PART_CACHE) > self.cache_parts:
             _PART_CACHE.popitem(last=False)
@@ -248,20 +299,21 @@ def politeness_wait(host: str, delay_s: float) -> None:
     _HOST_CLOCK[host] = time.monotonic()
 
 
-def fetch_one(index, html_col, name: str, proto: str, key128, attempt: int,
+def fetch_one(idx: int, html_col, name: str, proto: str, attempt: int,
               politeness_delay_s: float = 0.0, respect_robots: bool = False,
               want_html: bool = False):
     """One simulated fetch+extract → (status, elapsed_ms, n_extracted,
-    sorted D1-deduped uppercased candidates, html|None). Reference
-    lifecycle: fetch shared/src/crawler.rs:18-51, extract :55-60, D1
+    sorted D1-deduped uppercased candidates, html|None). ``idx`` is the
+    corpus row for this URL (CorpusIndex.lookup, -1 = miss), precomputed
+    vectorized for the whole batch by the caller. Reference lifecycle:
+    fetch shared/src/crawler.rs:18-51, extract :55-60, D1
     feeder/src/job.rs:286."""
     host = host_of(name)
     if respect_robots and robots_blocked(host):
         return STATUS_ROBOTS, 0.0, 0, [], None
     if politeness_delay_s > 0:
         politeness_wait(host, politeness_delay_s)
-    idx = index.get(key128)
-    status = sim.fetch_status(name, proto, attempt, idx is not None)
+    status = sim.fetch_status(name, proto, attempt, idx >= 0)
     elapsed = sim.fetch_elapsed_ms(name, proto)
     if status != sim.STATUS_OK:
         return status, elapsed, 0, [], None

@@ -440,17 +440,31 @@ def fetch_expand_batch(
     _tr = bool(_os.environ.get("RAYCRAWL_TRACE_DIR"))
     _t = _time.perf_counter()
     khi, klo = hash128(corpus_key_strings(batch["name"], batch["http_type"]))
+    # corpus-row lookup for the whole batch, vectorized one partition-run
+    # at a time (order is partition-major, so each slot loads exactly once)
+    row_idx = np.full(n, -1, dtype=np.int64)
+    order_arr = np.asarray(order, dtype=np.int64)
+    if len(order_arr):
+        pvals = (parts_arr[order_arr] if parts_arr is not None
+                 else np.zeros(len(order_arr), dtype=np.int64))
+        bounds = np.append(np.flatnonzero(np.diff(pvals)) + 1, len(pvals))
+        start = 0
+        for end in bounds:
+            rows = order_arr[start:end]
+            index, _ = fetcher.slot(int(pvals[start]))
+            row_idx[rows] = index.lookup(khi[rows], klo[rows])
+            start = int(end)
     fetched = [None] * n
     pages = None                 # set by enrich_pages when enrich is on
-    cur_part, index, html_col = None, None, None
+    cur_part, html_col = None, None
     for i in order:
         p = int(parts_arr[i]) if parts_arr is not None else 0
         if p != cur_part:
-            index, html_col = fetcher.slot(p)
+            _, html_col = fetcher.slot(p)
             cur_part = p
         attempt = int(attempts[i] or 0) + 1
         fetched[i] = fetch_one(
-            index, html_col, names[i], protos[i], (int(khi[i]), int(klo[i])), attempt,
+            int(row_idx[i]), html_col, names[i], protos[i], attempt,
             politeness_delay_s=politeness_delay_ms / 1000.0,
             respect_robots=respect_robots,
             want_html=enrich,
