@@ -701,6 +701,24 @@ def read_edges(ckpt_dir: str):
     return parts.union(rd.read_parquet(m["round_edge_files"]))
 
 
+def _upd_partial_file(f: str):
+    """One round_out file → (hi, lo, round, status_code, attempts) numpy
+    arrays for its parent rows. Runs as a Ray task so the node_id hashing
+    parallelizes across files at finalize."""
+    pc_ = pa.compute
+
+    t = pq.read_table(f, columns=["row_type", "node_id", "status",
+                                  "attempts", "round"])
+    t = t.filter(pc_.equal(t["row_type"], "parent"))
+    hi, lo = hash128(t["node_id"].combine_chunks())
+    rno = t["round"].to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = pc_.index_in(
+        t["status"], value_set=pa.array(list(STATUS_CODE.keys()))
+    ).to_numpy(zero_copy_only=False).astype(np.int8)
+    atts = t["attempts"].to_numpy(zero_copy_only=False).astype(np.int32)
+    return hi, lo, rno, codes, atts
+
+
 def _node_status_updates(ckpt: str, rounds: int):
     """Compact status-update broadcast payload after ``rounds`` committed
     rounds: the LAST update per node as a SORTED structured (hi,lo) key
@@ -735,16 +753,16 @@ def _node_status_updates(ckpt: str, rounds: int):
 
     upd_ds = pads.dataset(upd_files)
     if upd_ds.count_rows() <= UPDATE_DRIVER_GATE:
-        ut = upd_ds.to_table(
-            columns=["row_type", "node_id", "status", "attempts", "round"]
-        )
-        ut = ut.filter(pc_.equal(ut["row_type"], "parent"))
-        hi, lo = hash128(ut["node_id"].combine_chunks())
-        rno = ut["round"].to_numpy(zero_copy_only=False).astype(np.int64)
-        codes_all = pc_.index_in(
-            ut["status"], value_set=pa.array(list(STATUS_CODE.keys()))
-        ).to_numpy(zero_copy_only=False).astype(np.int8)
-        atts_all = ut["attempts"].to_numpy(zero_copy_only=False).astype(np.int32)
+        # parse + hash each file in a parallel task (the string hashing is
+        # the dominant cost); the driver only concatenates numeric arrays
+        # and lexsorts — finalize stays off the serial critical path
+        part = ray.remote(num_cpus=1)(_upd_partial_file)
+        parts = ray.get([part.remote(f) for f in upd_files])
+        hi = np.concatenate([p[0] for p in parts])
+        lo = np.concatenate([p[1] for p in parts])
+        rno = np.concatenate([p[2] for p in parts])
+        codes_all = np.concatenate([p[3] for p in parts])
+        atts_all = np.concatenate([p[4] for p in parts])
         order = np.lexsort((rno, lo, hi))  # key asc, round asc within key
         shi, slo = hi[order], lo[order]
         is_last = np.ones(len(order), dtype=bool)
@@ -1145,5 +1163,10 @@ def crawl(
     _ph["finalize_s"] = round(_time.perf_counter() - _t, 2)
     with open(os.path.join(ckpt_dir, "phases.json"), "w") as f:
         json.dump(_ph, f)
+    # seen state is fully checkpointed (per-round deltas); the shard actors
+    # are per-crawl scratch — release their heap instead of leaking one
+    # actor set per crawl() call in long-lived drivers
+    for h in seen:
+        ray.kill(h, no_restart=True)
     return CrawlResult(crawl_id=crawl_id, ckpt_dir=ckpt_dir, rounds_run=r,
                        cancelled=cancelled)
