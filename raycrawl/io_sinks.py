@@ -166,6 +166,42 @@ def export_jsonl_partitioned(ds, out_dir: str, partition_col: str,
     return written
 
 
+def load_jsonl_partitioned(out_dir: str, partition_col: str,
+                           values: list[str] | None = None):
+    """Distributed SOURCE for an `export_jsonl_partitioned` tree: a lazy
+    ``ray.data.Dataset`` over the committed partitions (the downstream
+    "tokenizer job claims whole partitions" read path — one task per shard
+    file, streaming, never a driver-side row loop).
+
+    - only partitions with a ``_SUCCESS`` manifest are read (a crashed
+      export's uncommitted partition is invisible, matching the sink's
+      resume contract);
+    - ``values`` narrows the claim to specific partition values — the
+      partition-pruned read (unlisted directories are never opened);
+    - the partition value comes back as a real column via hive-style
+      ``<col>=<value>`` path parsing, so round-tripping the sink restores
+      the original schema.
+    """
+    import ray.data as rd
+    from ray.data.datasource.partitioning import Partitioning
+
+    prefix = f"{partition_col}="
+    dirs = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith(prefix):
+            continue
+        if values is not None and d[len(prefix):] not in values:
+            continue
+        if os.path.exists(os.path.join(out_dir, d, "_SUCCESS")):
+            dirs.append(os.path.join(out_dir, d))
+    if not dirs:
+        raise FileNotFoundError(
+            f"load_jsonl_partitioned: no committed {prefix}* partitions "
+            f"under {out_dir}")
+    return rd.read_json(
+        dirs, partitioning=Partitioning("hive", base_dir=out_dir))
+
+
 def read_back_jsonl(out_dir: str) -> pa.Table:
     """Read an exported tree back (tests/verification): every committed
     .jsonl shard of every partition, as one Arrow table. Uncommitted tmp

@@ -70,3 +70,47 @@ def test_export_jsonl_crashed_shard_is_rewritten_not_appended(tmp_path):
     assert written == src.groupby("lang").size().to_dict()
     back = read_back_jsonl(out).to_pandas()
     assert sorted(back.doc_id) == sorted(src.doc_id)  # no dup, no -999
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_load_jsonl_partitioned_dataset_source(tmp_path):
+    """The distributed read path: export → ray.data source → original
+    table; partition pruning via values=; uncommitted partitions hidden."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raycrawl.io_sinks import export_jsonl_partitioned, load_jsonl_partitioned
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    out = str(tmp_path / "exp")
+    written = export_jsonl_partitioned(ds, out, "lang", num_shards=4)
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"]).to_pandas()
+
+    back = load_jsonl_partitioned(out, "lang").to_pandas()
+    assert set(back.columns) == {"doc_id", "lang", "n_chars"}
+    a = back.sort_values("doc_id").reset_index(drop=True)
+    b = src.sort_values("doc_id").reset_index(drop=True)
+    assert (a[["doc_id", "lang", "n_chars"]].values
+            == b[["doc_id", "lang", "n_chars"]].values).all()
+
+    # partition-pruned claim: one value only
+    langs = sorted(written)
+    one = load_jsonl_partitioned(out, "lang", values=[langs[0]]).to_pandas()
+    assert set(one.lang) == {langs[0]}
+    assert len(one) == written[langs[0]]
+
+    # an uncommitted partition (no _SUCCESS) is invisible to the source
+    os.remove(os.path.join(out, f"lang={langs[1]}", "_SUCCESS"))
+    part = load_jsonl_partitioned(out, "lang").to_pandas()
+    assert set(part.lang) == set(langs) - {langs[1]}
+
+    # no committed partitions at all → loud failure, not an empty dataset
+    shutil.rmtree(out)
+    os.makedirs(out)
+    with pytest.raises(FileNotFoundError):
+        load_jsonl_partitioned(out, "lang")
