@@ -1238,13 +1238,24 @@ def neardup_clusters_sql(threshold: float = 0.6, df_cap: int = 1000) -> str:
 # End-to-end dedup apply: materialize the deduplicated corpus
 # ---------------------------------------------------------------------------
 
+_REMOVAL_IDS_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def removal_ids(sf_dir: str, threshold: float = 0.6,
                 df_cap: int = 1000) -> np.ndarray:
     """Sorted unique doc_ids the dedup passes remove (exact md5 groups'
     non-min members + near-dup cluster non-keepers) — the broadcast side
     of every dedup apply, bounded by dup volume, never corpus size.
-    Shared by ``documents_deduped`` and the composed flagship pipeline."""
+    Shared by ``documents_deduped`` and the composed flagship pipeline,
+    so the result (a plain numpy array, no object-store handles) is
+    memoized per corpus content + params like the shingle dataset —
+    a sweep that runs both consumers pays the dedup pipelines once."""
     import ray
+
+    ck = (*_docs_key(sf_dir), threshold, df_cap)
+    cached = _REMOVAL_IDS_CACHE.get(ck)
+    if cached is not None:
+        return cached
 
     def non_keepers(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -1267,7 +1278,9 @@ def removal_ids(sf_dir: str, threshold: float = 0.6,
     near_ids = clusters.filter(
         pc.not_equal(clusters["doc_id"], clusters["keeper_doc_id"])
     )["doc_id"].to_numpy()
-    return np.unique(np.concatenate([exact_ids, near_ids]).astype(np.int64))
+    out = np.unique(np.concatenate([exact_ids, near_ids]).astype(np.int64))
+    _memo_put(_REMOVAL_IDS_CACHE, ck, out)
+    return out
 
 
 def documents_deduped(sf_dir: str, threshold: float = 0.6,
