@@ -282,6 +282,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "embedding_similar_threshold": ann.similar_above_threshold,
         "documents_pii_scrub": textops.pii_scrub,
         "documents_decontamination": textops.decontamination_report,
+        "documents_packed": relational.pack_sequences,
         # rows-only (approximate/RNG — pytest-pinned to oracled exact twins)
         "events_user_hll": sketches.events_user_hll,
         "events_value_quantiles_sketch": sketches.events_value_quantiles_sketch,
@@ -590,5 +591,6 @@ def demoted_oracle_sql() -> dict[str, str]:
         "embedding_similar_threshold": ann.similar_above_threshold_sql(),
         "documents_pii_scrub": textops.pii_scrub_sql(),
         "documents_decontamination": textops.decontamination_sql(),
+        "documents_packed": relational.pack_sequences_sql(),
     })
     return demoted

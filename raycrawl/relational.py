@@ -846,6 +846,109 @@ def documents_shuffled_sql(seed: int = 7) -> str:
     """
 
 
+def pack_sequences(sf_dir: str, budget: int = 2048, seed: int = 7,
+                   bucket_bits: int = 8) -> pa.Table:
+    """Concat-and-chunk sequence packing — the pre-training step after the
+    reproducible shuffle: lay the shuffled corpus out as ONE conceptual
+    stream and cut it into fixed-``budget``-unit training sequences. Each
+    doc gets its stream ``start_off`` (exclusive prefix sum of lengths in
+    shuffle order), its first ``pack_id`` (start_off // budget) and
+    ``spans`` (how many packs the doc straddles) — exactly the assignment
+    a tokenizer worker needs to emit pack files independently.
+
+    Distributed shape — a global PREFIX SUM without a global sort:
+    the shuffle key is a uniform 32-bit hash, so its top ``bucket_bits``
+    bits range-partition the global order into 2^bits contiguous,
+    balanced buckets. Pass 1 computes per-bucket length totals as
+    map_batches partials (zero shuffle, 2^bits rows to the driver);
+    the driver's exclusive scan over ordered buckets (tiny) broadcasts
+    each bucket's stream offset. Pass 2 is ONE hash shuffle
+    (groupby(bucket)), each group cumsums its rows in shuffle order and
+    adds its bucket offset — no stage ever sees more than one bucket.
+    At 100 TB raise ``bucket_bits`` so a bucket fits a worker (uniform
+    hash ⇒ even buckets; 2^16 driver rows is still trivial).
+
+    Lengths are ``n_chars`` (the table's materialized length column) so
+    the SQL oracle (SUM() OVER the same key order) is exact."""
+    import ray
+
+    mod32 = np.uint64(1 << 32)
+    salt = np.uint64((seed * 2654435761) % (1 << 32))
+    shift = np.uint64(32 - bucket_bits)
+    nb = 1 << bucket_bits
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        h = (((ids % mod32) ^ salt) * np.uint64(2654435761)) % mod32
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "shuffle_key": pa.array(h.astype(np.int64)),
+            "bucket": pa.array((h >> shift).astype(np.int64)),
+        })
+
+    ds = (_t(sf_dir, "documents", ["doc_id", "n_chars"])
+          .map_batches(keyed, batch_format="pyarrow"))
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy()
+        ln = t["n_chars"].to_numpy()
+        tot = np.zeros(nb, dtype=np.int64)  # exact int accumulation
+        np.add.at(tot, b, ln.astype(np.int64))
+        nz = np.flatnonzero(tot)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "total": pa.array(tot[nz].astype(np.int64))})
+
+    parts = ds.map_batches(bucket_partial, batch_format="pyarrow").to_pandas()
+    totals = np.zeros(nb, dtype=np.int64)
+    np.add.at(totals, parts["bucket"].to_numpy(), parts["total"].to_numpy())
+    offsets = np.zeros(nb, dtype=np.int64)
+    np.cumsum(totals[:-1], out=offsets[1:])  # exclusive scan
+    off_ref = ray.put(offsets)
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("doc_id", "start_off",
+                                           "pack_id", "spans")})
+        g = g.sort_values(["shuffle_key", "doc_id"])
+        ln = g["n_chars"].to_numpy().astype(np.int64)
+        base = int(ray.get(off_ref)[int(g["bucket"].iloc[0])])
+        start = base + np.concatenate(([0], np.cumsum(ln[:-1])))
+        end = start + ln
+        pack = start // budget
+        last = np.maximum(end - 1, start) // budget  # len-0 docs span 1
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "start_off": start, "pack_id": pack,
+                             "spans": last - pack + 1})
+
+    out = (ds.groupby("bucket")
+             .map_groups(pack_group, batch_format="pandas")
+             .to_pandas()
+             .sort_values("start_off").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pack_sequences_sql(budget: int = 2048, seed: int = 7) -> str:
+    salt = (seed * 2654435761) % (1 << 32)
+    key = (f"CAST(xor(CAST(doc_id % 4294967296 AS BIGINT), {salt}) "
+           f"AS HUGEINT) * 2654435761 % 4294967296")
+    return f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(coalesce(SUM(n_chars) OVER (
+                 ORDER BY {key}, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS start_off
+      FROM documents)
+    SELECT doc_id, start_off,
+           start_off // {budget} AS pack_id,
+           greatest(start_off + n_chars - 1, start_off) // {budget}
+             - start_off // {budget} + 1 AS spans
+    FROM s ORDER BY start_off
+    """
+
+
 def events_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
     """Distributed EXACT quantiles per event_type — no sampling, no sketch.
 

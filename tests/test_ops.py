@@ -760,3 +760,25 @@ def test_pii_scrub_batch_matches_duckdb_on_edge_cases():
         assert list(got[c]) == list(want[c]), c
     # the planted spans were really found and removed (non-identity scrub)
     assert got["n_email"].sum() > 0 and got["n_phone"].sum() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_bucket_invariance():
+    """The distributed prefix sum's bucket count is a physical knob: the
+    packing assignment must be identical at any bucket_bits (the claim
+    that lets 100 TB raise it until a bucket fits a worker), and the
+    stream must be gapless: offsets are a permutation-free concatenation."""
+    from raycrawl.relational import pack_sequences
+
+    a = pack_sequences(SF, budget=512, bucket_bits=2).to_pandas()
+    b = pack_sequences(SF, budget=512, bucket_bits=10).to_pandas()
+    assert (a.values == b.values).all()
+    # gapless stream: sorted start_offs + lengths tile [0, total)
+    import pyarrow.parquet as pq
+
+    ln = (pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "n_chars"]).to_pandas()
+          .set_index("doc_id").loc[a["doc_id"]]["n_chars"].to_numpy())
+    ends = a["start_off"].to_numpy() + ln
+    assert a["start_off"].iloc[0] == 0
+    assert (a["start_off"].to_numpy()[1:] == ends[:-1]).all()
