@@ -24,6 +24,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 GAP_MINUTES = 30
 
@@ -130,9 +131,9 @@ def purchase_asof_click(sf_dir: str) -> pa.Table:
         uid = int(g["user_id"][0].as_py())
         ts = _ts_us(g["ts"])
         eid = g["event_id"].to_numpy(zero_copy_only=False)
-        typ = g["event_type"].to_pylist()
-        is_p = np.fromiter((t == "purchase" for t in typ), bool, len(typ))
-        is_c = np.fromiter((t == "click" for t in typ), bool, len(typ))
+        typ = g["event_type"]
+        is_p = pc.equal(typ, "purchase").to_numpy(zero_copy_only=False)
+        is_c = pc.equal(typ, "click").to_numpy(zero_copy_only=False)
         empty = pa.table(
             {"purchase_event_id": pa.array([], pa.int64()),
              "user_id": pa.array([], pa.int64()),

@@ -801,7 +801,7 @@ def decontamination_report(sf_dir: str, k: int = 4, benchmark_mod: int = 97):
         sel = ids % benchmark_mod == 0
         if not sel.any():
             return pa.table({"h": pa.array([], pa.uint64())})
-        texts = [x for x, s in zip(t["text"].to_pylist(), sel) if s]
+        texts = t["text"].filter(pa.array(sel)).to_pylist()
         h, _ = md5_gram_hashes(texts, k)
         return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
 
@@ -815,7 +815,7 @@ def decontamination_report(sf_dir: str, k: int = 4, benchmark_mod: int = 97):
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         keep = ids % benchmark_mod != 0
         ids = ids[keep]
-        texts = [x for x, s in zip(t["text"].to_pylist(), keep) if s]
+        texts = t["text"].filter(pa.array(keep)).to_pylist()
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "n_bench_grams_hit": pa.array([], pa.int64())})
         if len(texts) == 0 or len(bench_sorted) == 0:
