@@ -105,16 +105,20 @@ def export_jsonl_partitioned(ds, out_dir: str, partition_col: str,
     done_ref = ray.put(sorted(done))
 
     def add_shard_and_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
         shard = _shard_of(t[shard_key_col], num_shards)
         t = t.append_column("__shard", pa.array(shard, pa.int64()))
-        committed = set(ray.get(done_ref))
+        committed = ray.get(done_ref)
         if not committed:
             return t
-        vals = t[partition_col].to_pylist()
-        keep = np.fromiter(
-            ((str(v), int(s)) not in committed for v, s in zip(vals, shard)),
-            bool, len(vals))
-        return t.filter(pa.array(keep))
+        # vectorized membership on a composed "value\x00shard" key — the
+        # resume filter runs over the FULL corpus, so no per-row Python
+        row_key = pc_.binary_join_element_wise(
+            pc_.cast(t[partition_col], pa.string()),
+            pa.array(shard.astype(str), pa.string()), "\x00")
+        done_keys = pa.array([f"{v}\x00{s}" for v, s in committed])
+        return t.filter(pc_.invert(pc_.is_in(row_key, value_set=done_keys)))
 
     def write_shard(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
