@@ -135,8 +135,12 @@ def export_jsonl_partitioned(ds, out_dir: str, partition_col: str,
         with open(tmp, "wb") as f:
             f.write(_dump_rows(body.to_dict(orient="records")))
         os.replace(tmp, final)
-        with open(os.path.join(pdir, f"_OK.{shard}"), "w") as f:
+        # marker is atomic too: a crash mid-write must not leave a truncated
+        # _OK.N that finalize's json.load would choke on during resume
+        mtmp = os.path.join(pdir, f".tmp-ok-{uuid.uuid4().hex}")
+        with open(mtmp, "w") as f:
             json.dump({"rows": int(len(body))}, f)
+        os.replace(mtmp, os.path.join(pdir, f"_OK.{shard}"))
         return pd.DataFrame({"value": [str(value)], "shard": [shard],
                              "rows": [len(body)]})
 
