@@ -283,6 +283,8 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "documents_pii_scrub": textops.pii_scrub,
         "documents_decontamination": textops.decontamination_report,
         "documents_packed": relational.pack_sequences,
+        "documents_lm_familiarity": textops.lm_familiarity_scores,
+        "documents_mixture_sample": relational.documents_mixture_sample,
         # rows-only (approximate/RNG — pytest-pinned to oracled exact twins)
         "events_user_hll": sketches.events_user_hll,
         "events_value_quantiles_sketch": sketches.events_value_quantiles_sketch,
@@ -592,5 +594,7 @@ def demoted_oracle_sql() -> dict[str, str]:
         "documents_pii_scrub": textops.pii_scrub_sql(),
         "documents_decontamination": textops.decontamination_sql(),
         "documents_packed": relational.pack_sequences_sql(),
+        "documents_lm_familiarity": textops.lm_familiarity_sql(),
+        "documents_mixture_sample": relational.documents_mixture_sample_sql(),
     })
     return demoted

@@ -1461,3 +1461,71 @@ def revenue_by_brand_sql() -> str:
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand ORDER BY p_brand
     """
+
+
+# default mixture: a deterministic, intentionally non-uniform rate table
+# over the synthetic source ids (basis points of 10000) — srcN keeps
+# 20/40/60/80% by N mod 4, the shape of a real per-source mixture spec
+_MIXTURE_BP = {f"src{i}": 2000 * (i % 4 + 1) for i in range(20)}
+
+
+def documents_mixture_sample(sf_dir: str, rates_bp: dict | None = None,
+                             seed: int = 11) -> pa.Table:
+    """Per-source mixture sampling — the "data mixing" step that reweights
+    a multi-source corpus toward target proportions (The Pile, LLaMA and
+    DoReMi all train on explicit per-source sampling rates rather than
+    the raw crawl mix). Each source gets an independent keep-rate in
+    basis points (``rates_bp``, /10000; unlisted sources keep
+    everything), applied as a deterministic seed-salted Bernoulli draw:
+    keep iff Knuth-hash(doc_id ^ salt) mod 2^32 < rate·2^32/10000.
+
+    Same exactness algebra as ``documents_hash_sample`` (mod-2^32
+    reduction before the multiply keeps numpy uint64 and the oracle's
+    HUGEINT exact for every doc_id < 2^63), salted like
+    ``documents_shuffled`` so sample draws are independent of the
+    shuffle's permutation. Embarrassingly parallel: the rate table is a
+    tiny in-closure dict (a broadcast artifact at real scale), the pass
+    is one stateless zero-shuffle ``map_batches`` filter — sampling
+    rates, not shuffles, are the mixture's cost."""
+    rates = _MIXTURE_BP if rates_bp is None else rates_bp
+    mod32 = np.uint64(1 << 32)
+    salt = np.uint64((seed * 2654435761) % (1 << 32))
+    src_list = sorted(rates)
+    thresh = np.array([(1 << 32) * int(rates[s]) // 10000
+                       for s in src_list] + [1 << 32], dtype=np.uint64)
+    src_arr = pa.array(src_list, pa.string())
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        h = (((ids % mod32) ^ salt) * np.uint64(2654435761)) % mod32
+        idx = pc.index_in(t["source"], value_set=src_arr)
+        idx = idx.fill_null(len(src_list)).to_numpy().astype(np.int64)
+        return t.filter(pa.array(h < thresh[idx]))
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def documents_mixture_sample_sql(rates_bp: dict | None = None,
+                                 seed: int = 11) -> str:
+    rates = _MIXTURE_BP if rates_bp is None else rates_bp
+    salt = (seed * 2654435761) % (1 << 32)
+    rows = ", ".join(f"('{s}', {(1 << 32) * int(bp) // 10000})"
+                     for s, bp in sorted(rates.items()))
+    return f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents d
+    LEFT JOIN (VALUES {rows}) m(m_source, thresh) ON d.source = m.m_source
+    WHERE (CAST(xor(CAST(doc_id % 4294967296 AS BIGINT), {salt})
+                AS HUGEINT) * 2654435761) % 4294967296
+          < coalesce(thresh, 4294967296)
+    ORDER BY doc_id
+    """

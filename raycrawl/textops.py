@@ -868,3 +868,114 @@ def decontamination_sql(k: int = 4, benchmark_mod: int = 97) -> str:
     WHERE doc_id % {benchmark_mod} <> 0
     GROUP BY doc_id ORDER BY doc_id
     """
+
+
+def lm_familiarity_scores(sf_dir: str, ref_mod: int = 13, k: int = 2):
+    """Integer-exact analogue of the CCNet/KenLM language-model quality
+    filter (Wenzek et al. 2020 train a 5-gram KenLM on Wikipedia and rank
+    corpus docs by perplexity; RedPajama/CCNet keep the low-perplexity
+    head). The model here is a word-bigram count table trained on the
+    deterministic reference slice ``doc_id % ref_mod == 0`` (standing in
+    for the curated LM corpus); every document is scored with three exact
+    integer statistics a perplexity filter thresholds on:
+
+    - ``n_bigrams``       — the doc's bigram count (its length signal);
+    - ``n_known_bigrams`` — bigrams present in the reference model
+      (1 − known/total is the OOV rate, the filter's first axis);
+    - ``sum_ref_count``   — Σ model-count over the doc's bigram
+      occurrences (the unnormalized familiarity mass — the monotone
+      integer stand-in for Σ log p(w_i|w_{i-1}), kept as exact counts so
+      the DuckDB oracle hash-matches bit-for-bit; a real deployment would
+      apply log/normalize driver-side after this distributed pass).
+
+    100 TB shape — the same broadcast-asymmetric join as the
+    decontamination pass: the trained model is a fixed-size artifact
+    (KenLM's .arpa is, too), so its (hash, count) table is aggregated
+    once, sorted, and ``ray.put``-broadcast; scoring is one zero-shuffle
+    ``map_batches`` pass over the corpus (segmented gram hash +
+    ``searchsorted`` + two ``np.add.at`` accumulations per batch). At
+    real scale cap the model vocabulary (top-N by count) before the
+    broadcast — the statistics stay exact for the capped model. Gram
+    semantics and md5_u64 hashing are shared with the dedup lane
+    (``kernels.md5_gram_hashes``)."""
+    import ray
+
+    from raycrawl.kernels import md5_gram_hashes
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def ref_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = ids % ref_mod == 0
+        if not sel.any():
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "c": pa.array([], pa.int64())})
+        texts = t["text"].filter(pa.array(sel)).to_pylist()
+        h, _ = md5_gram_hashes(texts, k)  # multiplicity kept — LM counts
+        hu, cu = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(hu, pa.uint64()),
+                         "c": pa.array(cu.astype(np.int64), pa.int64())})
+
+    parts = (docs.map_batches(ref_partial, batch_format="pyarrow")
+             .to_pandas())
+    ph = parts["h"].to_numpy().astype(np.uint64)
+    pc_ = parts["c"].to_numpy().astype(np.int64)
+    model_h, inv = np.unique(ph, return_inverse=True)
+    model_c = np.zeros(len(model_h), dtype=np.int64)
+    np.add.at(model_c, inv, pc_)
+    model_ref = ray.put((model_h, model_c))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        mh, mc = ray.get(model_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        h, offs = md5_gram_hashes(texts, k)
+        n_bigrams = np.diff(offs)
+        known = np.zeros(n, dtype=np.int64)
+        mass = np.zeros(n, dtype=np.int64)
+        if len(h) and len(mh):
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_bigrams)
+            pos = np.searchsorted(mh, h)
+            pos_c = np.minimum(pos, len(mh) - 1)
+            hit = mh[pos_c] == h
+            np.add.at(known, doc_idx[hit], 1)
+            np.add.at(mass, doc_idx[hit], mc[pos_c[hit]])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(n_bigrams, pa.int64()),
+            "n_known_bigrams": pa.array(known, pa.int64()),
+            "sum_ref_count": pa.array(mass, pa.int64()),
+        })
+
+    out = (docs.map_batches(score_batch, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def lm_familiarity_sql(ref_mod: int = 13, k: int = 2) -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(CASE WHEN len(toks) < {k}
+                             THEN [array_to_string(toks, ' ')]
+                             ELSE list_transform(range(1, len(toks) - {k} + 2),
+                                                 i -> array_to_string(toks[i:i+{k - 1}], ' '))
+                        END) AS gr
+          FROM t),
+    ref AS (SELECT gr, CAST(count(*) AS BIGINT) AS c FROM g
+            WHERE doc_id % {ref_mod} = 0 GROUP BY gr),
+    sc AS (SELECT g.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(count(ref.gr) AS BIGINT) AS n_known_bigrams,
+                  CAST(coalesce(sum(ref.c), 0) AS BIGINT) AS sum_ref_count
+           FROM g LEFT JOIN ref ON g.gr = ref.gr
+           GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(s.n_known_bigrams, 0) AS BIGINT) AS n_known_bigrams,
+           CAST(coalesce(s.sum_ref_count, 0) AS BIGINT) AS sum_ref_count
+    FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """

@@ -782,3 +782,86 @@ def test_pack_sequences_bucket_invariance():
     ends = a["start_off"].to_numpy() + ln
     assert a["start_off"].iloc[0] == 0
     assert (a["start_off"].to_numpy()[1:] == ends[:-1]).all()
+
+
+def test_lm_familiarity_adversarial_edges_match_oracle(tmp_path):
+    """CCNet-analogue LM familiarity vs the DuckDB twin on adversarial
+    shapes: the ref doc itself scored, 1-token docs (whole-text gram),
+    within-doc repeated bigrams (multiplicity counted in the mass), docs
+    fully OOV vs the model, and the degenerate tiny-model regime."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raycrawl.textops import lm_familiarity_scores, lm_familiarity_sql
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array([
+            "the cat sat on the mat",       # doc 0 -> ref slice (0 % 13 == 0)
+            "the cat sat quietly",           # shares "the cat", "cat sat"
+            "word",                          # 1 token: whole-text gram
+            "the cat the cat the cat",       # repeated known bigram
+            "zz yy xx ww",                   # fully OOV
+            "on the mat",                    # two known bigrams
+        ], pa.string()),
+    })
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    pq.write_table(docs, d + "/documents.parquet")
+    got = lm_familiarity_scores(d).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = con.execute(lm_familiarity_sql()).arrow().to_pandas()
+    for c in want.columns:
+        got[c] = got[c].astype("int64")
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    by = got.set_index("doc_id")
+    # the ref doc is known to itself everywhere
+    assert by.loc[0, "n_bigrams"] == by.loc[0, "n_known_bigrams"] == 5
+    # "the cat the cat the cat": 5 bigrams, "the cat"(x3 in doc, count 1
+    # in model... model has "the cat" once from doc 0) + "cat the"(x2, OOV)
+    assert by.loc[3, "n_known_bigrams"] == 3
+    assert by.loc[3, "sum_ref_count"] == 3
+    # fully OOV doc scores zero mass
+    assert by.loc[4, "n_known_bigrams"] == 0 == by.loc[4, "sum_ref_count"]
+
+
+def test_mixture_sample_rates_and_unknown_source(tmp_path):
+    """Per-source mixture sampling: each source's keep set is exactly the
+    hash rule's (oracle-checked by the demoted sweep); here pin the edge
+    semantics — rate 0 drops everything, rate 10000 and UNLISTED sources
+    keep everything, and the draw is doc_id-deterministic across calls."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raycrawl.relational import documents_mixture_sample
+
+    n = 400
+    docs = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(["t"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(
+            [("drop", "keep", "half", "mystery")[i % 4] for i in range(n)],
+            pa.string()),
+        "n_chars": pa.array([1] * n, pa.int64()),
+    })
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    pq.write_table(docs, d + "/documents.parquet")
+    rates = {"drop": 0, "keep": 10000, "half": 5000}
+    got = documents_mixture_sample(d, rates_bp=rates).to_pandas()
+    per = got.groupby("source").size()
+    assert "drop" not in per.index
+    assert per["keep"] == 100        # rate 10000 keeps all
+    assert per["mystery"] == 100     # unlisted source keeps all
+    assert 20 <= per["half"] <= 80   # ~50% Bernoulli at n=100
+    again = documents_mixture_sample(d, rates_bp=rates).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
