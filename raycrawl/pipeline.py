@@ -39,7 +39,11 @@ from raycrawl.textops import quality_score_batch
 
 def _clean_keyed_dataset(sf_dir: str, threshold: float, df_cap: int,
                          min_quality: float, seed: int, columns: list[str],
-                         substring_k: int | None = None):
+                         substring_k: int | None = None,
+                         mixture_bp: dict | None = None,
+                         mixture_seed: int = 11,
+                         lm_min_known_ppm: int | None = None,
+                         lm_ref_mod: int = 13):
     """documents -> (dedup + optional substring scrub + quality filter +
     shuffle key) in one fused map_batches pass; returns the UNSORTED
     Dataset (the caller decides whether to pay the global sort or let the
@@ -49,7 +53,15 @@ def _clean_keyed_dataset(sf_dir: str, threshold: float, df_cap: int,
     k-word-gram spans are scrubbed from surviving docs' text BEFORE
     quality scoring (dedup.substring_* semantics; the scrub's removal set
     broadcasts like the doc-level one, bounded by duplicated-span
-    volume)."""
+    volume). Two more opt-in gates, both broadcast-shaped so the fused
+    pass stays zero-shuffle: ``mixture_bp`` applies the per-source
+    Bernoulli of ``relational.documents_mixture_sample`` (reads the
+    ``source`` column; its draw is salted by ``mixture_seed``,
+    independent of the shuffle's), and ``lm_min_known_ppm`` keeps only
+    docs whose known-bigram ratio against the ``textops.lm_bigram_model``
+    reference model is at least that many parts-per-million (the
+    CCNet-style LM gate; scored on the batch's CURRENT text, i.e. after
+    a substring scrub when both are enabled; zero-bigram docs pass)."""
     import ray
 
     from raycrawl.dedup import _scrub_norm_texts, substring_removal_packed
@@ -57,9 +69,15 @@ def _clean_keyed_dataset(sf_dir: str, threshold: float, df_cap: int,
     rm_ref = ray.put(removal_ids(sf_dir, threshold, df_cap))
     sub_ref = (ray.put(substring_removal_packed(sf_dir, substring_k))
                if substring_k else None)
+    lm_ref = None
+    if lm_min_known_ppm is not None:
+        from raycrawl.textops import lm_bigram_model
+
+        lm_ref = ray.put(lm_bigram_model(sf_dir, ref_mod=lm_ref_mod))
     mod32 = np.uint64(1 << 32)
     salt = np.uint64((seed * 2654435761) % (1 << 32))
-    read_cols = sorted({"doc_id", "text", *columns})
+    read_cols = sorted({"doc_id", "text",
+                        *(("source",) if mixture_bp else ()), *columns})
 
     def clean(t: pa.Table) -> pa.Table:
         rm = ray.get(rm_ref)
@@ -67,6 +85,11 @@ def _clean_keyed_dataset(sf_dir: str, threshold: float, df_cap: int,
             ids = t["doc_id"].to_numpy()
             pos = np.clip(np.searchsorted(rm, ids), 0, len(rm) - 1)
             t = t.filter(pa.array(rm[pos] != ids))
+        if mixture_bp:
+            from raycrawl.relational import mixture_keep_mask
+
+            t = t.filter(pa.array(mixture_keep_mask(t, mixture_bp,
+                                                    mixture_seed)))
         if sub_ref is not None:
             import polars as pl
 
@@ -93,6 +116,13 @@ def _clean_keyed_dataset(sf_dir: str, threshold: float, df_cap: int,
                     texts[int(i)] = scrubbed[j]
                 t = t.set_column(t.schema.get_field_index("text"), "text",
                                  pa.array(texts, pa.string()))
+        if lm_ref is not None:
+            from raycrawl.textops import lm_known_counts
+
+            mh, mc = ray.get(lm_ref)
+            nb, known, _mass = lm_known_counts(t["text"].to_pylist(), mh, mc)
+            # integer-exact ratio test: known/nb >= ppm/1e6
+            t = t.filter(pa.array(known * 1_000_000 >= lm_min_known_ppm * nb))
         q = quality_score_batch(t)["quality"].to_numpy()
         t = t.append_column("quality", pa.array(q))
         t = t.filter(pa.array(q >= min_quality))
@@ -171,7 +201,11 @@ def training_corpus_sql(threshold: float = 0.6, df_cap: int = 1000,
 def run_training_pipeline(sf_dir: str, out_dir: str, threshold: float = 0.6,
                           df_cap: int = 1000, min_quality: float = 0.52,
                           seed: int = 7, num_shards: int = 8,
-                          substring_k: int | None = None) -> dict:
+                          substring_k: int | None = None,
+                          mixture_bp: dict | None = None,
+                          mixture_seed: int = 11,
+                          lm_min_known_ppm: int | None = None,
+                          lm_ref_mod: int = 13) -> dict:
     """The shipping path: clean (dedup + quality + shuffle key) and export
     as lang-partitioned JSONL WITH the text payload. The global sort is
     deliberately skipped here — the export's content-hash routing shuffle
@@ -183,7 +217,11 @@ def run_training_pipeline(sf_dir: str, out_dir: str, threshold: float = 0.6,
 
     ds = _clean_keyed_dataset(sf_dir, threshold, df_cap, min_quality, seed,
                               columns=["doc_id", "lang", "text"],
-                              substring_k=substring_k)
+                              substring_k=substring_k,
+                              mixture_bp=mixture_bp,
+                              mixture_seed=mixture_seed,
+                              lm_min_known_ppm=lm_min_known_ppm,
+                              lm_ref_mod=lm_ref_mod)
     return export_jsonl_partitioned(ds, out_dir, partition_col="lang",
                                     shard_key_col="doc_id",
                                     num_shards=num_shards)

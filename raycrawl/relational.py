@@ -1469,6 +1469,25 @@ def revenue_by_brand_sql() -> str:
 _MIXTURE_BP = {f"src{i}": 2000 * (i % 4 + 1) for i in range(20)}
 
 
+def mixture_keep_mask(t: pa.Table, rates_bp: dict, seed: int = 11):
+    """Boolean keep-mask of the per-source Bernoulli draw over a batch
+    with ``doc_id`` and ``source`` columns — the vectorized kernel shared
+    by ``documents_mixture_sample`` and the training pipeline's opt-in
+    mixture stage. Unlisted sources keep everything."""
+    import pyarrow.compute as pc
+
+    mod32 = np.uint64(1 << 32)
+    salt = np.uint64((seed * 2654435761) % (1 << 32))
+    src_list = sorted(rates_bp)
+    thresh = np.array([(1 << 32) * int(rates_bp[s]) // 10000
+                       for s in src_list] + [1 << 32], dtype=np.uint64)
+    ids = t["doc_id"].to_numpy().astype(np.uint64)
+    h = (((ids % mod32) ^ salt) * np.uint64(2654435761)) % mod32
+    idx = pc.index_in(t["source"], value_set=pa.array(src_list, pa.string()))
+    idx = idx.fill_null(len(src_list)).to_numpy().astype(np.int64)
+    return h < thresh[idx]
+
+
 def documents_mixture_sample(sf_dir: str, rates_bp: dict | None = None,
                              seed: int = 11) -> pa.Table:
     """Per-source mixture sampling — the "data mixing" step that reweights
@@ -1488,21 +1507,9 @@ def documents_mixture_sample(sf_dir: str, rates_bp: dict | None = None,
     is one stateless zero-shuffle ``map_batches`` filter — sampling
     rates, not shuffles, are the mixture's cost."""
     rates = _MIXTURE_BP if rates_bp is None else rates_bp
-    mod32 = np.uint64(1 << 32)
-    salt = np.uint64((seed * 2654435761) % (1 << 32))
-    src_list = sorted(rates)
-    thresh = np.array([(1 << 32) * int(rates[s]) // 10000
-                       for s in src_list] + [1 << 32], dtype=np.uint64)
-    src_arr = pa.array(src_list, pa.string())
 
     def pick(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ids = t["doc_id"].to_numpy().astype(np.uint64)
-        h = (((ids % mod32) ^ salt) * np.uint64(2654435761)) % mod32
-        idx = pc.index_in(t["source"], value_set=src_arr)
-        idx = idx.fill_null(len(src_list)).to_numpy().astype(np.int64)
-        return t.filter(pa.array(h < thresh[idx]))
+        return t.filter(pa.array(mixture_keep_mask(t, rates, seed)))
 
     out = (
         _t(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])

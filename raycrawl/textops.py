@@ -870,6 +870,40 @@ def decontamination_sql(k: int = 4, benchmark_mod: int = 97) -> str:
     """
 
 
+def lm_bigram_model(sf_dir: str, ref_mod: int = 13,
+                    k: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """Train the word-k-gram count model on the deterministic reference
+    slice ``doc_id % ref_mod == 0``: one zero-shuffle ``map_batches`` of
+    per-batch (hash, count) partials, combined exactly on the driver.
+    Returns ``(sorted uint64 hashes, int64 counts)`` — the fixed-size
+    broadcast artifact both ``lm_familiarity_scores`` and the training
+    pipeline's opt-in LM gate share."""
+    from raycrawl.kernels import md5_gram_hashes
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def ref_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = ids % ref_mod == 0
+        if not sel.any():
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "c": pa.array([], pa.int64())})
+        texts = t["text"].filter(pa.array(sel)).to_pylist()
+        h, _ = md5_gram_hashes(texts, k)  # multiplicity kept — LM counts
+        hu, cu = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(hu, pa.uint64()),
+                         "c": pa.array(cu.astype(np.int64), pa.int64())})
+
+    parts = (docs.map_batches(ref_partial, batch_format="pyarrow")
+             .to_pandas())
+    ph = parts["h"].to_numpy().astype(np.uint64)
+    pc_ = parts["c"].to_numpy().astype(np.int64)
+    model_h, inv = np.unique(ph, return_inverse=True)
+    model_c = np.zeros(len(model_h), dtype=np.int64)
+    np.add.at(model_c, inv, pc_)
+    return model_h, model_c
+
+
 def lm_familiarity_scores(sf_dir: str, ref_mod: int = 13, k: int = 2):
     """Integer-exact analogue of the CCNet/KenLM language-model quality
     filter (Wenzek et al. 2020 train a 5-gram KenLM on Wikipedia and rank
@@ -903,44 +937,13 @@ def lm_familiarity_scores(sf_dir: str, ref_mod: int = 13, k: int = 2):
     from raycrawl.kernels import md5_gram_hashes
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-
-    def ref_partial(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sel = ids % ref_mod == 0
-        if not sel.any():
-            return pa.table({"h": pa.array([], pa.uint64()),
-                             "c": pa.array([], pa.int64())})
-        texts = t["text"].filter(pa.array(sel)).to_pylist()
-        h, _ = md5_gram_hashes(texts, k)  # multiplicity kept — LM counts
-        hu, cu = np.unique(h, return_counts=True)
-        return pa.table({"h": pa.array(hu, pa.uint64()),
-                         "c": pa.array(cu.astype(np.int64), pa.int64())})
-
-    parts = (docs.map_batches(ref_partial, batch_format="pyarrow")
-             .to_pandas())
-    ph = parts["h"].to_numpy().astype(np.uint64)
-    pc_ = parts["c"].to_numpy().astype(np.int64)
-    model_h, inv = np.unique(ph, return_inverse=True)
-    model_c = np.zeros(len(model_h), dtype=np.int64)
-    np.add.at(model_c, inv, pc_)
-    model_ref = ray.put((model_h, model_c))
+    model_ref = ray.put(lm_bigram_model(sf_dir, ref_mod, k))
 
     def score_batch(t: pa.Table) -> pa.Table:
         mh, mc = ray.get(model_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_pylist()
-        n = len(texts)
-        h, offs = md5_gram_hashes(texts, k)
-        n_bigrams = np.diff(offs)
-        known = np.zeros(n, dtype=np.int64)
-        mass = np.zeros(n, dtype=np.int64)
-        if len(h) and len(mh):
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_bigrams)
-            pos = np.searchsorted(mh, h)
-            pos_c = np.minimum(pos, len(mh) - 1)
-            hit = mh[pos_c] == h
-            np.add.at(known, doc_idx[hit], 1)
-            np.add.at(mass, doc_idx[hit], mc[pos_c[hit]])
+        n_bigrams, known, mass = lm_known_counts(
+            t["text"].to_pylist(), mh, mc, k)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "n_bigrams": pa.array(n_bigrams, pa.int64()),
@@ -951,6 +954,28 @@ def lm_familiarity_scores(sf_dir: str, ref_mod: int = 13, k: int = 2):
     out = (docs.map_batches(score_batch, batch_format="pyarrow")
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def lm_known_counts(texts: list, mh: np.ndarray, mc: np.ndarray,
+                    k: int = 2) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc (n_bigrams, n_known_bigrams, sum_ref_count) against a
+    sorted model — the vectorized batch kernel shared by the familiarity
+    query and the training pipeline's LM gate."""
+    from raycrawl.kernels import md5_gram_hashes
+
+    n = len(texts)
+    h, offs = md5_gram_hashes(texts, k)
+    n_bigrams = np.diff(offs)
+    known = np.zeros(n, dtype=np.int64)
+    mass = np.zeros(n, dtype=np.int64)
+    if len(h) and len(mh):
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_bigrams)
+        pos = np.searchsorted(mh, h)
+        pos_c = np.minimum(pos, len(mh) - 1)
+        hit = mh[pos_c] == h
+        np.add.at(known, doc_idx[hit], 1)
+        np.add.at(mass, doc_idx[hit], mc[pos_c[hit]])
+    return n_bigrams, known, mass
 
 
 def lm_familiarity_sql(ref_mod: int = 13, k: int = 2) -> str:

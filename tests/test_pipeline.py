@@ -125,3 +125,33 @@ def test_training_pipeline_substring_scrub_stage(tmp_path):
     got_md5 = md5_u64_arrow(pa.array(back.text.tolist(), pa.string()))
     assert (got_md5 == cert.loc[back.doc_id, "kept_md5"].to_numpy()).all()
     assert cert.loc[1, "n_removed_words"] == 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_training_pipeline_mixture_and_lm_gate_stages(tmp_path):
+    """The opt-in mixture + LM gates compose: the exported doc set must be
+    exactly (default-pipeline kept set) ∩ (mixture sample) ∩ (LM-ratio
+    pass) — each side independently certified against its own DuckDB
+    oracle elsewhere — and the carried shuffle order must be untouched."""
+    from raycrawl.io_sinks import read_back_jsonl
+    from raycrawl.pipeline import run_training_pipeline, training_corpus_sql
+    from raycrawl.relational import documents_mixture_sample
+    from raycrawl.textops import lm_familiarity_scores
+
+    rates = {f"src{i}": (0 if i % 5 == 0 else 6000) for i in range(20)}
+    ppm = 200_000  # keep docs with >= 20% known bigrams
+
+    out = str(tmp_path / "corpus")
+    run_training_pipeline(SF, out, num_shards=2, mixture_bp=rates,
+                          lm_min_known_ppm=ppm)
+    got = set(read_back_jsonl(out)["doc_id"].to_pylist())
+
+    base = set(_oracle(training_corpus_sql())["doc_id"])
+    mix = set(documents_mixture_sample(SF, rates_bp=rates)
+              .to_pandas()["doc_id"])
+    lm = lm_familiarity_scores(SF).to_pandas()
+    lm_ok = set(lm.loc[lm["n_known_bigrams"] * 1_000_000
+                       >= ppm * lm["n_bigrams"], "doc_id"])
+    want = base & mix & lm_ok
+    assert got == want
+    assert 0 < len(got) < len(base), "gates were no-ops on the tiny corpus"
