@@ -155,3 +155,31 @@ def test_training_pipeline_mixture_and_lm_gate_stages(tmp_path):
     want = base & mix & lm_ok
     assert got == want
     assert 0 < len(got) < len(base), "gates were no-ops on the tiny corpus"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_export_command_round_trips(tmp_path, capsys):
+    """`python -m raycrawl export` ships the training pipeline as a Ray
+    job: one JSON summary line, a committed export tree, and back-compat —
+    the flat round-3 crawl invocation still parses as the crawl command."""
+    import json
+
+    from raycrawl.__main__ import _build_parser, main
+    from raycrawl.io_sinks import read_back_jsonl
+    from raycrawl.pipeline import training_corpus_sql
+
+    out = str(tmp_path / "corpus")
+    rc = main(["export", "--sf-dir", SF, "--out", out, "--num-shards", "2"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ora = _oracle(training_corpus_sql())
+    assert summary["partitions"] == {
+        str(k): int(v) for k, v in ora.groupby("lang").size().items()}
+    assert summary["rows"] == len(ora)
+    got = read_back_jsonl(out).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(ora["doc_id"])
+
+    flat = _build_parser().parse_args(
+        ["crawl", "--corpus", "c", "--seed", "s", "--depth", "2",
+         "--ckpt", "k"])
+    assert flat.cmd == "crawl" and flat.depth == 2
