@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from raycrawl.kernels import list_matrix
+from raycrawl.kernels import list_matrix, table_from_pandas
 
 _rng = np.random.default_rng(0x5EED)
 _N_PLANES = 6
@@ -34,9 +34,10 @@ def _planes(dim: int) -> np.ndarray:
 
 
 def _t(sf_dir: str, name: str, columns=None):
-    import ray.data as rd
+    from raycrawl.kernels import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
+                              columns=columns)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -131,7 +132,7 @@ def similar_above_threshold(sf_dir: str, query_id: int = 0,
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "cos": pa.array([], pa.float64())})
     out = out.sort_values("vec_id")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def similar_above_threshold_sql(query_id: int = 0, threshold: float = 0.2) -> str:
@@ -574,7 +575,7 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 4) -> pa.Table:
 
     out = (quant.map_batches(final_assign, batch_format="pyarrow")
            .sort("vec_id").to_pandas())
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def _kmeans_ctes(k: int, iters: int) -> str:

@@ -39,7 +39,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from raycrawl.kernels import list_matrix, md5_u64
+from raycrawl.kernels import list_matrix, md5_u64, table_from_pandas
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 N_PERM = 64
@@ -59,9 +59,10 @@ _POPCNT8 = np.unpackbits(
 
 
 def _t(sf_dir: str, name: str, columns=None):
-    import ray.data as rd
+    from raycrawl.kernels import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
+                              columns=columns)
 
 
 def _join_parts() -> int:
@@ -108,7 +109,7 @@ def exact_dedup_groups(sf_dir: str) -> pa.Table:
         .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
                    Count(alias_name="n_copies"))
     )
-    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    t = table_from_pandas(agg.to_pandas())
     return t.set_column(
         t.schema.get_field_index("n_copies"), "n_copies", t["n_copies"].cast(pa.int64())
     )
@@ -454,7 +455,7 @@ def _verify_pairs_by_count(cand, sh, threshold: float,
              "jaccard": pa.array([], pa.float64())}
         )
     out = out.sort_values(["a", "b"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def _verify_pairs(cand, sh, threshold: float) -> pa.Table:
@@ -553,7 +554,7 @@ def _verify_pairs(cand, sh, threshold: float) -> pa.Table:
              "jaccard": pa.array([], pa.float64())}
         )
     out = out.sort_values(["a", "b"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def minhash_neardup_pairs(sf_dir: str, threshold: float = 0.6) -> pa.Table:
@@ -894,7 +895,7 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3,
              "hamming": pa.array([], pa.int64())}
         )
     pairs = pairs.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
-    return pa.Table.from_pandas(pairs, preserve_index=False)
+    return table_from_pandas(pairs)
 
 
 def simhash_neardup_sql(max_hamming: int = 3) -> str:
@@ -994,7 +995,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45,
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
     out = out.sort_values(["a", "b"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def embedding_neardup_sql(threshold: float = 0.45) -> str:
@@ -1100,7 +1101,7 @@ def embedding_neardup_pairs_lsh(sf_dir: str, threshold: float = 0.45) -> pa.Tabl
         return empty
     # cross-table pair dedup; the pair set is the (small) final result
     out = out.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def embedding_neardup_lsh_sql(threshold: float = 0.45, dim: int = 64) -> str:
@@ -1321,7 +1322,7 @@ def documents_deduped(sf_dir: str, threshold: float = 0.6,
         .sort("doc_id")
         .to_pandas()
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def documents_deduped_sql(threshold: float = 0.6, df_cap: int = 1000) -> str:
@@ -1456,7 +1457,7 @@ def label_components_distributed(pairs: pa.Table, max_rounds: int = 64):
     if not converged:
         raise RuntimeError(
             f"label propagation did not converge in {max_rounds} rounds")
-    out = pa.Table.from_pandas(labels_ds.to_pandas(), preserve_index=False)
+    out = table_from_pandas(labels_ds.to_pandas())
     return pa.table({"node": out["key"], "lbl": out["lbl"]})
 
 
@@ -1626,7 +1627,7 @@ def substring_dedup_apply(sf_dir: str, k: int = SUBSTR_K) -> pa.Table:
         staged = joined.map_batches(apply_joined, batch_format="pyarrow")
 
     out = staged.sort("doc_id").to_pandas()
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def _apply_span_removals(t: pa.Table, pos_rows: list, k: int) -> pa.Table:

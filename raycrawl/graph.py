@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from raycrawl.kernels import table_from_pandas
 import pyarrow.compute as pc
 
 BASE = 10**12
@@ -74,8 +76,7 @@ def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10,
         distributed = filtered.count() > driver_max_edges
 
     if not distributed:
-        edges = pa.Table.from_pandas(filtered.to_pandas(),
-                                     preserve_index=False)
+        edges = table_from_pandas(filtered.to_pandas())
         src = edges["src"].to_numpy(zero_copy_only=False)
         dst = edges["dst"].to_numpy(zero_copy_only=False)
         nodes, inv = np.unique(np.concatenate([src, dst]),
@@ -165,7 +166,7 @@ def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10,
             .materialize()     # one round of lineage, never the driver
         )
 
-    final = pa.Table.from_pandas(ranks.to_pandas(), preserve_index=False)
+    final = table_from_pandas(ranks.to_pandas())
     order = np.argsort(final["key"].to_numpy(zero_copy_only=False))
     return pa.table({
         "node": pa.array(final["key"].to_numpy(zero_copy_only=False)[order]),
@@ -264,8 +265,7 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
                       "hub_units": pa.array([], pa.int64())})
 
     if not distributed:
-        edges = pa.Table.from_pandas(filtered.to_pandas(),
-                                     preserve_index=False)
+        edges = table_from_pandas(filtered.to_pandas())
         if edges.num_rows == 0:
             return empty
         src = edges["src"].to_numpy(zero_copy_only=False)
@@ -364,8 +364,8 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
         a_rows = half_step(by_src, h_rows)    # a(v) = sum h over in-edges
         h_rows = half_step(by_dst, a_rows)    # h(u) = sum a over out-edges
 
-    af = pa.Table.from_pandas(a_rows.to_pandas(), preserve_index=False)
-    hf = pa.Table.from_pandas(h_rows.to_pandas(), preserve_index=False)
+    af = table_from_pandas(a_rows.to_pandas())
+    hf = table_from_pandas(h_rows.to_pandas())
     an = af["key"].to_numpy(zero_copy_only=False)
     order = np.argsort(an)
     hmap = dict(zip(hf["key"].to_numpy(zero_copy_only=False),

@@ -541,3 +541,31 @@ def list_matrix(col) -> np.ndarray:
             return (vals[offs[0]:offs[-1]]
                     .astype(np.float64).reshape(len(col), int(w[0])))
     return np.stack(col.to_pylist()).astype(np.float64)
+
+
+def table_from_pandas(df) -> pa.Table:
+    """``pa.Table.from_pandas(preserve_index=False)`` minus the ``b'pandas'``
+    schema metadata. pyarrow ``Schema.__hash__`` raises on metadata (the
+    dict is unhashable), which defeats Ray Data's schema-dedup early exit
+    in every downstream concat/shuffle aggregator and logs a 'Failed to
+    hash the schemas' warning per block — so every stage that assembles
+    its output batch from pandas must strip it here."""
+    return pa.Table.from_pandas(df, preserve_index=False) \
+             .replace_schema_metadata(None)
+
+
+def read_parquet_clean(path, columns=None, **kwargs):
+    """``ray.data.read_parquet`` that strips file-level schema metadata
+    (e.g. the ``b'pandas'`` key pandas writers attach) by passing an
+    explicit metadata-free schema, so downstream block schemas stay
+    hashable (see ``table_from_pandas``). One driver-side footer read per
+    call; the parquet row-count fast path for ``.count()`` is preserved
+    because the plan is still a pure read."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    first = path[0] if isinstance(path, (list, tuple)) else path
+    schema = pq.read_schema(first).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)

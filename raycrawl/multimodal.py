@@ -22,15 +22,16 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from raycrawl.kernels import hash64_int, md5_u64
+from raycrawl.kernels import hash64_int, md5_u64, table_from_pandas
 
 _MAGIC = b"RCIM"
 
 
 def _t(sf_dir: str, name: str, columns=None):
-    import ray.data as rd
+    from raycrawl.kernels import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
+                              columns=columns)
 
 
 MEDIA_SCHEMA = pa.schema(
@@ -230,7 +231,7 @@ def media_summary(sf_dir: str) -> pa.Table:
             "sum_height": g["sum_h_sum"].astype("int64"),
         }
     ).sort_values("decode_ok")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def media_summary_sql() -> str:

@@ -32,6 +32,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from raycrawl.kernels import table_from_pandas
+
 from raycrawl.dedup import removal_ids
 from raycrawl.relational import _t
 from raycrawl.textops import quality_score_batch
@@ -145,9 +147,7 @@ def training_corpus(sf_dir: str, threshold: float = 0.6, df_cap: int = 1000,
                               columns=["doc_id", "lang", "n_chars"])
     out = ds.sort(["shuffle_key", "doc_id"]).to_pandas().reset_index(drop=True)
     out["pos"] = np.arange(len(out), dtype=np.int64)
-    return pa.Table.from_pandas(
-        out[["pos", "doc_id", "lang", "n_chars", "quality", "shuffle_key"]],
-        preserve_index=False)
+    return table_from_pandas(out[["pos", "doc_id", "lang", "n_chars", "quality", "shuffle_key"]])
 
 
 def training_corpus_sql(threshold: float = 0.6, df_cap: int = 1000,

@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raycrawl.kernels import table_from_pandas
+
 from raycrawl.relational import _t
 
 PROFILE_COLUMNS = ("lang", "source", "n_chars")
@@ -82,7 +84,7 @@ def documents_profile(sf_dir: str, columns=PROFILE_COLUMNS) -> pa.Table:
             "vmax": vmax,
         })
     out = pd.DataFrame(out_rows).sort_values("col").reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def documents_profile_sql(columns=PROFILE_COLUMNS) -> str:

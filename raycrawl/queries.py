@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+
+from raycrawl.kernels import table_from_pandas
 import pyarrow.compute as pc
 
 STATUSES = ["COMPLETED", "PENDING", "IN-PROGRESS", "FAILED", "CANCELLED"]
@@ -82,7 +84,7 @@ def status_count_table(nodes_ds):
     aggs = [Sum(c, alias_name=c) for c in
             ["total"] + [s.lower().replace("-", "_") for s in STATUSES]]
     out = partial.groupby("crawl_id").aggregate(*aggs)
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return table_from_pandas(out.to_pandas())
 
 
 def derive_status(completed, pending, in_progress, cancelled) -> str:

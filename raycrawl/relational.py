@@ -30,14 +30,17 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from raycrawl.kernels import table_from_pandas
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
 def _t(sf_dir: str, name: str, columns=None):
-    import ray.data as rd
+    from raycrawl.kernels import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
+                              columns=columns)
 
 
 def _broadcast_ok(sf_dir: str, table: str,
@@ -112,7 +115,7 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pa.Table:
             "count_order": g["cnt_sum"].astype("int64"),
         }
     ).sort_values(["l_returnflag", "l_linestatus"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def q1_oracle_sql() -> str:
@@ -218,7 +221,7 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
             "n_orders": g["n_orders_sum"].astype("int64"),
         }
     ).sort_values("n_name")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def revenue_by_nation_sql() -> str:
@@ -282,7 +285,7 @@ def top_customers_by_spend(sf_dir: str, k: int = 10) -> pa.Table:
             "n_orders": df["n_orders"].astype("int64"),
         }
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def top_customers_sql(k: int = 10) -> str:
@@ -328,7 +331,7 @@ def order_lineitem_join_stats(sf_dir: str) -> pa.Table:
             "n_lines": g["n_lines_sum"].astype("int64"),
         }
     ).sort_values("o_orderpriority")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def order_lineitem_join_sql() -> str:
@@ -374,7 +377,7 @@ def events_hourly(sf_dir: str) -> pa.Table:
             "sum_value": g["val_i_sum"].to_numpy() / 100.0,
         }
     ).sort_values(["event_type", "hour"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def events_hourly_sql() -> str:
@@ -445,7 +448,7 @@ def events_hourly_moving_avg(sf_dir: str, window: int = 3) -> pa.Table:
             "ma_value": ma_vi.astype(np.float64) / 100.0 / ma_ne,
         }
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def events_hourly_moving_avg_sql(window: int = 3) -> str:
@@ -513,7 +516,7 @@ def events_user_distinct(sf_dir: str) -> pa.Table:
             "n_events": g["n_events_sum"].astype("int64"),
         }
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def events_user_distinct_sql() -> str:
@@ -553,7 +556,7 @@ def top_users_by_value(sf_dir: str, k: int = 25) -> pa.Table:
             "n_events": df["n_events"].astype("int64"),
         }
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def top_users_by_events(sf_dir: str, k: int = 10) -> pa.Table:
@@ -573,7 +576,7 @@ def top_users_by_events(sf_dir: str, k: int = 10) -> pa.Table:
         "user_id": df["user_id"],
         "n_events": df["n_events"].astype("int64"),
     })
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def top_users_by_events_sql(k: int = 10) -> str:
@@ -623,7 +626,7 @@ def parts_by_brand(sf_dir: str) -> pa.Table:
             "avg_price": df["price_i"].to_numpy() / 100.0 / n,
         }
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def parts_by_brand_sql() -> str:
@@ -674,7 +677,7 @@ def top_events_per_user(sf_dir: str, k: int = 3) -> pa.Table:
         .to_pandas()
     )
     out = final.sort_values(["user_id", "rnk"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def top_events_per_user_sql(k: int = 3) -> str:
@@ -731,7 +734,7 @@ def customers_without_urgent_orders(sf_dir: str) -> pa.Table:
             .sort_values("c_custkey")
             .reset_index(drop=True)
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     # above the gate: distributed anti-join = left_outer Dataset.join on
     # the deduped urgent-key Dataset, keep the null (non-matched) side
@@ -758,7 +761,7 @@ def customers_without_urgent_orders(sf_dir: str) -> pa.Table:
         .sort_values("c_custkey")
         .reset_index(drop=True)
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def customers_without_urgent_orders_sql() -> str:
@@ -797,7 +800,7 @@ def documents_hash_sample(sf_dir: str, pct: int = 20) -> pa.Table:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def documents_shuffled(sf_dir: str, seed: int = 7) -> pa.Table:
@@ -826,8 +829,8 @@ def documents_shuffled(sf_dir: str, seed: int = 7) -> pa.Table:
         .reset_index(drop=True)
     )
     out["pos"] = np.arange(len(out), dtype=np.int64)
-    return pa.Table.from_pandas(
-        out[["pos", "doc_id", "lang", "shuffle_key"]], preserve_index=False)
+    return table_from_pandas(
+        out[["pos", "doc_id", "lang", "shuffle_key"]])
 
 
 def documents_shuffled_sql(seed: int = 7) -> str:
@@ -926,7 +929,7 @@ def pack_sequences(sf_dir: str, budget: int = 2048, seed: int = 7,
              .map_groups(pack_group, batch_format="pandas")
              .to_pandas()
              .sort_values("start_off").reset_index(drop=True))
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def pack_sequences_sql(budget: int = 2048, seed: int = 7) -> str:
@@ -993,7 +996,7 @@ def events_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
             row[f"q{int(q * 100)}"] = vals[np.searchsorted(cum, r + 1)] / 100.0
         rows.append(row)
     out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def events_value_quantiles_sql(qs=(0.25, 0.5, 0.75, 0.95)) -> str:
@@ -1054,7 +1057,7 @@ def documents_stratified_sample(sf_dir: str, per_lang: int = 40) -> pa.Table:
         .sort_values(["lang", "doc_id"])
         .reset_index(drop=True)
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def documents_stratified_sample_sql(per_lang: int = 40) -> str:
@@ -1132,7 +1135,7 @@ def orders_in_top_customer_periods(sf_dir: str, k: int = 5) -> pa.Table:
         "n_orders_in_period": merged["n_orders"].astype("int64"),
         "value_in_period": merged["val_i"].to_numpy() / 100.0,
     }).sort_values("o_custkey").reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def orders_in_top_customer_periods_sql(k: int = 5) -> str:
@@ -1203,7 +1206,7 @@ def top_returned_revenue_customers(sf_dir: str, k: int = 20) -> pa.Table:
         "n_items": merged["n_items_sum"].astype("int64"),
     }).sort_values(["revenue", "c_custkey"],
                    ascending=[False, True]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def top_returned_revenue_customers_sql(k: int = 20) -> str:
@@ -1315,7 +1318,7 @@ def regional_revenue_by_nation(sf_dir: str, region: str = "ASIA") -> pa.Table:
         "n_lines": g["n_lines_sum"].astype("int64"),
     }).sort_values(["revenue", "n_name"],
                    ascending=[False, True]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def regional_revenue_by_nation_sql(region: str = "ASIA") -> str:
@@ -1353,7 +1356,7 @@ def events_ordered_page(sf_dir: str, limit: int = 50, offset: int = 100) -> pa.T
         .iloc[offset:]
         .reset_index(drop=True)
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def events_ordered_page_sql(limit: int = 50, offset: int = 100) -> str:
@@ -1404,7 +1407,7 @@ def revenue_by_brand(sf_dir: str) -> pa.Table:
             "revenue": g["rev_i_sum"].to_numpy() / 10000.0,
             "n_lines": g["n_lines_sum"].astype("int64"),
         }).sort_values("p_brand").reset_index(drop=True)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                          columns=["p_partkey", "p_brand"]).to_pandas()
@@ -1448,7 +1451,7 @@ def revenue_by_brand(sf_dir: str) -> pa.Table:
         "n_lines": g["n_lines"].astype("int64"),
     })
     out = out[out["n_lines"] > 0].sort_values("p_brand").reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def revenue_by_brand_sql() -> str:
@@ -1518,7 +1521,7 @@ def documents_mixture_sample(sf_dir: str, rates_bp: dict | None = None,
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def documents_mixture_sample_sql(rates_bp: dict | None = None,

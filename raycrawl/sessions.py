@@ -24,16 +24,18 @@ import os
 
 import numpy as np
 import pyarrow as pa
+
+from raycrawl.kernels import table_from_pandas
 import pyarrow.compute as pc
 
 GAP_MINUTES = 30
 
 
 def _events(sf_dir: str, columns):
-    import ray.data as rd
+    from raycrawl.kernels import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                           columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                              columns=columns)
 
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -87,7 +89,7 @@ def user_sessions(sf_dir: str, gap_minutes: int = GAP_MINUTES) -> pa.Table:
         .to_pandas()
     )
     out = out.sort_values(["user_id", "session_id"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def user_sessions_sql(gap_minutes: int = GAP_MINUTES) -> str:
@@ -178,7 +180,7 @@ def purchase_asof_click(sf_dir: str) -> pa.Table:
         .to_pandas()
     )
     out = out.sort_values("purchase_event_id")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def purchase_asof_click_sql() -> str:
@@ -258,7 +260,7 @@ def session_funnel(sf_dir: str, gap_minutes: int = GAP_MINUTES) -> pa.Table:
         "n_sessions": [ns], "n_with_click": [nc], "n_converted": [nv],
         "conversion_rate": [float(nv) / nc if nc else 0.0],
     })
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def session_funnel_sql(gap_minutes: int = GAP_MINUTES) -> str:

@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raycrawl.kernels import table_from_pandas
+
 from raycrawl.relational import _t
 
 P = 12                      # 2^12 = 4096 registers → ~1.6% std error
@@ -121,7 +123,7 @@ def events_user_hll(sf_dir: str) -> pa.Table:
             "n_events": int(g["n_events"].sum()),
         })
     out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 # ---------------------------------------------------------------------------
@@ -249,7 +251,7 @@ def events_value_quantiles_sketch(sf_dir: str,
         .sort_values("event_type")
         .reset_index(drop=True)
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 # ---------------------------------------------------------------------------

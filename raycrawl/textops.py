@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raycrawl.kernels import table_from_pandas
+
 WORD_RE = re.compile(r"\w+", re.UNICODE)
 # BPE-ish pre-tokenizer: words, numbers, or single non-space punctuation
 BPE_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
@@ -37,9 +39,10 @@ _LANG_HINTS = {
 
 
 def _t(sf_dir: str, name: str, columns=None):
-    import ray.data as rd
+    from raycrawl.kernels import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
+                              columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +103,7 @@ def token_stats_by_lang(sf_dir: str) -> pa.Table:
             "avg_ws_tokens": g["ws_tokens_sum"] / g["n_docs_sum"],
         }
     ).sort_values("lang")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def token_stats_by_lang_sql() -> str:
@@ -159,7 +162,7 @@ def bpe_token_stats_by_lang(sf_dir: str) -> pa.Table:
         "n_docs": g["n_docs_sum"].astype("int64"),
         "bpe_per_doc": g["bpe_tokens_sum"] / g["n_docs_sum"],
     }).sort_values("lang")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def bpe_token_stats_by_lang_sql() -> str:
@@ -205,7 +208,7 @@ def lang_source_distribution(sf_dir: str) -> pa.Table:
             "sum_chars": g["sum_chars_sum"].astype("int64"),
         }
     ).sort_values(["lang", "source"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def lang_source_distribution_sql() -> str:
@@ -538,7 +541,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 10) -> pa.Table:
         .sort_values(["lang", "rnk"])
         .reset_index(drop=True)
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def tfidf_top_terms_sql(k: int = 10) -> str:
@@ -614,7 +617,7 @@ def doc_repetition_scores(sf_dir: str) -> pa.Table:
         })
 
     out = docs.map_batches(batch, batch_format="pyarrow").sort("doc_id").to_pandas()
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def doc_repetition_scores_sql() -> str:
@@ -953,7 +956,7 @@ def lm_familiarity_scores(sf_dir: str, ref_mod: int = 13, k: int = 2):
 
     out = (docs.map_batches(score_batch, batch_format="pyarrow")
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def lm_known_counts(texts: list, mh: np.ndarray, mc: np.ndarray,

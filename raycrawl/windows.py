@@ -29,6 +29,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from raycrawl.kernels import table_from_pandas
 import pyarrow.compute as pc
 
 from raycrawl.relational import _iunits, _t
@@ -78,7 +80,7 @@ def user_interarrival_stats(sf_dir: str) -> pa.Table:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def user_interarrival_stats_sql() -> str:
@@ -140,7 +142,7 @@ def events_type_rollup(sf_dir: str) -> pa.Table:
         "n_events": allr["n_events_sum"].astype("int64"),
         "sum_value": allr["val_i_sum"].to_numpy() / 100.0,
     }).sort_values(["event_type", "dow"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def events_type_rollup_sql() -> str:
@@ -194,7 +196,7 @@ def events_pivot_by_type(sf_dir: str) -> pa.Table:
     for name in EVENT_TYPES:
         out[f"sum_{name}"] = g[f"{name}_i"].to_numpy() / 100.0
         out[f"n_{name}"] = g[f"{name}_n"].astype("int64")
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    return table_from_pandas(out.reset_index(drop=True))
 
 
 def events_pivot_by_type_sql() -> str:
@@ -260,7 +262,7 @@ def events_daily_cumulative(sf_dir: str) -> pa.Table:
         "cum_events": cum_ne,
         "cum_value": cum_vi / 100.0,
     })
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 def events_daily_cumulative_sql() -> str:
