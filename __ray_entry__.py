@@ -285,6 +285,8 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "documents_packed": relational.pack_sequences,
         "documents_lm_familiarity": textops.lm_familiarity_scores,
         "documents_mixture_sample": relational.documents_mixture_sample,
+        "inverted_index_stats": textops.inverted_index_stats,
+        "bigram_collocations": textops.bigram_collocations,
         # rows-only (approximate/RNG — pytest-pinned to oracled exact twins)
         "events_user_hll": sketches.events_user_hll,
         "events_value_quantiles_sketch": sketches.events_value_quantiles_sketch,
@@ -596,5 +598,7 @@ def demoted_oracle_sql() -> dict[str, str]:
         "documents_packed": relational.pack_sequences_sql(),
         "documents_lm_familiarity": textops.lm_familiarity_sql(),
         "documents_mixture_sample": relational.documents_mixture_sample_sql(),
+        "inverted_index_stats": textops.inverted_index_stats_sql(),
+        "bigram_collocations": textops.bigram_collocations_sql(),
     })
     return demoted

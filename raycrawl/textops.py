@@ -1007,3 +1007,297 @@ def lm_familiarity_sql(ref_mod: int = 13, k: int = 2) -> str:
     FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
     ORDER BY d.doc_id
     """
+
+
+def inverted_index_stats(sf_dir: str, min_df: int = 3, k: int = 100) -> pa.Table:
+    """Distributed inverted-index build, surfaced as per-term posting
+    statistics — the retrieval-side primitive a training-data stack needs
+    next to TF-IDF (BM25 serving, contamination lookups, hard-negative
+    mining all start from term -> postings). Full posting LISTS are
+    unbounded per term at 100 TB, so the driver-facing result carries an
+    exact fixed-size summary per term instead: ``df`` (distinct docs),
+    ``tf`` (total occurrences), ``postings_xor`` (XOR-fold over the
+    DISTINCT doc_ids — pins the full posting-set content bit-exactly,
+    order-free and mergeable), ``min_doc``/``max_doc``. Terms with
+    ``df >= min_df``, top-``k`` by (df desc, term).
+
+    Plan (same shuffle discipline as ``tfidf_top_terms`` — vocabulary
+    never funnels through the driver):
+      1. per-batch partial: tokenize (shared tfidf regex), per-term
+         ``tf``/``df_part``/``xor_part``/min/max — distinct-doc stats are
+         exact after combining because each doc lives in exactly ONE
+         batch; ``part = hash(term) % n_parts`` co-locates a term's
+         partials;
+      2. ONE groupby("part") shuffle: vectorized combine (sum/sum/XOR-
+         reduceat/min/max) + df-filter + per-partition top-k;
+      3. finalize over <= n_parts * k rows.
+    At real scale the same pass writes the actual posting blocks as
+    ``part=N/`` parquet alongside the summary; the summary IS the driver
+    contract because it is what stays O(vocab) instead of O(corpus)."""
+    import ray
+
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def _term_stats(terms: np.ndarray, tfs: np.ndarray,
+                    xors: np.ndarray, mins: np.ndarray, maxs: np.ndarray,
+                    dfs: np.ndarray) -> pa.Table:
+        """Combine rows of per-term partials into per-term stats via
+        sort + reduceat — shared by the partial and combine stages."""
+        order = np.argsort(terms, kind="stable")
+        terms = terms[order]
+        tfs, xors, mins, maxs, dfs = (tfs[order], xors[order], mins[order],
+                                      maxs[order], dfs[order])
+        starts = np.flatnonzero(
+            np.r_[True, terms[1:] != terms[:-1]]) if len(terms) else \
+            np.array([], np.int64)
+        return pa.table({
+            "term": pa.array(terms[starts], pa.string()),
+            "tf": pa.array(np.add.reduceat(tfs, starts)
+                           if len(starts) else tfs[:0], pa.int64()),
+            "df": pa.array(np.add.reduceat(dfs, starts)
+                           if len(starts) else dfs[:0], pa.int64()),
+            "postings_xor": pa.array(
+                np.bitwise_xor.reduceat(xors.astype(np.int64), starts)
+                if len(starts) else xors[:0].astype(np.int64), pa.int64()),
+            "min_doc": pa.array(np.minimum.reduceat(mins, starts)
+                                if len(starts) else mins[:0], pa.int64()),
+            "max_doc": pa.array(np.maximum.reduceat(maxs, starts)
+                                if len(starts) else maxs[:0], pa.int64()),
+        })
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        doc = t["doc_id"].to_numpy()
+        toks = (pl.Series(t["text"].combine_chunks())
+                .str.to_lowercase().str.extract_all(r"[a-z0-9_]+"))
+        n_per_doc = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=True).drop_nulls()
+        d = pl.DataFrame({"term": flat,
+                          "doc": pl.Series(np.repeat(doc, n_per_doc))})
+        tf_tbl = d.group_by("term").agg(tf=pl.len().cast(pl.Int64))
+        uq = d.unique(["term", "doc"]).sort("term")
+        ut = uq["term"].to_numpy()
+        ud = uq["doc"].to_numpy()
+        stats = _term_stats(ut, np.zeros(len(ut), np.int64), ud,
+                            ud, ud, np.ones(len(ut), np.int64))
+        # tf comes from the multiplicity table; align by sorted term order
+        tf_sorted = tf_tbl.sort("term")["tf"].to_numpy()
+        stats = stats.set_column(1, "tf", pa.array(tf_sorted, pa.int64()))
+        return stats.append_column("part", pa.array(
+            (pl.Series(stats["term"].combine_chunks()).hash(seed=7)
+             % n_parts).cast(pl.Int64).to_numpy(), pa.int64()))
+
+    def combine(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        stats = _term_stats(
+            terms, t["tf"].to_numpy(), t["postings_xor"].to_numpy(),
+            t["min_doc"].to_numpy(), t["max_doc"].to_numpy(),
+            t["df"].to_numpy())
+        keep = stats["df"].to_numpy() >= min_df
+        stats = stats.filter(pa.array(keep))
+        df_ = stats["df"].to_numpy()
+        tm = stats["term"].to_numpy(zero_copy_only=False)
+        from raycrawl.kernels import group_ranked_head
+
+        idx, _ = group_ranked_head(np.zeros(len(df_), np.int8),
+                                   (tm, -df_.astype(np.float64)), k)
+        return stats.take(pa.array(idx, pa.int64()))
+
+    parts = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: combine(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+        .to_pandas()
+    )
+    parts = parts.sort_values(["df", "term"], ascending=[False, True],
+                              kind="stable").head(k).reset_index(drop=True)
+    parts.insert(0, "rnk", np.arange(1, len(parts) + 1, dtype=np.int64))
+    return table_from_pandas(parts)
+
+
+def inverted_index_stats_sql(min_df: int = 3, k: int = 100) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+      FROM documents),
+    stats AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(bit_xor(DISTINCT doc_id) AS BIGINT) AS postings_xor,
+             CAST(min(doc_id) AS BIGINT) AS min_doc,
+             CAST(max(doc_id) AS BIGINT) AS max_doc
+      FROM toks GROUP BY term)
+    SELECT * FROM (
+      SELECT CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT)
+               AS rnk,
+             term, tf, df, postings_xor, min_doc, max_doc
+      FROM stats WHERE df >= {min_df})
+    WHERE rnk <= {k} ORDER BY rnk
+    """
+
+
+def bigram_collocations(sf_dir: str, min_count: int = 5,
+                        k: int = 50) -> pa.Table:
+    """Top-``k`` word-bigram collocations by an integer-exact PMI score —
+    the corpus-statistics pass (Church & Hanks 1990 association ratio)
+    a curation pipeline runs to find multi-word expressions worth
+    protecting from tokenizer splits or boilerplate worth filtering.
+
+    PMI's ``log`` is not bit-stable across engines, so the score is kept
+    as the exact scaled rational the log is monotone in:
+    ``pmi_ppm = c_ab * 1e6 * N_bigrams // (c_a * c_b)`` in arbitrary-
+    precision ints (Python int here == HUGEINT in the mirrored SQL),
+    ranked (pmi_ppm desc, w1, w2).
+
+    Plan — counts are the only thing that ever shuffles:
+      1. one tokenize pass emits per-batch (w1, w2, c, kind) count
+         partials for BOTH unigrams (kind 0, w2='') and in-doc-adjacent
+         bigrams (kind 1), hash-partitioned by (w1, w2);
+      2. ONE groupby("part") shuffle combines them into exact global
+         counts, materialized once and consumed twice;
+      3. candidate bigrams (``c_ab >= min_count`` — the standard
+         collocation support floor; WITHOUT it the candidate set is the
+         full bigram vocabulary) and the total-bigram partials come back
+         from one vectorized pass; a second broadcast-filtered pass
+         fetches ONLY the unigram counts of words appearing in a
+         candidate — the driver never holds the vocabulary, just the
+         support-filtered candidates;
+      4. driver: arbitrary-precision scoring of the small candidate
+         table + top-k.
+    """
+    import ray
+
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = (pl.Series(t["text"].combine_chunks())
+                .str.to_lowercase().str.extract_all(r"[a-z0-9_]+"))
+        n_per_doc = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=True).drop_nulls().to_numpy()
+        uni = pl.DataFrame({"w1": flat}).group_by("w1").agg(
+            c=pl.len().cast(pl.Int64)).with_columns(
+            w2=pl.lit(""), kind=pl.lit(0, pl.Int64))
+        # in-doc adjacency: drop the pair straddling each doc boundary
+        if len(flat) > 1:
+            ends = np.cumsum(n_per_doc) - 1  # last token index per doc
+            keep = np.ones(len(flat) - 1, dtype=bool)
+            keep[ends[(ends >= 0) & (ends < len(flat) - 1)]] = False
+            big = pl.DataFrame({"w1": flat[:-1][keep],
+                                "w2": flat[1:][keep]}).group_by(
+                ["w1", "w2"]).agg(c=pl.len().cast(pl.Int64)).with_columns(
+                kind=pl.lit(1, pl.Int64))
+        else:
+            big = uni.clear()
+        out = pl.concat([uni.select(["w1", "w2", "c", "kind"]),
+                         big.select(["w1", "w2", "c", "kind"])])
+        out = out.with_columns(
+            part=((pl.col("w1") + "\x00" + pl.col("w2")).hash(seed=7)
+                  % n_parts).cast(pl.Int64))
+        return out.to_arrow().cast(pa.schema([
+            ("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64()),
+            ("kind", pa.int64()), ("part", pa.int64())]))
+
+    def combine(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t.select(["kind", "w1", "w2", "c"]))
+                .group_by(["kind", "w1", "w2"]).agg(c=pl.col("c").sum())
+                .to_arrow().cast(pa.schema([
+                    ("kind", pa.int64()), ("w1", pa.string()),
+                    ("w2", pa.string()), ("c", pa.int64())])))
+
+    counts = (
+        _t(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: combine(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+        .materialize()
+    )
+
+    # pass 3a: candidates + per-batch bigram totals. A batch whose
+    # candidates are empty still must report its total, so emit a
+    # sentinel row ('', '', 0, nb_part) and drop it on the driver.
+    def cand_batch(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy()
+        c = t["c"].to_numpy()
+        bigm = kind == 1
+        sel = bigm & (c >= min_count)
+        w1 = t["w1"].to_numpy(zero_copy_only=False)[sel]
+        w2 = t["w2"].to_numpy(zero_copy_only=False)[sel]
+        cc = c[sel]
+        nb = np.zeros(len(w1) + 1, np.int64)
+        nb[0] = c[bigm].sum()
+        return pa.table({
+            "w1": pa.array(np.r_[["\x00total"], w1], pa.string()),
+            "w2": pa.array(np.r_[[""], w2], pa.string()),
+            "c": pa.array(np.r_[np.int64(0), cc], pa.int64()),
+            "nb_part": pa.array(nb, pa.int64())})
+
+    cand = counts.map_batches(cand_batch, batch_format="pyarrow").to_pandas()
+    n_bigrams = int(cand["nb_part"].sum())
+    cand = cand[cand["w1"] != "\x00total"].reset_index(drop=True)
+
+    words = sorted(set(cand["w1"]) | set(cand["w2"]))
+    words_ref = ray.put(np.array(words, dtype=object))
+
+    def uni_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        need = ray.get(words_ref)
+        sel = pc_.and_(pc_.equal(t["kind"], 0),
+                       pc_.is_in(t["w1"], value_set=pa.array(need,
+                                                             pa.string())))
+        out = t.filter(sel)
+        return pa.table({"w": out["w1"], "c": out["c"]})
+
+    uni = counts.map_batches(uni_batch, batch_format="pyarrow").to_pandas()
+    cw = dict(zip(uni["w"], (int(x) for x in uni["c"])))
+
+    rows = []
+    for w1, w2, c_ab in zip(cand["w1"], cand["w2"], cand["c"]):
+        c_a, c_b = cw[w1], cw[w2]
+        ppm = int(c_ab) * 1_000_000 * n_bigrams // (c_a * c_b)
+        rows.append((w1, w2, int(c_ab), c_a, c_b, ppm))
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    rows = rows[:k]
+    out = pd.DataFrame(rows, columns=["w1", "w2", "c_ab", "c_a", "c_b",
+                                      "pmi_ppm"])
+    out.insert(0, "rnk", np.arange(1, len(out) + 1, dtype=np.int64))
+    return table_from_pandas(out)
+
+
+def bigram_collocations_sql(min_count: int = 5, k: int = 50) -> str:
+    return f"""
+    WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+               FROM documents),
+    u AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
+    b AS (SELECT unnest(list_transform(
+                   range(1, len(toks)),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS pr
+          FROM t WHERE len(toks) >= 2),
+    bc AS (SELECT pr.w1 AS w1, pr.w2 AS w2,
+                  CAST(count(*) AS BIGINT) AS c_ab
+           FROM b GROUP BY 1, 2),
+    n AS (SELECT CAST(coalesce(sum(c_ab), 0) AS HUGEINT) AS nb FROM bc),
+    sc AS (SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+                  CAST(CAST(c_ab AS HUGEINT) * 1000000 * (SELECT nb FROM n)
+                       // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT)
+                    AS pmi_ppm
+           FROM bc JOIN uc ua ON bc.w1 = ua.w JOIN uc ub ON bc.w2 = ub.w
+           WHERE c_ab >= {min_count})
+    SELECT * FROM (
+      SELECT CAST(row_number() OVER (ORDER BY pmi_ppm DESC, w1, w2)
+                  AS BIGINT) AS rnk,
+             w1, w2, c_ab, c_a, c_b, pmi_ppm
+      FROM sc)
+    WHERE rnk <= {k} ORDER BY rnk
+    """
