@@ -561,10 +561,16 @@ def read_parquet_clean(path, columns=None, **kwargs):
     hashable (see ``table_from_pandas``). One driver-side footer read per
     call; the parquet row-count fast path for ``.count()`` is preserved
     because the plan is still a pure read."""
+    import os
+
     import pyarrow.parquet as pq
     import ray.data as rd
 
     first = path[0] if isinstance(path, (list, tuple)) else path
+    if os.path.isdir(first):  # directory-shaped table: one file's footer
+        first = sorted(
+            os.path.join(first, f) for f in os.listdir(first)
+            if f.endswith(".parquet"))[0]
     schema = pq.read_schema(first).remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])

@@ -865,3 +865,51 @@ def test_mixture_sample_rates_and_unknown_source(tmp_path):
     assert 20 <= per["half"] <= 80   # ~50% Bernoulli at n=100
     again = documents_mixture_sample(d, rates_bp=rates).to_pandas()
     pd.testing.assert_frame_equal(got, again)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retrieval_stats_multibatch_partition_invariant(tmp_path):
+    """inverted_index_stats / bigram_collocations over a DIRECTORY-shaped
+    documents table split into 6 small files equal the single-file result
+    and the DuckDB oracle — pins (a) the cross-batch combine paths (at
+    sf0.001 a single file is one block, so the per-term reduceat combine
+    and the count-merge shuffle would otherwise only ever see one partial
+    per key) and (b) read_parquet_clean's directory handling."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raycrawl.textops import (bigram_collocations,
+                                  bigram_collocations_sql,
+                                  inverted_index_stats,
+                                  inverted_index_stats_sql)
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    split_dir = tmp_path / "documents.parquet"
+    split_dir.mkdir()
+    n = docs.num_rows
+    step = (n + 5) // 6
+    for i in range(6):
+        part = docs.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, split_dir / f"part-{i}.parquet")
+
+    single_ii = inverted_index_stats(SF, min_df=3, k=40).to_pandas()
+    multi_ii = inverted_index_stats(str(tmp_path), min_df=3, k=40).to_pandas()
+    pd.testing.assert_frame_equal(single_ii, multi_ii)
+
+    single_bc = bigram_collocations(SF, min_count=4, k=30).to_pandas()
+    multi_bc = bigram_collocations(str(tmp_path), min_count=4, k=30).to_pandas()
+    pd.testing.assert_frame_equal(single_bc, multi_bc)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want_ii = con.sql(inverted_index_stats_sql(3, 40)).df()
+    want_bc = con.sql(bigram_collocations_sql(4, 30)).df()
+    pd.testing.assert_frame_equal(
+        single_ii[sorted(single_ii.columns)].reset_index(drop=True),
+        want_ii[sorted(want_ii.columns)], check_dtype=False)
+    pd.testing.assert_frame_equal(
+        single_bc[sorted(single_bc.columns)].reset_index(drop=True),
+        want_bc[sorted(want_bc.columns)], check_dtype=False)
