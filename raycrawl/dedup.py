@@ -878,8 +878,11 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3,
         a = np.concatenate(a_o) if a_o else np.empty(0, np.int64)
         b = np.concatenate(b_o) if b_o else np.empty(0, np.int64)
         d = np.concatenate(d_o) if d_o else np.empty(0, np.int64)
-        return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64),
-                             "hamming": d.astype(np.int64)})
+        # Arrow output: a pandas return would re-attach b'pandas' schema
+        # metadata and defeat Ray's schema-dedup in the downstream reduce
+        return pa.table({"a": pa.array(a.astype(np.int64)),
+                         "b": pa.array(b.astype(np.int64)),
+                         "hamming": pa.array(d.astype(np.int64))})
 
     pairs = (
         sigs.map_batches(bands, batch_format="pyarrow")
@@ -1588,9 +1591,12 @@ def substring_dedup_apply(sf_dir: str, k: int = SUBSTR_K) -> pa.Table:
         def apply_bcast(t: pa.Table) -> pa.Table:
             rm = ray.get(rm_ref)
             ids = t["doc_id"].to_numpy()
+            # inclusive upper bound: (id << 32) | 0xFFFFFFFF never wraps,
+            # whereas (id + 1) << 32 overflows to 0 at id == 2^32 - 1 and
+            # would silently skip that doc's removals
             lo = np.searchsorted(rm, ids.astype(np.uint64) << np.uint64(32))
-            hi = np.searchsorted(rm, (ids.astype(np.uint64) + np.uint64(1))
-                                 << np.uint64(32))
+            hi = np.searchsorted(rm, (ids.astype(np.uint64) << np.uint64(32))
+                                 | np.uint64(0xFFFFFFFF), side="right")
             pos_rows = [
                 (rm[lo[i]:hi[i]] & np.uint64(0xFFFFFFFF)).astype(np.int64)
                 if hi[i] > lo[i] else None

@@ -99,32 +99,57 @@ def export_jsonl_partitioned(ds, out_dir: str, partition_col: str,
                              "column to derive content shards from")
         shard_key_col = other_cols[0]
 
+    # routing identity: committed _OK markers are only valid for the exact
+    # (partition_col, shard_key_col, num_shards) that wrote them — resuming
+    # with different routing would silently drop rows whose NEW shard id
+    # happens to match a stale marker while the committed file holds a
+    # DIFFERENT row subset. Pin the spec on first run, refuse a mismatch.
+    spec = {"partition_col": partition_col, "shard_key_col": shard_key_col,
+            "num_shards": int(num_shards)}
+    spec_path = os.path.join(out_dir, "_EXPORT_SPEC.json")
+    if os.path.exists(spec_path):
+        with open(spec_path) as f:
+            prev = json.load(f)
+        if prev != spec:
+            raise ValueError(
+                f"export_jsonl_partitioned: out_dir {out_dir!r} was written "
+                f"with routing {prev}, re-run requests {spec}; resume is "
+                f"only safe with identical routing — use a fresh out_dir")
+    else:
+        stmp = os.path.join(out_dir, f".tmp-spec-{uuid.uuid4().hex}")
+        with open(stmp, "w") as f:
+            json.dump(spec, f)
+        os.replace(stmp, spec_path)
+
     done = _committed_shards(out_dir, partition_col)
     import ray
 
-    done_ref = ray.put(sorted(done))
+    # the committed set is fixed for the run: build the membership array
+    # ONCE on the driver and broadcast it, not once per batch
+    done_keys = (pa.array(sorted(f"{v}\x00{s}" for v, s in done))
+                 if done else None)
+    done_ref = ray.put(done_keys)
 
     def add_shard_and_filter(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc_
 
         shard = _shard_of(t[shard_key_col], num_shards)
         t = t.append_column("__shard", pa.array(shard, pa.int64()))
-        committed = ray.get(done_ref)
-        if not committed:
+        done_keys = ray.get(done_ref)
+        if done_keys is None:
             return t
         # vectorized membership on a composed "value\x00shard" key — the
         # resume filter runs over the FULL corpus, so no per-row Python
         row_key = pc_.binary_join_element_wise(
             pc_.cast(t[partition_col], pa.string()),
-            pa.array(shard.astype(str), pa.string()), "\x00")
-        done_keys = pa.array([f"{v}\x00{s}" for v, s in committed])
+            pc_.cast(pa.array(shard, pa.int64()), pa.string()), "\x00")
         return t.filter(pc_.invert(pc_.is_in(row_key, value_set=done_keys)))
 
-    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+    def write_shard(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
-            return pd.DataFrame({"value": pd.Series([], dtype=str),
-                                 "shard": pd.Series([], dtype=np.int64),
-                                 "rows": pd.Series([], dtype=np.int64)})
+            return pa.table({"value": pa.array([], pa.string()),
+                             "shard": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
         value = g[partition_col].iloc[0]
         shard = int(g["__shard"].iloc[0])
         body = g.drop(columns=["__shard"]).sort_values(shard_key_col)
@@ -141,8 +166,9 @@ def export_jsonl_partitioned(ds, out_dir: str, partition_col: str,
         with open(mtmp, "w") as f:
             json.dump({"rows": int(len(body))}, f)
         os.replace(mtmp, os.path.join(pdir, f"_OK.{shard}"))
-        return pd.DataFrame({"value": [str(value)], "shard": [shard],
-                             "rows": [len(body)]})
+        return pa.table({"value": pa.array([str(value)], pa.string()),
+                         "shard": pa.array([shard], pa.int64()),
+                         "rows": pa.array([len(body)], pa.int64())})
 
     fresh = (
         ds.map_batches(add_shard_and_filter, batch_format="pyarrow")
@@ -217,6 +243,8 @@ def read_back_jsonl(out_dir: str) -> pa.Table:
     rows = []
     for root, _dirs, files in os.walk(out_dir):
         for fn in sorted(files):
+            if fn.startswith(("_", ".")):  # spec/markers/tmp, not data
+                continue
             if fn.endswith(".json") or fn.endswith(".jsonl"):
                 with open(os.path.join(root, fn)) as f:
                     rows.extend(json.loads(line) for line in f if line.strip())

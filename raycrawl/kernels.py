@@ -531,8 +531,12 @@ def list_matrix(col) -> np.ndarray:
         return np.empty((0, 0), dtype=np.float64)
     if col.null_count == 0:
         if pa.types.is_fixed_size_list(col.type):
+            # col.values is the UNSLICED child array (same as the variable-
+            # width branch below): a sliced Array must index by its offset
+            w = int(col.type.list_size)
             vals = col.values.to_numpy(zero_copy_only=False)
-            return vals.astype(np.float64).reshape(len(col), col.type.list_size)
+            vals = vals[col.offset * w:(col.offset + len(col)) * w]
+            return vals.astype(np.float64).reshape(len(col), w)
         offs = col.offsets.to_numpy()
         w = np.diff(offs)
         if len(w) and w.min() == w.max() and w[0] > 0:
@@ -541,6 +545,22 @@ def list_matrix(col) -> np.ndarray:
             return (vals[offs[0]:offs[-1]]
                     .astype(np.float64).reshape(len(col), int(w[0])))
     return np.stack(col.to_pylist()).astype(np.float64)
+
+
+def knuth_key32(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """The repo's ONE reproducible-permutation key: uint64 array of
+    ``((id % 2^32) ^ salt) * 2654435761 % 2^32`` with
+    ``salt = seed * 2654435761 % 2^32``. The shuffle, sequence-packing,
+    mixture-sampling and fused-pipeline lanes must all agree bit-exactly
+    with each other and with their DuckDB twins (the SQL spelling lives
+    next to each oracle), so every caller goes through this helper —
+    edit the formula in one place or not at all. seed=0 degenerates to
+    the unsalted ``documents_hash_sample`` form. Exact (and oracle-equal)
+    for every doc_id < 2^63."""
+    mod32 = np.uint64(1 << 32)
+    salt = np.uint64((seed * 2654435761) % (1 << 32))
+    v = ids.astype(np.uint64, copy=False)
+    return (((v % mod32) ^ salt) * np.uint64(2654435761)) % mod32
 
 
 def table_from_pandas(df) -> pa.Table:

@@ -32,7 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raycrawl.kernels import table_from_pandas
+from raycrawl.kernels import knuth_key32, table_from_pandas
 
 from raycrawl.dedup import removal_ids
 from raycrawl.relational import _t
@@ -76,8 +76,6 @@ def _clean_keyed_dataset(sf_dir: str, threshold: float, df_cap: int,
         from raycrawl.textops import lm_bigram_model
 
         lm_ref = ray.put(lm_bigram_model(sf_dir, ref_mod=lm_ref_mod))
-    mod32 = np.uint64(1 << 32)
-    salt = np.uint64((seed * 2654435761) % (1 << 32))
     read_cols = sorted({"doc_id", "text",
                         *(("source",) if mixture_bp else ()), *columns})
 
@@ -97,27 +95,37 @@ def _clean_keyed_dataset(sf_dir: str, threshold: float, df_cap: int,
 
             sub = ray.get(sub_ref)
             ids = t["doc_id"].to_numpy()
+            # inclusive upper bound — (id + 1) << 32 wraps to 0 at
+            # id == 2^32 - 1 (see dedup.substring_dedup_apply)
             lo = np.searchsorted(sub, ids.astype(np.uint64) << np.uint64(32))
-            hi = np.searchsorted(sub, (ids.astype(np.uint64) + np.uint64(1))
-                                 << np.uint64(32))
+            hi = np.searchsorted(sub, (ids.astype(np.uint64) << np.uint64(32))
+                                 | np.uint64(0xFFFFFFFF), side="right")
             aff = np.flatnonzero(hi > lo)
             if len(aff):
-                norm = (pl.from_arrow(t.select(["text"]))
-                        .select(pl.col("text").str.strip_chars()
-                                .str.replace_all(r"\s+", " ").alias("n"))["n"])
-                texts = t["text"].to_pylist()
-                sub_texts = [norm[int(i)] for i in aff]
+                import pyarrow.compute as pc
+
+                # normalize + scrub ONLY the affected rows, then splice them
+                # back with one Arrow if_else — a batch with a handful of
+                # affected docs must not pay full-batch to_pylist boxing
+                aff_texts = pc.take(t["text"],
+                                    pa.array(aff, pa.int64())).to_pylist()
+                norm = (pl.Series("t", aff_texts)
+                        .str.strip_chars().str.replace_all(r"\s+", " "))
                 pos_rows = [
                     (sub[lo[i]:hi[i]] & np.uint64(0xFFFFFFFF)).astype(np.int64)
                     for i in aff
                 ]
                 scrubbed, _ = _scrub_norm_texts(
-                    sub_texts, np.zeros(len(aff), np.int64), pos_rows,
+                    list(norm), np.zeros(len(aff), np.int64), pos_rows,
                     substring_k)
-                for j, i in enumerate(aff):
-                    texts[int(i)] = scrubbed[j]
-                t = t.set_column(t.schema.get_field_index("text"), "text",
-                                 pa.array(texts, pa.string()))
+                repl = np.full(t.num_rows, None, dtype=object)
+                repl[aff] = scrubbed
+                mask = np.zeros(t.num_rows, dtype=bool)
+                mask[aff] = True
+                t = t.set_column(
+                    t.schema.get_field_index("text"), "text",
+                    pc.if_else(pa.array(mask), pa.array(repl, pa.string()),
+                               t["text"]))
         if lm_ref is not None:
             from raycrawl.textops import lm_known_counts
 
@@ -128,8 +136,7 @@ def _clean_keyed_dataset(sf_dir: str, threshold: float, df_cap: int,
         q = quality_score_batch(t)["quality"].to_numpy()
         t = t.append_column("quality", pa.array(q))
         t = t.filter(pa.array(q >= min_quality))
-        ids = t["doc_id"].to_numpy().astype(np.uint64)
-        h = (((ids % mod32) ^ salt) * np.uint64(2654435761)) % mod32
+        h = knuth_key32(t["doc_id"].to_numpy(), seed)
         t = t.append_column("shuffle_key", pa.array(h.astype(np.int64)))
         return t.select([*(c for c in read_cols if c in columns or c == "doc_id"),
                          "quality", "shuffle_key"])

@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from raycrawl.kernels import table_from_pandas
+from raycrawl.kernels import knuth_key32, table_from_pandas
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
@@ -786,11 +786,9 @@ def documents_hash_sample(sf_dir: str, pct: int = 20) -> pa.Table:
     (ADVICE r2: the old int64 form diverged from the oracle above
     ~3.47e9)."""
     thresh = np.uint64((1 << 32) * pct // 100)
-    mod32 = np.uint64(1 << 32)
 
     def pick(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy().astype(np.uint64)
-        h = ((ids % mod32) * np.uint64(2654435761)) % mod32
+        h = knuth_key32(t["doc_id"].to_numpy())
         return t.filter(pa.array(h < thresh))
 
     out = (
@@ -813,12 +811,8 @@ def documents_shuffled(sf_dir: str, seed: int = 7) -> pa.Table:
     sort of the id+key columns; the mod-2^32 reduction keeps both sides
     exact for every doc_id < 2^63 (same algebra as documents_hash_sample).
     Output carries the shuffle position so equality is order-sensitive."""
-    mod32 = np.uint64(1 << 32)
-    salt = np.uint64((seed * 2654435761) % (1 << 32))
-
     def key(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy().astype(np.uint64)
-        h = (((ids % mod32) ^ salt) * np.uint64(2654435761)) % mod32
+        h = knuth_key32(t["doc_id"].to_numpy(), seed)
         return t.append_column("shuffle_key", pa.array(h.astype(np.int64)))
 
     out = (
@@ -875,14 +869,11 @@ def pack_sequences(sf_dir: str, budget: int = 2048, seed: int = 7,
     the SQL oracle (SUM() OVER the same key order) is exact."""
     import ray
 
-    mod32 = np.uint64(1 << 32)
-    salt = np.uint64((seed * 2654435761) % (1 << 32))
     shift = np.uint64(32 - bucket_bits)
     nb = 1 << bucket_bits
 
     def keyed(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy().astype(np.uint64)
-        h = (((ids % mod32) ^ salt) * np.uint64(2654435761)) % mod32
+        h = knuth_key32(t["doc_id"].to_numpy(), seed)
         return pa.table({
             "doc_id": t["doc_id"],
             "n_chars": t["n_chars"],
@@ -909,11 +900,11 @@ def pack_sequences(sf_dir: str, budget: int = 2048, seed: int = 7,
     np.cumsum(totals[:-1], out=offsets[1:])  # exclusive scan
     off_ref = ray.put(offsets)
 
-    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+    def pack_group(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in ("doc_id", "start_off",
-                                           "pack_id", "spans")})
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("doc_id", "start_off",
+                                       "pack_id", "spans")})
         g = g.sort_values(["shuffle_key", "doc_id"])
         ln = g["n_chars"].to_numpy().astype(np.int64)
         base = int(ray.get(off_ref)[int(g["bucket"].iloc[0])])
@@ -921,9 +912,11 @@ def pack_sequences(sf_dir: str, budget: int = 2048, seed: int = 7,
         end = start + ln
         pack = start // budget
         last = np.maximum(end - 1, start) // budget  # len-0 docs span 1
-        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
-                             "start_off": start, "pack_id": pack,
-                             "spans": last - pack + 1})
+        # Arrow output keeps block schemas metadata-free (hashable)
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy().astype(np.int64)),
+            "start_off": pa.array(start), "pack_id": pa.array(pack),
+            "spans": pa.array(last - pack + 1)})
 
     out = (ds.groupby("bucket")
              .map_groups(pack_group, batch_format="pandas")
@@ -1039,8 +1032,7 @@ def documents_stratified_sample(sf_dir: str, per_lang: int = 40) -> pa.Table:
         ids = t["doc_id"].to_numpy()
         # same pre-reduced Knuth hash as documents_hash_sample: exact (and
         # oracle-equal) for every doc_id < 2^63
-        h = ((ids.astype(np.uint64) % np.uint64(1 << 32))
-             * np.uint64(2654435761)) % np.uint64(1 << 32)
+        h = knuth_key32(ids)
         idx, _ = group_ranked_head(lang, (ids, h), k)
         return pa.table({
             "lang": pa.array(lang[idx], pa.string()),
@@ -1479,13 +1471,10 @@ def mixture_keep_mask(t: pa.Table, rates_bp: dict, seed: int = 11):
     mixture stage. Unlisted sources keep everything."""
     import pyarrow.compute as pc
 
-    mod32 = np.uint64(1 << 32)
-    salt = np.uint64((seed * 2654435761) % (1 << 32))
     src_list = sorted(rates_bp)
     thresh = np.array([(1 << 32) * int(rates_bp[s]) // 10000
                        for s in src_list] + [1 << 32], dtype=np.uint64)
-    ids = t["doc_id"].to_numpy().astype(np.uint64)
-    h = (((ids % mod32) ^ salt) * np.uint64(2654435761)) % mod32
+    h = knuth_key32(t["doc_id"].to_numpy(), seed)
     idx = pc.index_in(t["source"], value_set=pa.array(src_list, pa.string()))
     idx = idx.fill_null(len(src_list)).to_numpy().astype(np.int64)
     return h < thresh[idx]

@@ -52,7 +52,8 @@ def test_export_jsonl_crashed_shard_is_rewritten_not_appended(tmp_path):
     export_jsonl_partitioned(ds, out, "lang", num_shards=4)
     # simulate a crash that left a stale data file but no commit marker:
     # corrupt one shard's file and remove its _OK marker + _SUCCESS
-    lang0 = sorted(os.listdir(out))[0].split("=", 1)[1]
+    lang0 = sorted(d for d in os.listdir(out)
+                   if d.startswith("lang="))[0].split("=", 1)[1]
     pdir = os.path.join(out, f"lang={lang0}")
     fn = sorted(f for f in os.listdir(pdir) if f.endswith(".jsonl"))[0]
     shard = int(fn.split("-")[1].split(".")[0])
@@ -114,3 +115,26 @@ def test_load_jsonl_partitioned_dataset_source(tmp_path):
     os.makedirs(out)
     with pytest.raises(FileNotFoundError):
         load_jsonl_partitioned(out, "lang")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_spec_mismatch_refuses_resume(tmp_path):
+    """Resuming into an out_dir written with different routing params must
+    raise, not silently drop/duplicate rows against stale _OK markers
+    (code-review r4: markers carried no num_shards/shard-key identity)."""
+    import ray.data as rd
+
+    from raycrawl.io_sinks import export_jsonl_partitioned
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    out = str(tmp_path / "exp")
+    export_jsonl_partitioned(ds, out, "lang", num_shards=4)
+    with pytest.raises(ValueError, match="routing"):
+        export_jsonl_partitioned(ds, out, "lang", num_shards=8)
+    with pytest.raises(ValueError, match="routing"):
+        export_jsonl_partitioned(ds, out, "lang", shard_key_col="n_chars",
+                                 num_shards=4)
+    # identical routing still resumes cleanly
+    again = export_jsonl_partitioned(ds, out, "lang", num_shards=4)
+    assert sum(again.values()) == ds.count()

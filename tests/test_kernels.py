@@ -3,6 +3,7 @@
 shared/src/url_normalize.rs:24-69, shared/src/dns.rs:68-96 — outputs must be
 byte-identical. Plus scalar-vs-vectorized agreement (hypothesis)."""
 
+import numpy as np
 import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -397,3 +398,37 @@ def test_minhash_bands_batch_vectorized_semantics():
                         sig[db][b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND])
                     hash_eq = bh[(da, b)] == bh[(db, b)]
                     assert chunk_eq == hash_eq, (da, db, b)
+
+
+def test_list_matrix_fixed_size_list_respects_slice_offset():
+    """FixedSizeListArray.values is the UNSLICED child: a sliced Array must
+    map rows via offset*list_size (code-review r4: the fixed-size branch
+    crashed on any sliced input while the variable-width branch below it
+    compensated correctly)."""
+    import pyarrow as pa
+
+    from raycrawl.kernels import list_matrix
+
+    arr = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]],
+                   pa.list_(pa.float32(), 2))
+    m = list_matrix(arr.slice(1, 2))
+    assert m.shape == (2, 2)
+    assert (m == np.array([[3.0, 4.0], [5.0, 6.0]])).all()
+    # variable-width sibling: same slice semantics
+    v = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], pa.list_(pa.float64()))
+    mv = list_matrix(v.slice(1, 2))
+    assert (mv == np.array([[3.0, 4.0], [5.0, 6.0]])).all()
+
+
+def test_knuth_key32_matches_inline_formula():
+    """The shared kernel must stay bit-identical to the documented formula
+    (and hence to every DuckDB twin that spells it in SQL)."""
+    from raycrawl.kernels import knuth_key32
+
+    ids = np.array([0, 1, 12345, 2**31, 2**32 - 1, 2**32, 2**62], np.uint64)
+    for seed in (0, 7, 11):
+        salt = np.uint64((seed * 2654435761) % (1 << 32))
+        mod32 = np.uint64(1 << 32)
+        want = (((ids % mod32) ^ salt) * np.uint64(2654435761)) % mod32
+        assert (knuth_key32(ids, seed) == want).all()
+        assert (knuth_key32(ids.astype(np.int64), seed) == want).all()

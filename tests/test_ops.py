@@ -913,3 +913,39 @@ def test_retrieval_stats_multibatch_partition_invariant(tmp_path):
     pd.testing.assert_frame_equal(
         single_bc[sorted(single_bc.columns)].reset_index(drop=True),
         want_bc[sorted(want_bc.columns)], check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_substring_dedup_max_32bit_doc_id(tmp_path):
+    """doc_id == 2^32 - 1 is legal under the 32-bit pack guard; the apply's
+    upper searchsorted bound must not wrap (code-review r4: (id+1)<<32
+    overflowed to 0 in uint64 and silently skipped that doc's removals)."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from raycrawl.dedup import substring_dedup_apply, substring_dedup_sql
+
+    big = 2**32 - 1
+    docs = pa.table({
+        "doc_id": pa.array([7, big], pa.int64()),
+        "text": pa.array(["a b c d e f g h i j k l",
+                          "a b c d e f g h i j k l"], pa.string()),
+    })
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    pq.write_table(docs, d + "/documents.parquet")
+    got = substring_dedup_apply(d).to_pandas().set_index("doc_id")
+    # the later (higher-id) exact dup must be fully scrubbed
+    assert got.loc[big, "n_removed_words"] == 12
+    assert got.loc[big, "n_kept_words"] == 0
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = (con.execute(substring_dedup_sql()).arrow().to_pandas()
+            .set_index("doc_id"))
+    assert (got["n_removed_words"].astype("int64")
+            == want["n_removed_words"].astype("int64")).all()
+    assert (got["kept_md5"].astype("uint64")
+            == want["kept_md5"].astype("uint64")).all()
