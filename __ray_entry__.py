@@ -287,6 +287,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "documents_mixture_sample": relational.documents_mixture_sample,
         "inverted_index_stats": textops.inverted_index_stats,
         "bigram_collocations": textops.bigram_collocations,
+        "documents_quality_pruned": textops.documents_quality_pruned,
         # rows-only (approximate/RNG — pytest-pinned to oracled exact twins)
         "events_user_hll": sketches.events_user_hll,
         "events_value_quantiles_sketch": sketches.events_value_quantiles_sketch,
@@ -600,5 +601,6 @@ def demoted_oracle_sql() -> dict[str, str]:
         "documents_mixture_sample": relational.documents_mixture_sample_sql(),
         "inverted_index_stats": textops.inverted_index_stats_sql(),
         "bigram_collocations": textops.bigram_collocations_sql(),
+        "documents_quality_pruned": textops.quality_pruned_sql(),
     })
     return demoted

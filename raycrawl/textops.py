@@ -305,6 +305,126 @@ def quality_scores_sql() -> str:
     """
 
 
+def documents_quality_pruned(sf_dir: str, pct: int = 60) -> pa.Table:
+    """Keep the top ``pct``% of documents by quality score — the global
+    quality-pruning gate of a training-data pipeline ("train on the best
+    60%"), rank-exact: exactly ``k = ceil(N·pct/100)`` docs survive, ranked
+    by (quality DESC, doc_id ASC), matching the SQL twin's ROW_NUMBER
+    semantics bit-for-bit.
+
+    Scale shape (no global sort, no full materialization of the wide
+    table): quality is computed ONCE into a narrow (doc_id, quality)
+    dataset; the selection threshold is found by a two-level histogram
+    over the quality float's BIT PATTERN (non-negative IEEE doubles order
+    as unsigned ints) — a ≤2^16-bucket coarse pass, then an exact-value
+    pass inside the single threshold bucket — so driver state is bounded
+    by bucket count + one bucket's distinct values, never N. The rank tie
+    at the threshold value is broken by doc_id: the tie class (docs
+    sharing ONE exact float quality) is counted first and its doc_ids are
+    only collected when a partial selection is needed (WARNs above ~5M —
+    a degenerate corpus where half the docs share a score should route
+    through a coarser gate instead)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    qds = quality_scores(sf_dir).select_columns(
+        ["doc_id", "quality"]).materialize()
+    n = qds.count()
+    k = -(-n * pct // 100)  # ceil(n*pct/100), integer-exact
+    if n == 0 or k <= 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "quality": pa.array([], pa.float64())})
+    if k >= n:
+        out = qds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        from raycrawl.kernels import table_from_pandas
+        return table_from_pandas(out)
+
+    def coarse_partial(t: pa.Table) -> pa.Table:
+        bits = t["quality"].to_numpy().view(np.uint64)
+        bucket = (bits >> np.uint64(48)).astype(np.int64)
+        b, c = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(b),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    hist = (qds.map_batches(coarse_partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("cnt", alias_name="n"))
+            .to_pandas().sort_values("bucket", ascending=False))
+    cum = hist["n"].to_numpy().cumsum()
+    bi = int(np.searchsorted(cum, k))          # first bucket where cum >= k
+    thr_bucket = int(hist["bucket"].iloc[bi])
+    above_bucket = int(cum[bi - 1]) if bi else 0   # docs in buckets > thr's
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        bits = t["quality"].to_numpy().view(np.uint64)
+        sel = (bits >> np.uint64(48)).astype(np.int64) == thr_bucket
+        # int64 VIEW rides the shuffle zero-copy; order-compatible here
+        # because all values share the top bits (same bucket)
+        b, c = np.unique(bits[sel].view(np.int64), return_counts=True)
+        return pa.table({"qbits": pa.array(b),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    inb = (qds.map_batches(exact_partial, batch_format="pyarrow")
+           .groupby("qbits").aggregate(Sum("cnt", alias_name="n"))
+           .to_pandas())
+    inb = inb.sort_values("qbits", ascending=False)
+    cum2 = above_bucket + inb["n"].to_numpy().cumsum()
+    vi = int(np.searchsorted(cum2, k))
+    thr_bits = np.uint64(np.int64(inb["qbits"].iloc[vi]))
+    n_gt = int(cum2[vi - 1]) if vi else above_bucket  # docs with q > thr
+    s = k - n_gt                                      # tie slots to fill
+    m = int(inb["n"].iloc[vi])                        # tie class size
+
+    cutoff = None  # None => keep the whole tie class
+    if s < m:
+        if m > 5_000_000:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "quality-pruned tie class has %d docs sharing one score — "
+                "driver-side doc_id selection is O(m); consider a coarser "
+                "pct or a pre-filter for this corpus", m)
+        def tie_ids_batch(t: pa.Table) -> pa.Table:
+            bits = t["quality"].to_numpy().view(np.uint64)
+            sel = bits == thr_bits
+            return pa.table({"doc_id": pa.array(
+                t["doc_id"].to_numpy()[sel])})
+
+        tie_ids = (qds.map_batches(tie_ids_batch, batch_format="pyarrow")
+                   .to_pandas()["doc_id"].to_numpy())
+        cutoff = int(np.partition(tie_ids, s - 1)[s - 1])
+
+    def keep(t: pa.Table) -> pa.Table:
+        bits = t["quality"].to_numpy().view(np.uint64)
+        mask = bits > thr_bits
+        if cutoff is None:
+            mask |= bits == thr_bits
+        else:
+            mask |= (bits == thr_bits) & (t["doc_id"].to_numpy() <= cutoff)
+        return t.filter(pa.array(mask))
+
+    from raycrawl.kernels import table_from_pandas
+
+    out = (qds.map_batches(keep, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == k, (len(out), k)  # rank-exactness is the contract
+    return table_from_pandas(out)
+
+
+def quality_pruned_sql(pct: int = 60) -> str:
+    base = quality_scores_sql()
+    return f"""
+    WITH q AS (SELECT doc_id, quality FROM ({base})),
+    rk AS (SELECT doc_id, quality,
+                  ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id ASC) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM q)
+    SELECT doc_id, quality FROM rk
+    WHERE rn <= (n * {pct} + 99) // 100
+    ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # language ID (rows-only)
 # ---------------------------------------------------------------------------

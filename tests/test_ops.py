@@ -949,3 +949,40 @@ def test_substring_dedup_max_32bit_doc_id(tmp_path):
             == want["n_removed_words"].astype("int64")).all()
     assert (got["kept_md5"].astype("uint64")
             == want["kept_md5"].astype("uint64")).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_pruned_rank_exact_with_ties(tmp_path):
+    """Global top-p% quality pruning must keep EXACTLY ceil(N*pct/100) docs
+    with the (quality DESC, doc_id ASC) rank order of the SQL twin — in
+    particular when many docs share one exact score and the threshold
+    falls inside the tie class (partial doc_id selection)."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import pandas as pd
+
+    from raycrawl.textops import documents_quality_pruned, quality_pruned_sql
+
+    # 8 identical docs (one tie class) + 2 distinct-quality docs
+    texts = (["the quick brown fox jumps over a lazy dog"] * 8
+             + ["x", "the and for are with this that from have one two"])
+    docs = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    pq.write_table(docs, d + "/documents.parquet")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    for pct in (30, 60, 90, 100):
+        got = documents_quality_pruned(d, pct=pct).to_pandas()
+        want = con.execute(quality_pruned_sql(pct=pct)).df()
+        assert len(got) == -(-10 * pct // 100), pct
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False)
