@@ -142,7 +142,7 @@ def export_jsonl_partitioned(ds, out_dir: str, partition_col: str,
         # resume filter runs over the FULL corpus, so no per-row Python
         row_key = pc_.binary_join_element_wise(
             pc_.cast(t[partition_col], pa.string()),
-            pc_.cast(pa.array(shard, pa.int64()), pa.string()), "\x00")
+            pc_.cast(t["__shard"], pa.string()), "\x00")
         return t.filter(pc_.invert(pc_.is_in(row_key, value_set=done_keys)))
 
     def write_shard(g: pd.DataFrame) -> pa.Table:

@@ -324,8 +324,6 @@ def documents_quality_pruned(sf_dir: str, pct: int = 60) -> pa.Table:
     only collected when a partial selection is needed (WARNs above ~5M —
     a degenerate corpus where half the docs share a score should route
     through a coarser gate instead)."""
-    import math
-
     from ray.data.aggregate import Sum
 
     qds = quality_scores(sf_dir).select_columns(
@@ -337,7 +335,6 @@ def documents_quality_pruned(sf_dir: str, pct: int = 60) -> pa.Table:
                          "quality": pa.array([], pa.float64())})
     if k >= n:
         out = qds.to_pandas().sort_values("doc_id").reset_index(drop=True)
-        from raycrawl.kernels import table_from_pandas
         return table_from_pandas(out)
 
     def coarse_partial(t: pa.Table) -> pa.Table:
@@ -384,6 +381,7 @@ def documents_quality_pruned(sf_dir: str, pct: int = 60) -> pa.Table:
                 "quality-pruned tie class has %d docs sharing one score — "
                 "driver-side doc_id selection is O(m); consider a coarser "
                 "pct or a pre-filter for this corpus", m)
+
         def tie_ids_batch(t: pa.Table) -> pa.Table:
             bits = t["quality"].to_numpy().view(np.uint64)
             sel = bits == thr_bits
@@ -402,8 +400,6 @@ def documents_quality_pruned(sf_dir: str, pct: int = 60) -> pa.Table:
         else:
             mask |= (bits == thr_bits) & (t["doc_id"].to_numpy() <= cutoff)
         return t.filter(pa.array(mask))
-
-    from raycrawl.kernels import table_from_pandas
 
     out = (qds.map_batches(keep, batch_format="pyarrow")
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
