@@ -288,7 +288,12 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_stats": textops.inverted_index_stats,
         "bigram_collocations": textops.bigram_collocations,
         "documents_quality_pruned": textops.documents_quality_pruned,
-        # rows-only (approximate/RNG — pytest-pinned to oracled exact twins)
+        "documents_split_assignment": relational.documents_split_assignment,
+        "documents_balanced_shards": relational.documents_balanced_shards,
+        "corpus_word_counts": textops.word_counts,
+        # rows-only (approximate/RNG/iterative — pytest-pinned to oracled
+        # exact twins or reference implementations)
+        "bpe_learned_merges": textops.bpe_learned_merges,
         "events_user_hll": sketches.events_user_hll,
         "events_value_quantiles_sketch": sketches.events_value_quantiles_sketch,
         "events_user_heavy_hitters": sketches.events_user_heavy_hitters,
@@ -602,5 +607,9 @@ def demoted_oracle_sql() -> dict[str, str]:
         "inverted_index_stats": textops.inverted_index_stats_sql(),
         "bigram_collocations": textops.bigram_collocations_sql(),
         "documents_quality_pruned": textops.quality_pruned_sql(),
+        "documents_split_assignment":
+            relational.documents_split_assignment_sql(),
+        "documents_balanced_shards": relational.documents_balanced_shards_sql(),
+        "corpus_word_counts": textops.word_counts_sql(),
     })
     return demoted

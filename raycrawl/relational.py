@@ -867,6 +867,34 @@ def pack_sequences(sf_dir: str, budget: int = 2048, seed: int = 7,
 
     Lengths are ``n_chars`` (the table's materialized length column) so
     the SQL oracle (SUM() OVER the same key order) is exact."""
+    ds, _total = _stream_offsets(sf_dir, seed, bucket_bits)
+
+    def fin(t: pa.Table) -> pa.Table:
+        start = t["start_off"].to_numpy()
+        ln = t["n_chars"].to_numpy()
+        end = start + ln
+        pack = start // budget
+        last = np.maximum(end - 1, start) // budget  # len-0 docs span 1
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "start_off": t["start_off"],
+            "pack_id": pa.array(pack),
+            "spans": pa.array(last - pack + 1)})
+
+    out = (ds.map_batches(fin, batch_format="pyarrow")
+             .to_pandas()
+             .sort_values("start_off").reset_index(drop=True))
+    return table_from_pandas(out)
+
+
+def _stream_offsets(sf_dir: str, seed: int, bucket_bits: int):
+    """Shared distributed-prefix-sum layout for the sequence-packing and
+    balanced-shard lanes: every document's EXCLUSIVE stream offset in
+    reproducible-shuffle order (the bucket plan is documented on
+    ``pack_sequences``). Returns ``(dataset, total_chars)`` where the
+    dataset's rows are ``(doc_id, n_chars, start_off)`` — int64, exact —
+    and ``total_chars`` is the global length sum (free: it is the
+    inclusive scan's last element, already on the driver)."""
     import ray
 
     shift = np.uint64(32 - bucket_bits)
@@ -900,29 +928,121 @@ def pack_sequences(sf_dir: str, budget: int = 2048, seed: int = 7,
     np.cumsum(totals[:-1], out=offsets[1:])  # exclusive scan
     off_ref = ray.put(offsets)
 
-    def pack_group(g: pd.DataFrame) -> pa.Table:
+    def offs_group(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
             return pa.table({c: pa.array([], pa.int64())
-                             for c in ("doc_id", "start_off",
-                                       "pack_id", "spans")})
+                             for c in ("doc_id", "n_chars", "start_off")})
         g = g.sort_values(["shuffle_key", "doc_id"])
         ln = g["n_chars"].to_numpy().astype(np.int64)
         base = int(ray.get(off_ref)[int(g["bucket"].iloc[0])])
         start = base + np.concatenate(([0], np.cumsum(ln[:-1])))
-        end = start + ln
-        pack = start // budget
-        last = np.maximum(end - 1, start) // budget  # len-0 docs span 1
         # Arrow output keeps block schemas metadata-free (hashable)
         return pa.table({
             "doc_id": pa.array(g["doc_id"].to_numpy().astype(np.int64)),
-            "start_off": pa.array(start), "pack_id": pa.array(pack),
-            "spans": pa.array(last - pack + 1)})
+            "n_chars": pa.array(ln), "start_off": pa.array(start)})
 
-    out = (ds.groupby("bucket")
-             .map_groups(pack_group, batch_format="pandas")
+    out = ds.groupby("bucket").map_groups(offs_group, batch_format="pandas")
+    return out, int(totals.sum())
+
+
+def documents_balanced_shards(sf_dir: str, n_shards: int = 16,
+                              seed: int = 7, bucket_bits: int = 8) -> pa.Table:
+    """Token-balanced contiguous shard layout — the export-time sibling of
+    ``pack_sequences``: cut the shuffled corpus stream into ``n_shards``
+    ranges of ~equal total characters (so every writer/trainer rank gets
+    the same byte budget, not the same doc COUNT — doc-count sharding
+    skews badly under heavy-tailed doc lengths). Each doc's shard is
+    ``min(n_shards-1, start_off * n_shards // total_chars)`` over the same
+    distributed prefix sum (one partial pass + one bucket shuffle; the
+    global total is the scan's last element, free on the driver).
+    Integer-exact — and oracle-equal — while
+    ``total_chars * n_shards < 2^63`` (100 TB × 1024 shards ≈ 2^57: safe).
+    Output is the per-doc assignment (doc_id order) so the driver hash
+    pins every placement, not just the per-shard totals."""
+    ds, total = _stream_offsets(sf_dir, seed, bucket_bits)
+    k = int(n_shards)
+    tot = max(1, total)
+
+    def fin(t: pa.Table) -> pa.Table:
+        start = t["start_off"].to_numpy()
+        shard = np.minimum(k - 1, start * k // tot)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_chars": t["n_chars"],
+            "start_off": t["start_off"], "shard": pa.array(shard)})
+
+    out = (ds.map_batches(fin, batch_format="pyarrow")
              .to_pandas()
-             .sort_values("start_off").reset_index(drop=True))
+             .sort_values("doc_id").reset_index(drop=True))
     return table_from_pandas(out)
+
+
+def documents_balanced_shards_sql(n_shards: int = 16, seed: int = 7) -> str:
+    salt = (seed * 2654435761) % (1 << 32)
+    key = (f"CAST(xor(CAST(doc_id % 4294967296 AS BIGINT), {salt}) "
+           f"AS HUGEINT) * 2654435761 % 4294967296")
+    return f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(coalesce(SUM(n_chars) OVER (
+                 ORDER BY {key}, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS start_off
+      FROM documents),
+    t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM documents)
+    SELECT s.doc_id, CAST(s.n_chars AS BIGINT) AS n_chars, s.start_off,
+           CAST(least({n_shards} - 1,
+                      s.start_off * {n_shards} // greatest(t.tot, 1))
+                AS BIGINT) AS shard
+    FROM s, t ORDER BY s.doc_id
+    """
+
+
+def documents_split_assignment(sf_dir: str, test_bp: int = 500,
+                               val_bp: int = 500, seed: int = 13) -> pa.Table:
+    """Deterministic train/val/test split — the held-out-set step every
+    training-data pipeline runs before export. Membership is a pure
+    function of ``doc_id`` (seed-salted Knuth hash against basis-point
+    thresholds), so the split is stable across runs, partitionings and
+    cluster sizes, re-derivable for any doc without a membership table,
+    and disjoint by construction. Embarrassingly parallel: a stateless
+    per-batch map, zero shuffle. Same mod-2^32 algebra as
+    ``documents_shuffled`` keeps Ray and the HUGEINT oracle bit-equal
+    for every doc_id < 2^63."""
+    t_test = np.uint64(((1 << 32) * test_bp) // 10000)
+    t_val = np.uint64(int(t_test) + ((1 << 32) * val_bp) // 10000)
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = knuth_key32(t["doc_id"].to_numpy(), seed)
+        split = np.full(len(h), "train", dtype=object)
+        split[h < t_val] = "val"
+        split[h < t_test] = "test"
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "split": pa.array(split, pa.string())})
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return table_from_pandas(out)
+
+
+def documents_split_assignment_sql(test_bp: int = 500, val_bp: int = 500,
+                                   seed: int = 13) -> str:
+    salt = (seed * 2654435761) % (1 << 32)
+    key = (f"CAST(xor(CAST(doc_id % 4294967296 AS BIGINT), {salt}) "
+           f"AS HUGEINT) * 2654435761 % 4294967296")
+    t_test = ((1 << 32) * test_bp) // 10000
+    t_val = t_test + ((1 << 32) * val_bp) // 10000
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN {key} < {t_test} THEN 'test'
+                WHEN {key} < {t_val} THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents ORDER BY doc_id
+    """
 
 
 def pack_sequences_sql(budget: int = 2048, seed: int = 7) -> str:

@@ -1417,3 +1417,149 @@ def bigram_collocations_sql(min_count: int = 5, k: int = 50) -> str:
       FROM sc)
     WHERE rnk <= {k} ORDER BY rnk
     """
+
+
+def word_counts(sf_dir: str, top_words: int = 4096) -> pa.Table:
+    """Global word-frequency table, capped to the ``top_words`` most
+    frequent (count desc, word asc — content-deterministic). The ONE
+    corpus-sized pass behind BPE training (``bpe_learned_merges``):
+    per-batch polars partials → ONE groupby(part) combine with a
+    per-partition top cap (a word's global count lands in exactly one
+    partition, so the per-partition cap is safe: the global top-``k``
+    is a subset of the union of per-partition top-``k``) → tiny driver
+    finalize over ≤ n_parts·top_words rows. Same tokenizer and shuffle
+    discipline as ``tfidf_top_terms``/``inverted_index_stats``."""
+    import polars as pl
+    import ray
+
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = (pl.Series(t["text"].combine_chunks())
+                .str.to_lowercase().str.extract_all(r"[a-z0-9_]+"))
+        flat = toks.explode(empty_as_null=True).drop_nulls()
+        d = (pl.DataFrame({"word": flat})
+             .group_by("word").agg(cnt=pl.len().cast(pl.Int64)))
+        return pa.table({
+            "word": pa.array(d["word"].to_numpy(), pa.string()),
+            "cnt": pa.array(d["cnt"].to_numpy(), pa.int64()),
+            "part": pa.array((d["word"].hash(seed=7) % n_parts)
+                             .cast(pl.Int64).to_numpy(), pa.int64()),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        w = t["word"].to_numpy(zero_copy_only=False)
+        c = t["cnt"].to_numpy()
+        order = np.argsort(w, kind="stable")
+        w, c = w[order], c[order]
+        starts = (np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+                  if len(w) else np.array([], np.int64))
+        uw = w[starts]
+        uc = (np.add.reduceat(c, starts) if len(starts)
+              else c[:0]).astype(np.int64)
+        top = np.lexsort((uw, -uc))[:top_words]
+        return pa.table({"word": pa.array(uw[top], pa.string()),
+                         "cnt": pa.array(uc[top], pa.int64())})
+
+    out = (
+        _t(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: combine(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["cnt", "word"], ascending=[False, True],
+                     kind="stable")
+        .head(top_words)
+        .reset_index(drop=True)
+    )
+    from raycrawl.kernels import table_from_pandas
+
+    return table_from_pandas(out)
+
+
+def word_counts_sql(top_words: int = 4096) -> str:
+    return f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+      FROM documents)
+    GROUP BY word
+    QUALIFY row_number() OVER (ORDER BY count(*) DESC, word) <= {top_words}
+    ORDER BY cnt DESC, word
+    """
+
+
+def bpe_learned_merges(sf_dir: str, n_merges: int = 24,
+                       top_words: int = 4096) -> pa.Table:
+    """Distributed BPE tokenizer TRAINING — learn the merge table itself
+    (the artifact a pre-training run tokenizes with), not just apply a
+    fixed pre-tokenizer. Byte-pair encoding per Sennrich, Haddow & Birch
+    2016 (arXiv:1508.07909), greedy most-frequent-adjacent-pair merges.
+
+    100 TB shape (and how production BPE trainers are built): the merge
+    statistics depend on the corpus ONLY through the word→count table, so
+    the corpus-sized stage is ONE word-frequency reduce
+    (``word_counts`` — per-batch partials, one hash shuffle, capped
+    vocabulary), and the merge loop runs on the driver over O(vocab)
+    data: O(vocab·merges) work independent of corpus size. Scaling the
+    corpus 1000× does not grow the driver stage at all.
+
+    Determinism (everything pinned by test): vocabulary capped to
+    ``top_words`` by (count desc, word); each round's winner is the
+    max-count pair with ties broken by lexicographically smallest
+    (left, right); loop stops early when the best pair count < 2 (a
+    pair seen once compresses nothing). Words are split to single
+    characters with a '</w>' end-of-word sentinel appended, so merges
+    crossing the sentinel encode word-final units, as in the paper.
+
+    Rows-only driver row by nature (iterative, data-dependent selection —
+    not single-statement SQL); the merge table is pytest-pinned against
+    an independent reference implementation over DuckDB-computed word
+    counts, and ``word_counts`` itself is oracle-checked."""
+    wc = word_counts(sf_dir, top_words=top_words)
+    words = wc["word"].to_pylist()
+    counts = wc["cnt"].to_pylist()
+    syms = [tuple(w) + ("</w>",) for w in words]
+
+    out_rank: list[int] = []
+    out_left: list[str] = []
+    out_right: list[str] = []
+    out_tok: list[str] = []
+    out_cnt: list[int] = []
+    for rank in range(n_merges):
+        pair_counts: dict[tuple, int] = {}
+        for s, c in zip(syms, counts):
+            for a, b in zip(s, s[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        best_c = max(pair_counts.values())
+        if best_c < 2:
+            break
+        left, right = min(p for p, c in pair_counts.items() if c == best_c)
+        tok = left + right
+        out_rank.append(rank)
+        out_left.append(left)
+        out_right.append(right)
+        out_tok.append(tok)
+        out_cnt.append(best_c)
+        merged = []
+        for s in syms:
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    ns.append(tok)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            merged.append(tuple(ns))
+        syms = merged
+
+    return pa.table({
+        "rank": pa.array(out_rank, pa.int64()),
+        "left": pa.array(out_left, pa.string()),
+        "right": pa.array(out_right, pa.string()),
+        "token": pa.array(out_tok, pa.string()),
+        "pair_count": pa.array(out_cnt, pa.int64()),
+    })

@@ -20,6 +20,9 @@ ROWS_ONLY = {
     "events_user_hll", "events_value_quantiles_sketch",
     "events_user_heavy_hitters", "media_features",
     "embedding_lsh_topk", "embedding_ivf_topk",
+    # iterative data-dependent selection (not single-statement SQL);
+    # pytest-pinned to a reference implementation over oracled word counts
+    "bpe_learned_merges",
 }
 
 SWEEP_BUDGET = 50

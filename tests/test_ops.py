@@ -986,3 +986,72 @@ def test_quality_pruned_rank_exact_with_ties(tmp_path):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True),
             check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_learned_merges_match_reference():
+    """The learned merge table must equal an independently-written BPE
+    reference (Sennrich-style greedy pair merging with max-count /
+    lexicographic-min tie-break) run over DuckDB-computed word counts —
+    pinning both the distributed count reduce and the driver merge loop."""
+    from collections import Counter
+
+    import duckdb
+
+    from raycrawl.textops import bpe_learned_merges
+
+    con = duckdb.connect()
+    wc = con.execute(
+        "SELECT word, count(*) AS cnt FROM ("
+        "  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))"
+        "    AS word"
+        f"  FROM read_parquet('{SF}/documents.parquet'))"
+        " GROUP BY word ORDER BY cnt DESC, word").fetchall()
+    vocab = {tuple(w) + ("</w>",): c for w, c in wc}
+    expect = []
+    for rank in range(24):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                pairs[pair] += c
+        if not pairs:
+            break
+        best_c = max(pairs.values())
+        if best_c < 2:
+            break
+        left, right = min(p for p, c in pairs.items() if c == best_c)
+        expect.append((rank, left, right, left + right, best_c))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+
+    got = bpe_learned_merges(SF, n_merges=24).to_pandas()
+    assert list(map(tuple, got.itertuples(index=False))) == expect
+    assert len(expect) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_balanced_shards_bucket_invariance_and_balance():
+    """The shard layout is a pure function of the corpus — the bucket
+    count is an execution detail, so coarse and fine bucket_bits must
+    produce identical assignments; and no shard may exceed the ideal
+    char budget by more than one max-length document."""
+    from raycrawl.relational import documents_balanced_shards
+
+    a = documents_balanced_shards(SF, n_shards=8, bucket_bits=2).to_pandas()
+    b = documents_balanced_shards(SF, n_shards=8, bucket_bits=8).to_pandas()
+    assert a.equals(b)
+    per = a.groupby("shard")["n_chars"].sum()
+    ideal = a["n_chars"].sum() / 8
+    assert (per <= ideal + a["n_chars"].max()).all()
+    assert set(a["shard"]) == set(range(8))
