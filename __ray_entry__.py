@@ -294,6 +294,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (approximate/RNG/iterative — pytest-pinned to oracled
         # exact twins or reference implementations)
         "bpe_learned_merges": textops.bpe_learned_merges,
+        "bpe_compression_by_lang": textops.bpe_compression_by_lang,
         "events_user_hll": sketches.events_user_hll,
         "events_value_quantiles_sketch": sketches.events_value_quantiles_sketch,
         "events_user_heavy_hitters": sketches.events_user_heavy_hitters,

@@ -1563,3 +1563,108 @@ def bpe_learned_merges(sf_dir: str, n_merges: int = 24,
         "token": pa.array(out_tok, pa.string()),
         "pair_count": pa.array(out_cnt, pa.int64()),
     })
+
+
+class _BpeApplyStats:
+    """Actor-pool stage for applying a LEARNED merge table to the corpus
+    (the serve-side half of ``bpe_learned_merges``): the merge list is
+    built once per actor in ``__init__`` (broadcast small side — sent to
+    each worker once, never per batch) and each word's token count is
+    memoized per worker, so per-batch work is vectorized numpy over the
+    batch's distinct words only. Merges are applied in RANK ORDER with
+    all occurrences replaced per pass — exactly the training loop's
+    semantics, so in-vocab words reproduce the training segmentation and
+    any OOV word still tokenizes deterministically."""
+
+    def __init__(self, merges: list):
+        self.merges = merges
+        self.cache: dict = {}
+
+    def _n_tokens(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is None:
+            syms = list(word) + ["</w>"]
+            for left, right, tok in self.merges:
+                i, out = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(tok)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            n = len(syms)
+            self.cache[word] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.Series(t["text"].combine_chunks())
+        toks = s.str.to_lowercase().str.extract_all(r"[a-z0-9_]+")
+        n_per_doc = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=True).drop_nulls().to_numpy()
+        uniq, inv = np.unique(flat, return_inverse=True)
+        per_word = np.fromiter((self._n_tokens(w) for w in uniq),
+                               dtype=np.int64, count=len(uniq))
+        doc_tokens = np.zeros(len(t), dtype=np.int64)
+        np.add.at(doc_tokens, np.repeat(np.arange(len(t)), n_per_doc),
+                  per_word[inv])
+        chars = s.str.len_chars().to_numpy().astype(np.int64)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lang, kind="stable")
+        lg = lang[order]
+        starts = (np.flatnonzero(np.r_[True, lg[1:] != lg[:-1]])
+                  if len(lg) else np.array([], np.int64))
+
+        def seg(v):
+            return (np.add.reduceat(v[order], starts) if len(starts)
+                    else v[:0]).astype(np.int64)
+
+        return pa.table({
+            "lang": pa.array(lg[starts] if len(starts) else lg[:0],
+                             pa.string()),
+            "docs": pa.array(seg(np.ones(len(t), np.int64))),
+            "words": pa.array(seg(n_per_doc)),
+            "chars": pa.array(seg(chars)),
+            "bpe_tokens": pa.array(seg(doc_tokens)),
+        })
+
+
+def bpe_compression_by_lang(sf_dir: str, n_merges: int = 24,
+                            top_words: int = 4096) -> pa.Table:
+    """Per-language compression statistics of the corpus under the
+    LEARNED BPE tokenizer — the measurement that closes the tokenizer
+    lane (learn → apply → evaluate): docs/words/chars/tokens per lang
+    plus an integer-exact ``chars_per_ktok`` (chars·1000 // tokens).
+
+    100 TB shape: ``bpe_learned_merges`` already reduced the corpus to a
+    word→count table; the apply pass here is the second and only other
+    corpus-sized stage — an actor-pool map with the merge table built
+    once per worker in ``__init__`` and a per-worker token-count memo,
+    emitting bounded-cardinality per-lang partials (zero shuffle,
+    driver combines ≤ langs·batches rows). Rows-only driver row by
+    nature (BPE apply is not single-statement SQL); pytest pins every
+    column against a reference that applies the same merge table to
+    DuckDB-computed per-(lang, word) counts."""
+    m = bpe_learned_merges(sf_dir, n_merges=n_merges, top_words=top_words)
+    merges = list(zip(m["left"].to_pylist(), m["right"].to_pylist(),
+                      m["token"].to_pylist()))
+
+    parts = (
+        _t(sf_dir, "documents", ["text", "lang"])
+        .map_batches(_BpeApplyStats, fn_constructor_args=(merges,),
+                     concurrency=(1, 8), batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (parts.groupby("lang", as_index=False)
+           [["docs", "words", "chars", "bpe_tokens"]].sum()
+           .sort_values("lang").reset_index(drop=True))
+    out["chars_per_ktok"] = (
+        out["chars"].to_numpy() * 1000
+        // np.maximum(1, out["bpe_tokens"].to_numpy()))
+    from raycrawl.kernels import table_from_pandas
+
+    return table_from_pandas(out)

@@ -22,7 +22,7 @@ ROWS_ONLY = {
     "embedding_lsh_topk", "embedding_ivf_topk",
     # iterative data-dependent selection (not single-statement SQL);
     # pytest-pinned to a reference implementation over oracled word counts
-    "bpe_learned_merges",
+    "bpe_learned_merges", "bpe_compression_by_lang",
 }
 
 SWEEP_BUDGET = 50

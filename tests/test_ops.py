@@ -988,28 +988,30 @@ def test_quality_pruned_rank_exact_with_ties(tmp_path):
             check_dtype=False)
 
 
-@pytest.mark.usefixtures("ray_session")
-def test_bpe_learned_merges_match_reference():
-    """The learned merge table must equal an independently-written BPE
-    reference (Sennrich-style greedy pair merging with max-count /
-    lexicographic-min tie-break) run over DuckDB-computed word counts —
-    pinning both the distributed count reduce and the driver merge loop."""
+def _ref_merge_word(syms, left, right):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_bpe_merges(word_counts, n_merges=24):
+    """Independently-written BPE trainer reference (Sennrich-style greedy
+    pair merging, max-count / lexicographic-min tie-break) over a
+    word -> count list; returns (rank, left, right, token, count) rows."""
     from collections import Counter
 
-    import duckdb
-
-    from raycrawl.textops import bpe_learned_merges
-
-    con = duckdb.connect()
-    wc = con.execute(
-        "SELECT word, count(*) AS cnt FROM ("
-        "  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))"
-        "    AS word"
-        f"  FROM read_parquet('{SF}/documents.parquet'))"
-        " GROUP BY word ORDER BY cnt DESC, word").fetchall()
-    vocab = {tuple(w) + ("</w>",): c for w, c in wc}
-    expect = []
-    for rank in range(24):
+    vocab = {}
+    for w, c in word_counts:
+        k = tuple(w) + ("</w>",)
+        vocab[k] = vocab.get(k, 0) + c
+    rows = []
+    for rank in range(n_merges):
         pairs = Counter()
         for syms, c in vocab.items():
             for pair in zip(syms, syms[1:]):
@@ -1020,24 +1022,80 @@ def test_bpe_learned_merges_match_reference():
         if best_c < 2:
             break
         left, right = min(p for p, c in pairs.items() if c == best_c)
-        expect.append((rank, left, right, left + right, best_c))
+        rows.append((rank, left, right, left + right, best_c))
         nv = {}
         for syms, c in vocab.items():
-            out, i = [], 0
-            while i < len(syms):
-                if (i + 1 < len(syms) and syms[i] == left
-                        and syms[i + 1] == right):
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+            k = _ref_merge_word(syms, left, right)
+            nv[k] = nv.get(k, 0) + c
         vocab = nv
+    return rows
 
+
+def _duckdb_word_counts(extra_cols=""):
+    import duckdb
+
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT {extra_cols} word, count(*) AS cnt FROM ("
+        f"  SELECT lang,"
+        "    unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word"
+        f"  FROM read_parquet('{SF}/documents.parquet'))"
+        f" GROUP BY ALL ORDER BY ALL").fetchall()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_learned_merges_match_reference():
+    """The learned merge table must equal the BPE trainer reference run
+    over DuckDB-computed word counts — pinning both the distributed count
+    reduce and the driver merge loop."""
+    from raycrawl.textops import bpe_learned_merges
+
+    expect = _ref_bpe_merges(_duckdb_word_counts())
     got = bpe_learned_merges(SF, n_merges=24).to_pandas()
     assert list(map(tuple, got.itertuples(index=False))) == expect
     assert len(expect) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_compression_matches_reference_apply():
+    """Applying the learned merges distributed (actor-pool stage with a
+    per-worker memo) must reproduce, per language, exactly the token
+    totals of the reference tokenizer applied to DuckDB-computed
+    per-(lang, word) counts — plus SQL-exact docs/words/chars."""
+    import duckdb
+
+    from raycrawl.textops import bpe_compression_by_lang
+
+    merges = [(l, r, l + r)
+              for _, l, r, _, _ in _ref_bpe_merges(_duckdb_word_counts())]
+
+    def n_tokens(word):
+        syms = tuple(word) + ("</w>",)
+        for left, right, _ in merges:
+            syms = _ref_merge_word(syms, left, right)
+        return len(syms)
+
+    lang_tok = {}
+    for lang, word, cnt in _duckdb_word_counts("lang,"):
+        lang_tok[lang] = lang_tok.get(lang, 0) + cnt * n_tokens(word)
+
+    con = duckdb.connect()
+    base = con.execute(
+        "SELECT lang, count(*) AS docs,"
+        "  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))"
+        "    AS BIGINT) AS words,"
+        "  CAST(sum(length(text)) AS BIGINT) AS chars"
+        f" FROM read_parquet('{SF}/documents.parquet')"
+        " GROUP BY lang ORDER BY lang").df()
+
+    got = bpe_compression_by_lang(SF).to_pandas()
+    assert list(got["lang"]) == list(base["lang"])
+    for col in ("docs", "words", "chars"):
+        assert list(got[col]) == list(base[col]), col
+    assert list(got["bpe_tokens"]) == [lang_tok[lg] for lg in got["lang"]]
+    assert list(got["chars_per_ktok"]) == [
+        c * 1000 // max(1, t)
+        for c, t in zip(got["chars"], got["bpe_tokens"])]
 
 
 @pytest.mark.usefixtures("ray_session")
