@@ -226,7 +226,8 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
     each is subsumed by an in-window sibling (pagination/filter variants,
     an exact twin of a sketch, a forced-path twin) and stays correctness-
     covered by tests/test_demoted.py instead. Same contract as queries()."""
-    from raycrawl import ann, dedup, multimodal, relational, sketches, textops
+    from raycrawl import (ann, dedup, multimodal, relational, sketches,
+                          textops, webtext)
 
     def crawl_list_page(_sf):
         from raycrawl.queries import list_crawls as q
@@ -291,6 +292,8 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "documents_split_assignment": relational.documents_split_assignment,
         "documents_balanced_shards": relational.documents_balanced_shards,
         "corpus_word_counts": textops.word_counts,
+        "anchor_text_index": webtext.anchor_text_index,
+        "page_main_text": webtext.main_text_extract,
         # rows-only (approximate/RNG/iterative — pytest-pinned to oracled
         # exact twins or reference implementations)
         "bpe_learned_merges": textops.bpe_learned_merges,
@@ -579,7 +582,8 @@ def demoted_oracle_sql() -> dict[str, str]:
     Ray query against its SQL at small sf). The six approximate/RNG-body
     entries have no SQL by nature — their exactness envelope is pinned by
     dedicated pytests against oracled exact twins."""
-    from raycrawl import ann, dedup, graph, multimodal, relational, textops
+    from raycrawl import (ann, dedup, graph, multimodal, relational, textops,
+                          webtext)
 
     c = _crawl_sql_bundle()
     demoted = {k: c[k] for k in ("crawl_list_page", "crawl_list_completed",
@@ -612,5 +616,7 @@ def demoted_oracle_sql() -> dict[str, str]:
             relational.documents_split_assignment_sql(),
         "documents_balanced_shards": relational.documents_balanced_shards_sql(),
         "corpus_word_counts": textops.word_counts_sql(),
+        "anchor_text_index": webtext.anchor_text_index_sql(),
+        "page_main_text": webtext.main_text_extract_sql(),
     })
     return demoted

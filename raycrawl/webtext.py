@@ -1,0 +1,218 @@
+"""Page-level webtext operators over Common-Crawl-style pages
+(``url, warc_ts, html:binary, text, lang`` — BASELINE.json input_hint).
+
+Two operators a web-corpus curation pipeline runs between the crawl and
+the document-level lanes (dedup/quality/tokenize):
+
+- **anchor-text link index** — harvest every ``<a href>ANCHOR</a>`` pair
+  and aggregate per target URL (in-link count, distinct referring pages,
+  dominant anchor text). This is the classic web-search document-expansion
+  signal (anchor text describes the TARGET page better than its own body
+  — Brin & Page 1998 §2.2) and, for training-data curation, a page-level
+  popularity prior. Reference parity: the reference harvests hrefs per
+  page with BeautifulSoup and builds the link graph in Neo4j
+  (crawler.rs:18-51, url_utils.rs); this operator is the corpus-wide
+  aggregate view of those same edges, keyed by the raw href string.
+- **main-text extraction (boilerplate strip)** — line-based content
+  filter in the jusText/trafilatura family: navigation crumbs, bare link
+  labels and title lines carry < 3 whitespace tokens and are dropped;
+  prose lines survive. Deterministic rule, so the DuckDB oracle
+  recomputes it exactly (``list_filter`` lambda over the split lines).
+
+100 TB shape:
+- extraction is a stateless per-page ``map_batches`` (zero shuffle,
+  polars-vectorized regex — compiled once per worker by polars itself);
+- the link index does its per-batch combine FIRST (groupby
+  ``(href, anchor, src)`` inside the batch collapses the heavy
+  duplication of repeated site-furniture links) and then ONE Ray
+  ``groupby(href)`` — the same key a downstream join against the page
+  table would use, so the exchange is reusable;
+- boilerplate strip is embarrassingly parallel (no shuffle at all).
+
+Both run over the deterministic demo corpus (the driver's sf tables have
+no html column) and their oracles read the SAME parquet via DuckDB, so
+correctness is a true independent recomputation.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# one pattern, shared verbatim by the Ray extraction and the SQL oracle —
+# group 1 = href, group 2 = anchor text (corpus pages render anchors
+# single-line; [^<]* keeps the match inside one element)
+ANCHOR_PAT = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+# a line is "content" iff it carries at least this many whitespace tokens
+# (bare anchor labels / nav crumbs / title lines have 1-2)
+MIN_CONTENT_TOKENS = 3
+
+
+def _pages_path() -> str:
+    from raycrawl.corpus import ensure_corpus
+
+    import os
+
+    return os.path.join(ensure_corpus("tiny"), "pages.parquet")
+
+
+# ---------------------------------------------------------------------------
+# anchor-text link index
+# ---------------------------------------------------------------------------
+
+def _extract_anchor_partial(t: pa.Table) -> pa.Table:
+    """(url, html) batch → per-batch combined (href, anchor, src, n)
+    partial counts. Vectorized: polars extract_all → explode → two group
+    extracts, then an in-batch groupby collapses repeated links before
+    anything hits the exchange."""
+    import polars as pl
+
+    df = pl.from_arrow(
+        pa.table({"src": t["url"], "h": t["html"].cast(pa.string())}))
+    ex = (
+        df.with_columns(pl.col("h").str.extract_all(ANCHOR_PAT).alias("m"))
+        .select("src", "m")
+        .explode("m")
+        .drop_nulls("m")
+        .with_columns(
+            pl.col("m").str.extract(ANCHOR_PAT, 1).alias("href"),
+            pl.col("m").str.extract(ANCHOR_PAT, 2).alias("anchor"),
+        )
+        .group_by("href", "anchor", "src")
+        .len(name="n")
+    )
+    out = ex.to_arrow()
+    return out.cast(pa.schema([("href", pa.string()), ("anchor", pa.string()),
+                               ("src", pa.string()), ("n", pa.int64())]))
+
+
+def _summarize_href_group(t: pa.Table) -> pa.Table:
+    """One href group of partial counts → one index row. Ties on the top
+    anchor break to the lexicographically smallest anchor (matches the
+    oracle's ORDER BY cnt DESC, anchor)."""
+    import numpy as np
+
+    href = t["href"][0].as_py()
+    n = t["n"].to_numpy(zero_copy_only=False)
+    n_refs = int(n.sum())
+    n_src = len(set(t["src"].to_pylist()))
+    # per-anchor totals (partials may repeat an anchor across src/batches)
+    anchors = np.asarray(t["anchor"].to_pylist(), dtype=object)
+    order = np.argsort(anchors, kind="stable")
+    anchors, ns = anchors[order], n[order]
+    uniq, starts = np.unique(anchors, return_index=True)
+    totals = np.add.reduceat(ns, starts)
+    best = int(np.argmax(totals))  # first max = lexicographically smallest
+    return pa.table({
+        "href": pa.array([href], pa.string()),
+        "n_refs": pa.array([n_refs], pa.int64()),
+        "n_src_pages": pa.array([n_src], pa.int64()),
+        "top_anchor": pa.array([str(uniq[best])], pa.string()),
+        "top_anchor_n": pa.array([int(totals[best])], pa.int64()),
+    })
+
+
+def anchor_text_index(sf_dir: str) -> pa.Table:
+    """Per-target in-link index over the demo corpus pages: for every href
+    string appearing in any page, (n_refs, n_src_pages, top_anchor,
+    top_anchor_n). ``sf_dir`` is unused (crawl-family convention — the sf
+    tables carry no html)."""
+    import ray
+
+    ds = ray.data.read_parquet(_pages_path(), columns=["url", "html"])
+    partials = ds.map_batches(_extract_anchor_partial, batch_format="pyarrow")
+    out = partials.groupby("href").map_groups(
+        _summarize_href_group, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def anchor_text_index_sql() -> str:
+    p = _pages_path()
+    return f"""
+    WITH pg AS (SELECT url AS src, decode(html) AS h
+                FROM read_parquet('{p}')),
+    m AS (SELECT src,
+            unnest(list_zip(regexp_extract_all(h, '{ANCHOR_PAT}', 1),
+                            regexp_extract_all(h, '{ANCHOR_PAT}', 2))) AS z
+          FROM pg),
+    t AS (SELECT src, z[1] AS href, z[2] AS anchor FROM m),
+    a AS (SELECT href, anchor, count(*) AS cnt FROM t GROUP BY href, anchor),
+    r AS (SELECT href, anchor, cnt,
+                 row_number() OVER (PARTITION BY href
+                                    ORDER BY cnt DESC, anchor) AS rn,
+                 sum(cnt) OVER (PARTITION BY href) AS n_refs
+          FROM a),
+    s AS (SELECT href, count(DISTINCT src) AS n_src_pages FROM t GROUP BY href)
+    SELECT r.href,
+           CAST(r.n_refs AS BIGINT) AS n_refs,
+           CAST(s.n_src_pages AS BIGINT) AS n_src_pages,
+           r.anchor AS top_anchor,
+           CAST(r.cnt AS BIGINT) AS top_anchor_n
+    FROM r JOIN s USING (href)
+    WHERE r.rn = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# main-text extraction (boilerplate strip)
+# ---------------------------------------------------------------------------
+
+def _main_text_batch(t: pa.Table) -> pa.Table:
+    """Line-based boilerplate strip over the extracted text column —
+    entirely polars list kernels, no Python per row."""
+    import polars as pl
+
+    df = pl.from_arrow(pa.table({"url": t["url"], "text": t["text"]}))
+    is_content = pl.element().str.count_matches("[^ ]+") >= MIN_CONTENT_TOKENS
+    out = (
+        df.with_columns(pl.col("text").str.split("\n").alias("lines"))
+        .with_columns(
+            pl.col("lines").list.len().cast(pl.Int64).alias("n_lines"),
+            pl.col("lines").list.eval(pl.element().filter(is_content))
+            .alias("kept"),
+        )
+        .with_columns(
+            pl.col("kept").list.len().cast(pl.Int64).alias("n_kept"),
+            pl.col("kept").list.join("\n").alias("main_text"),
+        )
+        .with_columns(
+            pl.col("main_text").str.len_chars().cast(pl.Int64)
+            .alias("main_chars"))
+        .select("url", "n_lines", "n_kept", "main_chars", "main_text")
+    )
+    return out.to_arrow().cast(pa.schema([
+        ("url", pa.string()), ("n_lines", pa.int64()),
+        ("n_kept", pa.int64()), ("main_chars", pa.int64()),
+        ("main_text", pa.string())]))
+
+
+def main_text_extract(sf_dir: str) -> pa.Table:
+    """Boilerplate-stripped main text per page over the demo corpus:
+    (url, n_lines, n_kept, main_chars, main_text). Stateless per-page
+    map_batches — zero shuffle at any scale."""
+    import ray
+
+    ds = ray.data.read_parquet(_pages_path(), columns=["url", "text"])
+    out = ds.map_batches(_main_text_batch, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def main_text_extract_sql() -> str:
+    p = _pages_path()
+    return f"""
+    WITH pg AS (SELECT url, string_split(text, chr(10)) AS lines
+                FROM read_parquet('{p}')),
+    f AS (SELECT url, lines,
+                 list_filter(lines,
+                   l -> len(regexp_extract_all(l, '[^ ]+'))
+                        >= {MIN_CONTENT_TOKENS}) AS kept
+          FROM pg)
+    SELECT url,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(length(coalesce(list_aggregate(kept, 'string_agg', chr(10)),
+                                '')) AS BIGINT) AS main_chars,
+           coalesce(list_aggregate(kept, 'string_agg', chr(10)), '')
+             AS main_text
+    FROM f
+    """
