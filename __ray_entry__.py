@@ -294,6 +294,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "corpus_word_counts": textops.word_counts,
         "anchor_text_index": webtext.anchor_text_index,
         "page_main_text": webtext.main_text_extract,
+        "page_paragraph_dedup": webtext.paragraph_dedup,
         # rows-only (approximate/RNG/iterative — pytest-pinned to oracled
         # exact twins or reference implementations)
         "bpe_learned_merges": textops.bpe_learned_merges,
@@ -618,5 +619,6 @@ def demoted_oracle_sql() -> dict[str, str]:
         "corpus_word_counts": textops.word_counts_sql(),
         "anchor_text_index": webtext.anchor_text_index_sql(),
         "page_main_text": webtext.main_text_extract_sql(),
+        "page_paragraph_dedup": webtext.paragraph_dedup_sql(),
     })
     return demoted

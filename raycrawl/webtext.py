@@ -47,6 +47,10 @@ ANCHOR_PAT = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
 # (bare anchor labels / nav crumbs / title lines have 1-2)
 MIN_CONTENT_TOKENS = 3
 
+# paragraph dedup: a line appearing in MORE than this many distinct pages
+# is corpus-wide boilerplate and is removed from every page (CCNet-style)
+PARA_DF_CAP = 10
+
 
 def _pages_path() -> str:
     from raycrawl.corpus import ensure_corpus
@@ -195,6 +199,118 @@ def main_text_extract(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(_pages_path(), columns=["url", "text"])
     out = ds.map_batches(_main_text_batch, batch_format="pyarrow")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _line_pairs_batch(t: pa.Table) -> pa.Table:
+    """(url, text) batch → one row per distinct (line, url) pair, keyed by
+    the line's md5_u64. Pages are batch-disjoint under map_batches, so
+    in-batch unique pairs are globally unique — downstream row counts per
+    key ARE distinct-page counts, no second dedup needed."""
+    import polars as pl
+
+    from raycrawl.kernels import md5_u64_arrow
+
+    df = pl.from_arrow(pa.table({"url": t["url"], "text": t["text"]}))
+    ex = (df.with_columns(pl.col("text").str.split("\n").alias("line"))
+          .select("url", "line").explode("line").unique())
+    lines = ex.get_column("line").to_arrow().cast(pa.string())
+    return pa.table({"lh": pa.array(md5_u64_arrow(lines), pa.uint64())})
+
+
+def _hot_lines(pages) -> "object":
+    """Corpus-wide boilerplate set: md5_u64 of every line appearing in
+    more than PARA_DF_CAP distinct pages — sorted uint64 array, bounded by
+    total_line_occurrences / PARA_DF_CAP, so always broadcastable."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from raycrawl.dedup import _count_by_key_partitioned
+
+    pairs = pages.map_batches(_line_pairs_batch, batch_format="pyarrow")
+    counts = _count_by_key_partitioned(pairs, ("lh",), "d")
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["d"], PARA_DF_CAP)).select(["lh"]),
+        batch_format="pyarrow")
+    return np.sort(hot.to_pandas()["lh"].to_numpy().astype(np.uint64))
+
+
+def paragraph_dedup(sf_dir: str) -> pa.Table:
+    """CCNet-style corpus-wide paragraph dedup over the demo pages: every
+    line occurring in more than PARA_DF_CAP distinct pages is boilerplate
+    and is dropped from EVERY page (including its first occurrence);
+    remaining lines keep their order. Output per page: (url, n_paras,
+    n_kept, clean_text).
+
+    Shape: hot-set detection is per-batch distinct pairs → one bounded
+    hash-partition count shuffle → a tiny driver-side filter result that
+    broadcasts; the apply pass is stateless map_batches (zero shuffle).
+    The oracle groups by the SAME md5_number_lower key, so semantics are
+    bit-aligned even in the (never-expected) collision case."""
+    import numpy as np
+    import polars as pl
+    import ray
+
+    from raycrawl.kernels import md5_u64_arrow
+
+    path = _pages_path()
+    hot = _hot_lines(ray.data.read_parquet(path, columns=["url", "text"]))
+
+    def apply_batch(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({"url": t["url"], "text": t["text"]}))
+        ex = (df.with_columns(pl.col("text").str.split("\n").alias("line"))
+              .select("url", "line")
+              .with_row_index("rid")
+              .explode("line"))
+        lh = md5_u64_arrow(ex.get_column("line").to_arrow().cast(pa.string()))
+        if len(hot):
+            idx = np.minimum(np.searchsorted(hot, lh), len(hot) - 1)
+            is_hot = hot[idx] == lh
+        else:
+            is_hot = np.zeros(len(lh), bool)
+        kept = (ex.with_columns(pl.Series("hot", is_hot))
+                .filter(~pl.col("hot"))
+                .group_by("url", maintain_order=True)
+                .agg(pl.col("line").count().cast(pl.Int64).alias("n_kept"),
+                     pl.col("line").str.join("\n").alias("clean_text")))
+        out = (df.with_columns(
+                   pl.col("text").str.split("\n").list.len().cast(pl.Int64)
+                   .alias("n_paras"))
+               .join(kept, on="url", how="left")
+               .with_columns(
+                   pl.col("n_kept").fill_null(0),
+                   pl.col("clean_text").fill_null(""))
+               .select("url", "n_paras", "n_kept", "clean_text"))
+        return out.to_arrow().cast(pa.schema([
+            ("url", pa.string()), ("n_paras", pa.int64()),
+            ("n_kept", pa.int64()), ("clean_text", pa.string())]))
+
+    out = (ray.data.read_parquet(path, columns=["url", "text"])
+           .map_batches(apply_batch, batch_format="pyarrow"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def paragraph_dedup_sql() -> str:
+    p = _pages_path()
+    return f"""
+    WITH pg AS (SELECT url, string_split(text, chr(10)) AS lines
+                FROM read_parquet('{p}')),
+    e AS (SELECT url, unnest(lines) AS line,
+                 generate_subscripts(lines, 1) AS pos
+          FROM pg),
+    df AS (SELECT md5_number_lower(line) AS lh, count(DISTINCT url) AS d
+           FROM e GROUP BY 1),
+    kept AS (SELECT e.url, e.line, e.pos
+             FROM e JOIN df ON md5_number_lower(e.line) = df.lh
+             WHERE df.d <= {PARA_DF_CAP}),
+    agg AS (SELECT url, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean_text
+            FROM kept GROUP BY url)
+    SELECT pg.url,
+           CAST(len(pg.lines) AS BIGINT) AS n_paras,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(agg.clean_text, '') AS clean_text
+    FROM pg LEFT JOIN agg USING (url)
+    """
 
 
 def main_text_extract_sql() -> str:
