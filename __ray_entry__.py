@@ -295,6 +295,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_index": webtext.anchor_text_index,
         "page_main_text": webtext.main_text_extract,
         "page_paragraph_dedup": webtext.paragraph_dedup,
+        "web_corpus_curated": webtext.web_corpus_curated,
         # rows-only (approximate/RNG/iterative — pytest-pinned to oracled
         # exact twins or reference implementations)
         "bpe_learned_merges": textops.bpe_learned_merges,
@@ -620,5 +621,6 @@ def demoted_oracle_sql() -> dict[str, str]:
         "anchor_text_index": webtext.anchor_text_index_sql(),
         "page_main_text": webtext.main_text_extract_sql(),
         "page_paragraph_dedup": webtext.paragraph_dedup_sql(),
+        "web_corpus_curated": webtext.web_corpus_curated_sql(),
     })
     return demoted

@@ -313,6 +313,106 @@ def paragraph_dedup_sql() -> str:
     """
 
 
+# composed pages-lane pipeline: a page survives with at least this many
+# whitespace tokens after both cleaning stages
+MIN_PAGE_TOKENS = 50
+
+
+def web_corpus_curated(sf_dir: str) -> pa.Table:
+    """The composed web-corpus curation pipeline over Common-Crawl-style
+    pages — the pages-lane sibling of the documents-lane flagship
+    (`pipeline.training_corpus`): corpus-wide paragraph dedup (drop lines
+    in > PARA_DF_CAP distinct pages) → local boilerplate strip (drop lines
+    under MIN_CONTENT_TOKENS whitespace tokens) → token floor (drop pages
+    under MIN_PAGE_TOKENS surviving tokens) → per-page summary
+    (url, lang, n_paras, n_kept, n_tokens, text_md5).
+
+    Shape: ONE bounded count shuffle for the hot-line set (broadcast),
+    then a single stateless cleaning pass — both filters and the md5 fuse
+    into one map_batches, so the page table is scanned exactly twice
+    (hot-set pass + apply pass) at any scale."""
+    import numpy as np
+    import polars as pl
+    import ray
+
+    from raycrawl.kernels import md5_hex_arrow, md5_u64_arrow
+
+    path = _pages_path()
+    hot = _hot_lines(ray.data.read_parquet(path, columns=["url", "text"]))
+
+    def clean_batch(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table(
+            {"url": t["url"], "lang": t["lang"], "text": t["text"]}))
+        ex = (df.with_columns(pl.col("text").str.split("\n").alias("line"))
+              .select("url", "line").explode("line"))
+        lh = md5_u64_arrow(ex.get_column("line").to_arrow().cast(pa.string()))
+        if len(hot):
+            idx = np.minimum(np.searchsorted(hot, lh), len(hot) - 1)
+            is_hot = hot[idx] == lh
+        else:
+            is_hot = np.zeros(len(lh), bool)
+        kept = (ex.with_columns(
+                    pl.Series("hot", is_hot),
+                    pl.col("line").str.count_matches("[^ ]+").cast(pl.Int64)
+                    .alias("ntok"))
+                .filter(~pl.col("hot")
+                        & (pl.col("ntok") >= MIN_CONTENT_TOKENS))
+                .group_by("url", maintain_order=True)
+                .agg(pl.col("line").count().cast(pl.Int64).alias("n_kept"),
+                     pl.col("ntok").sum().alias("n_tokens"),
+                     pl.col("line").str.join("\n").alias("clean_text"))
+                .filter(pl.col("n_tokens") >= MIN_PAGE_TOKENS))
+        out = (df.with_columns(
+                   pl.col("text").str.split("\n").list.len().cast(pl.Int64)
+                   .alias("n_paras"))
+               .join(kept, on="url", how="inner")
+               .select("url", "lang", "n_paras", "n_kept", "n_tokens",
+                       "clean_text"))
+        tbl = out.to_arrow()
+        md5 = md5_hex_arrow(tbl["clean_text"].combine_chunks()
+                            .cast(pa.string()))
+        return (tbl.drop_columns(["clean_text"])
+                .append_column("text_md5", md5)
+                .cast(pa.schema([
+                    ("url", pa.string()), ("lang", pa.string()),
+                    ("n_paras", pa.int64()), ("n_kept", pa.int64()),
+                    ("n_tokens", pa.int64()), ("text_md5", pa.string())])))
+
+    out = (ray.data.read_parquet(path, columns=["url", "lang", "text"])
+           .map_batches(clean_batch, batch_format="pyarrow"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def web_corpus_curated_sql() -> str:
+    p = _pages_path()
+    return f"""
+    WITH pg AS (SELECT url, lang, string_split(text, chr(10)) AS lines
+                FROM read_parquet('{p}')),
+    e AS (SELECT url, unnest(lines) AS line,
+                 generate_subscripts(lines, 1) AS pos
+          FROM pg),
+    df AS (SELECT md5_number_lower(line) AS lh, count(DISTINCT url) AS d
+           FROM e GROUP BY 1),
+    k AS (SELECT e.url, e.line, e.pos,
+                 len(regexp_extract_all(e.line, '[^ ]+')) AS ntok
+          FROM e JOIN df ON md5_number_lower(e.line) = df.lh
+          WHERE df.d <= {PARA_DF_CAP}
+            AND len(regexp_extract_all(e.line, '[^ ]+'))
+                >= {MIN_CONTENT_TOKENS}),
+    agg AS (SELECT url, count(*) AS n_kept,
+                   sum(ntok) AS n_tokens,
+                   md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5
+            FROM k GROUP BY url)
+    SELECT pg.url, pg.lang,
+           CAST(len(pg.lines) AS BIGINT) AS n_paras,
+           CAST(agg.n_kept AS BIGINT) AS n_kept,
+           CAST(agg.n_tokens AS BIGINT) AS n_tokens,
+           agg.text_md5
+    FROM pg JOIN agg USING (url)
+    WHERE agg.n_tokens >= {MIN_PAGE_TOKENS}
+    """
+
+
 def main_text_extract_sql() -> str:
     p = _pages_path()
     return f"""
