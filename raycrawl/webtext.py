@@ -90,43 +90,61 @@ def _extract_anchor_partial(t: pa.Table) -> pa.Table:
                                ("src", pa.string()), ("n", pa.int64())]))
 
 
-def _summarize_href_group(t: pa.Table) -> pa.Table:
-    """One href group of partial counts → one index row. Ties on the top
-    anchor break to the lexicographically smallest anchor (matches the
-    oracle's ORDER BY cnt DESC, anchor)."""
-    import numpy as np
+def _summarize_href_partition(t: pa.Table) -> pa.Table:
+    """One hash partition of partial counts → one index row per href in
+    it, ALL hrefs aggregated vectorized in polars (a per-href map_groups
+    measured 5M Python group calls / 511 s on the 1.2M-page bench corpus;
+    this shape does the same work in ~32 partition calls). Ties on the
+    top anchor break to the lexicographically smallest anchor (matches
+    the oracle's ORDER BY cnt DESC, anchor)."""
+    import polars as pl
 
-    href = t["href"][0].as_py()
-    n = t["n"].to_numpy(zero_copy_only=False)
-    n_refs = int(n.sum())
-    n_src = len(set(t["src"].to_pylist()))
-    # per-anchor totals (partials may repeat an anchor across src/batches)
-    anchors = np.asarray(t["anchor"].to_pylist(), dtype=object)
-    order = np.argsort(anchors, kind="stable")
-    anchors, ns = anchors[order], n[order]
-    uniq, starts = np.unique(anchors, return_index=True)
-    totals = np.add.reduceat(ns, starts)
-    best = int(np.argmax(totals))  # first max = lexicographically smallest
-    return pa.table({
-        "href": pa.array([href], pa.string()),
-        "n_refs": pa.array([n_refs], pa.int64()),
-        "n_src_pages": pa.array([n_src], pa.int64()),
-        "top_anchor": pa.array([str(uniq[best])], pa.string()),
-        "top_anchor_n": pa.array([int(totals[best])], pa.int64()),
-    })
+    df = pl.from_arrow(t.select(["href", "anchor", "src", "n"]))
+    per_href = df.group_by("href").agg(
+        pl.col("n").sum().alias("n_refs"),
+        pl.col("src").n_unique().cast(pl.Int64).alias("n_src_pages"))
+    top = (df.group_by("href", "anchor").agg(pl.col("n").sum().alias("cnt"))
+           .sort(["href", "cnt", "anchor"], descending=[False, True, False])
+           .group_by("href", maintain_order=True)
+           .first()
+           .select("href", pl.col("anchor").alias("top_anchor"),
+                   pl.col("cnt").alias("top_anchor_n")))
+    out = per_href.join(top, on="href").to_arrow()
+    return out.cast(pa.schema([
+        ("href", pa.string()), ("n_refs", pa.int64()),
+        ("n_src_pages", pa.int64()), ("top_anchor", pa.string()),
+        ("top_anchor_n", pa.int64())]))
 
 
 def anchor_text_index(sf_dir: str) -> pa.Table:
     """Per-target in-link index over the demo corpus pages: for every href
     string appearing in any page, (n_refs, n_src_pages, top_anchor,
     top_anchor_n). ``sf_dir`` is unused (crawl-family convention — the sf
-    tables carry no html)."""
+    tables carry no html).
+
+    Shape: per-batch extraction+combine partials → ONE hash-partition
+    exchange on href (equal hrefs co-locate, so per-partition polars
+    aggregates are final) → vectorized per-partition summarize. No
+    per-group Python anywhere; partition count follows cluster CPUs."""
+    import numpy as np
     import ray
 
+    from raycrawl.kernels import hash128
+
+    n_parts = (max(8, int(ray.cluster_resources().get("CPU", 8)))
+               if ray.is_initialized() else 8)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        hi, _lo = hash128(t["href"].combine_chunks().cast(pa.string()))
+        part = (hi % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
     ds = ray.data.read_parquet(_pages_path(), columns=["url", "html"])
-    partials = ds.map_batches(_extract_anchor_partial, batch_format="pyarrow")
-    out = partials.groupby("href").map_groups(
-        _summarize_href_group, batch_format="pyarrow")
+    partials = (ds.map_batches(_extract_anchor_partial,
+                               batch_format="pyarrow")
+                .map_batches(add_part, batch_format="pyarrow"))
+    out = partials.groupby("part").map_groups(
+        lambda t: _summarize_href_partition(t), batch_format="pyarrow")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
