@@ -15,13 +15,17 @@ damped PageRank re-expressed in exact arithmetic, not an approximation of
 a float spec.
 
 Distributed shape (per iteration, two hash shuffles, no Acero join):
-scatter — union(edge rows keyed by src, rank rows keyed by src) →
-``groupby(src).map_groups``: the group IS the adjacency list, so outdeg is
-the group's edge count; emit one (dst, contrib) row per edge; gather —
-union(contribs, one zero row per node) → ``groupby(node).sum`` + K.
-Each iteration is materialized so lineage stays one round deep. At the
-10^10-node design point the rank table shards like any keyed Dataset and
-the scatter/gather are the canonical Pregel-on-a-Dataset encoding.
+ONE partition key ``hash(node) % P`` serves both exchanges — a node's
+rank row co-locates with its out-edges for the scatter (keyed at src)
+and its incoming contributions co-locate for the gather (keyed at dst).
+Scatter and gather are ``groupby(part).map_groups`` where EVERY group in
+a partition is aggregated vectorized (numpy segmented reduce / polars
+group_by): a per-src or per-node ``map_groups`` would cost one Python
+call per node — the anchor-index lane measured that exact shape at 511 s
+vs 22 s for 5M groups. Each iteration is materialized so lineage stays
+one round deep. At the 10^10-node design point the rank table shards
+like any keyed Dataset and the scatter/gather are the canonical
+Pregel-on-a-Dataset encoding.
 """
 
 from __future__ import annotations
@@ -36,6 +40,49 @@ BASE = 10**12
 DAMP_NUM = 85
 DAMP_DEN = 100
 TELEPORT = (15 * BASE) // 100
+
+
+def _graph_parts() -> int:
+    """Partition count for the Pregel exchanges — follows cluster CPUs
+    (each partition is one vectorized task per superstep)."""
+    import ray
+
+    return (max(8, int(ray.cluster_resources().get("CPU", 8)))
+            if ray.is_initialized() else 8)
+
+
+def _part_of(col, n_parts: int) -> pa.Array:
+    """``hash(node) % P`` as int32 — THE graph partition key, shared by
+    the scatter (keyed at src) and the gather (keyed at dst)."""
+    from raycrawl.kernels import hash128
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    hi, _lo = hash128(col.cast(pa.string()))
+    return pa.array((hi % np.uint64(n_parts)).astype(np.int32), pa.int32())
+
+
+def _distinct_nodes(ds, cols: tuple, n_parts: int):
+    """(node, part) rows, one per distinct endpoint of ``ds[cols]`` —
+    hash-partitioned dedup with a per-partition polars ``unique`` (never
+    one Python call per node)."""
+    import polars as pl
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [t[c].combine_chunks().cast(pa.string()) for c in cols])
+        tt = pa.table({"node": node})
+        # pre-dedup in-batch, then partition
+        tt = pl.from_arrow(tt).unique().to_arrow()
+        return tt.append_column("part", _part_of(tt["node"], n_parts))
+
+    def uniq(t: pa.Table) -> pa.Table:
+        out = pl.from_arrow(t.select(["node", "part"])).unique().to_arrow()
+        return out.cast(pa.schema([("node", pa.string()),
+                                   ("part", pa.int32())]))
+
+    return (ds.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("part").map_groups(uniq, batch_format="pyarrow"))
 
 
 def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10,
@@ -62,12 +109,11 @@ def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10,
     restores exactly the removed fraction at fixpoint), so any single
     r ≤ N·BASE ≤ 2e17 and r·85 ≤ 1.7e19 — within uint64, so the driver
     path multiplies in uint64 and casts back (values are non-negative).
-    The distributed path multiplies in Python ints inside the group (no
-    width limit); its per-row int64 columns bound a single node's rank at
-    ~9.2e18, i.e. BASE must shrink with N beyond ~9e6-node graphs — at
+    The distributed path computes the damped division in the overflow-free
+    split form (85·(r//m) + (85·(r%m))//m with m = 100·outdeg — exactly
+    (85·r)//m), so it is safe for any r its int64 columns can hold
+    (~9.2e18), i.e. BASE must shrink with N beyond ~9e6-node graphs — at
     web scale you rescale the unit, not the algorithm."""
-    from ray.data.aggregate import Sum
-
     filtered = edges_ds.map_batches(
         lambda t: t.filter(pc.equal(t["crawl_id"], crawl_id))
                    .select(["src", "dst"]),
@@ -94,75 +140,102 @@ def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10,
                          "rank_units": pa.array(r.astype(np.int64))})
 
     # static per-iteration inputs, materialized once: the edge stream
-    # (key=src carries dst), the node carrier (zero contribution, keeps
-    # in-degree-0 nodes in the gather), and the BASE rank per node
+    # (key=src carries dst, partitioned by hash(src)), the node carrier
+    # (zero contribution, keeps in-degree-0 nodes in the gather), and the
+    # BASE rank per node — all carrying the shared hash(node)%P key
+    P = _graph_parts()
+
     def as_edge_rows(t: pa.Table) -> pa.Table:
         return pa.table({
             "key": t["src"], "dst": t["dst"],
             "r": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "part": _part_of(t["src"], P),
         })
 
     edge_rows = filtered.map_batches(
         as_edge_rows, batch_format="pyarrow").materialize()
 
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.table({"node": pa.concat_arrays(
-            [t["key"].combine_chunks(), t["dst"].combine_chunks()])})
-
-    nodes_ds = (
-        edge_rows.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node").map_groups(lambda g: g.slice(0, 1),
-                                    batch_format="pyarrow")
-    )
+    nodes_ds = _distinct_nodes(edge_rows, ("key", "dst"), P)
     zero_rows = nodes_ds.map_batches(
-        lambda t: t.append_column("c", pa.array(np.zeros(t.num_rows, np.int64))),
+        lambda t: pa.table({"node": t["node"],
+                            "c": pa.array(np.zeros(t.num_rows, np.int64)),
+                            "part": t["part"]}),
         batch_format="pyarrow").materialize()
 
-    def as_rank_rows(t: pa.Table, r: pa.Array | None = None) -> pa.Table:
+    def as_rank_rows(t: pa.Table) -> pa.Table:
         return pa.table({
             "key": t["node"],
             "dst": pa.array([""] * t.num_rows, pa.string()),
-            "r": r if r is not None
-                 else pa.array(np.full(t.num_rows, BASE, np.int64)),
+            "r": pa.array(np.full(t.num_rows, BASE, np.int64)),
+            "part": t["part"],
         })
 
     ranks = nodes_ds.map_batches(as_rank_rows,
                                  batch_format="pyarrow").materialize()
 
-    def scatter(g: pa.Table) -> pa.Table:
-        r_rows = g.filter(pc.equal(g["dst"], ""))
-        if r_rows.num_rows == 0:          # src never ranked (can't happen:
-            return pa.table({"node": pa.array([], pa.string()),   # every src
-                             "c": pa.array([], pa.int64())})      # is a node)
-        my_r = int(r_rows["r"][0].as_py())
-        out = g.filter(pc.not_equal(g["dst"], ""))
-        k = out.num_rows
-        if k == 0:                        # dangling node: mass dropped
-            return pa.table({"node": pa.array([], pa.string()),
-                             "c": pa.array([], pa.int64())})
-        contrib = (my_r * DAMP_NUM) // (DAMP_DEN * k)
+    _empty_contrib = pa.schema([("node", pa.string()), ("c", pa.int64()),
+                                ("part", pa.int32())])
+
+    def scatter_part(g: pa.Table) -> pa.Table:
+        """One hash partition → (dst, contrib) rows for EVERY src in it,
+        vectorized: segmented outdeg via np.unique, rank lookup via
+        searchsorted, and the damped division in overflow-free split form
+        (q = r // m, s = r % m ⇒ (85·r)//m == 85·q + (85·s)//m exactly —
+        85·q ≤ 85·r/100 and 85·s < 8500·k both fit int64 wherever the
+        per-group Python-int version did)."""
+        key = np.asarray(g["key"].to_numpy(zero_copy_only=False))
+        dst = np.asarray(g["dst"].to_numpy(zero_copy_only=False))
+        r = g["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_rank = dst == ""
+        if not is_rank.any() or is_rank.all():
+            return _empty_contrib.empty_table()
+        rk, rv = key[is_rank], r[is_rank]
+        o = np.argsort(rk, kind="stable")
+        rk, rv = rk[o], rv[o]
+        ek, ed = key[~is_rank], dst[~is_rank]
+        eo = np.argsort(ek, kind="stable")
+        ek, ed = ek[eo], ed[eo]
+        uk, counts = np.unique(ek, return_counts=True)
+        pos = np.searchsorted(rk, uk)
+        # every src is a node, so every src has a rank row in ITS partition
+        assert len(rk) > pos.max() >= 0 and (rk[pos] == uk).all()
+        r_u = rv[pos]
+        m = np.int64(DAMP_DEN) * counts.astype(np.int64)
+        contrib_u = (np.int64(DAMP_NUM) * (r_u // m)
+                     + (np.int64(DAMP_NUM) * (r_u % m)) // m)
+        node = pa.array(ed, pa.string())
         return pa.table({
-            "node": out["dst"],
-            "c": pa.array(np.full(k, contrib, np.int64)),
+            "node": node,
+            "c": pa.array(np.repeat(contrib_u, counts), pa.int64()),
+            "part": _part_of(node, P),   # gather key: hash(dst) % P
         })
 
-    def teleport_and_relabel(t: pa.Table) -> pa.Table:
-        r_new = pa.array(t["r"].to_numpy().astype(np.int64) + TELEPORT)
+    def gather_part(t: pa.Table) -> pa.Table:
+        """One hash partition of (node, c, part) → next-iteration rank
+        rows, all nodes in the partition summed at once in polars."""
+        import polars as pl
+
+        agg = (pl.from_arrow(t.select(["node", "c", "part"]))
+               .group_by("node")
+               .agg(pl.col("c").sum(), pl.col("part").first())
+               .to_arrow())
+        n = agg.num_rows
         return pa.table({
-            "key": t["node"],
-            "dst": pa.array([""] * t.num_rows, pa.string()),
-            "r": r_new,
+            "key": agg["node"].combine_chunks().cast(pa.string()),
+            "dst": pa.array([""] * n, pa.string()),
+            "r": pa.array(agg["c"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64) + TELEPORT, pa.int64()),
+            "part": agg["part"].combine_chunks().cast(pa.int32()),
         })
 
     for _ in range(iters):
         contribs = (
             edge_rows.union(ranks)
-            .groupby("key").map_groups(scatter, batch_format="pyarrow")
+            .groupby("part").map_groups(scatter_part, batch_format="pyarrow")
         )
         ranks = (
             contribs.union(zero_rows)
-            .groupby("node").aggregate(Sum("c", alias_name="r"))
-            .map_batches(teleport_and_relabel, batch_format="pyarrow")
+            .groupby("part").map_groups(gather_part, batch_format="pyarrow")
             .materialize()     # one round of lineage, never the driver
         )
 
@@ -251,7 +324,7 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
     sum gather, with the rescale factor read back as ONE Max-aggregate
     scalar per half-step (the only driver traffic; the value table itself
     never leaves the cluster). Both paths pytest-pinned equal."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Max
 
     filtered = edges_ds.map_batches(
         lambda t: t.filter(pc.equal(t["crawl_id"], crawl_id))
@@ -287,12 +360,16 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
                          "auth_units": pa.array(a),
                          "hub_units": pa.array(h)})
 
-    # ---- sharded path: static inputs materialized once -----------------
+    # ---- sharded path: static inputs materialized once, both edge
+    # orientations carrying the shared hash(key)%P partition key ---------
+    P = _graph_parts()
+
     def _edge_rows(key_col: str, oth_col: str):
         def fn(t: pa.Table) -> pa.Table:
             return pa.table({
                 "key": t[key_col], "oth": t[oth_col],
                 "v": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "part": _part_of(t[key_col], P),
             })
         return fn
 
@@ -301,17 +378,11 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
     by_dst = filtered.map_batches(_edge_rows("dst", "src"),
                                   batch_format="pyarrow").materialize()
 
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.table({"node": pa.concat_arrays(
-            [t["key"].combine_chunks(), t["oth"].combine_chunks()])})
-
-    nodes_ds = (
-        by_src.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node").map_groups(lambda g: g.slice(0, 1),
-                                    batch_format="pyarrow")
-    )
+    nodes_ds = _distinct_nodes(by_src, ("key", "oth"), P)
     zero_rows = nodes_ds.map_batches(
-        lambda t: t.append_column("c", pa.array(np.zeros(t.num_rows, np.int64))),
+        lambda t: pa.table({"node": t["node"],
+                            "c": pa.array(np.zeros(t.num_rows, np.int64)),
+                            "part": t["part"]}),
         batch_format="pyarrow").materialize()
     if zero_rows.count() == 0:
         return empty
@@ -320,28 +391,52 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
         return pa.table({
             "key": t["node"],
             "oth": pa.array([""] * t.num_rows, pa.string()),
-            "v": t["v"] if "v" in t.column_names
-                 else pa.array(np.full(t.num_rows, H0, np.int64)),
+            "v": pa.array(np.full(t.num_rows, H0, np.int64)),
+            "part": t["part"],
         })
 
-    def scatter(g: pa.Table) -> pa.Table:
-        val_rows = g.filter(pc.equal(g["oth"], ""))
-        out = g.filter(pc.not_equal(g["oth"], ""))
-        if val_rows.num_rows == 0 or out.num_rows == 0:
-            return pa.table({"node": pa.array([], pa.string()),
-                             "c": pa.array([], pa.int64())})
-        v = int(val_rows["v"][0].as_py())
+    _empty_contrib = pa.schema([("node", pa.string()), ("c", pa.int64()),
+                                ("part", pa.int32())])
+
+    def scatter_part(g: pa.Table) -> pa.Table:
+        """One hash partition → (oth, v-of-key) rows for EVERY key in it,
+        vectorized (HITS scatter copies the key's value to each incident
+        edge — no division)."""
+        key = np.asarray(g["key"].to_numpy(zero_copy_only=False))
+        oth = np.asarray(g["oth"].to_numpy(zero_copy_only=False))
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_val = oth == ""
+        if not is_val.any() or is_val.all():
+            return _empty_contrib.empty_table()
+        vk, vv = key[is_val], v[is_val]
+        o = np.argsort(vk, kind="stable")
+        vk, vv = vk[o], vv[o]
+        ek, eo_ = key[~is_val], oth[~is_val]
+        pos = np.searchsorted(vk, ek)
+        assert len(vk) > pos.max() >= 0 and (vk[pos] == ek).all()
+        node = pa.array(eo_, pa.string())
         return pa.table({
-            "node": out["oth"],
-            "c": pa.array(np.full(out.num_rows, v, np.int64)),
+            "node": node,
+            "c": pa.array(vv[pos], pa.int64()),
+            "part": _part_of(node, P),
         })
+
+    def gather_part(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        agg = (pl.from_arrow(t.select(["node", "c", "part"]))
+               .group_by("node")
+               .agg(pl.col("c").sum().alias("v"), pl.col("part").first())
+               .to_arrow())
+        return agg.cast(pa.schema([("node", pa.string()), ("v", pa.int64()),
+                                   ("part", pa.int32())]))
 
     def half_step(edge_rows, value_rows):
         summed = (
             edge_rows.union(value_rows)
-            .groupby("key").map_groups(scatter, batch_format="pyarrow")
+            .groupby("part").map_groups(scatter_part, batch_format="pyarrow")
             .union(zero_rows)
-            .groupby("node").aggregate(Sum("c", alias_name="v"))
+            .groupby("part").map_groups(gather_part, batch_format="pyarrow")
             .materialize()
         )
         mx = int(summed.aggregate(Max("v"))["max(v)"] or 0)
@@ -352,6 +447,7 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
                 "key": t["node"],
                 "oth": pa.array([""] * t.num_rows, pa.string()),
                 "v": pa.array(t["v"].to_numpy().astype(np.int64) // s),
+                "part": t["part"],
             })
 
         return summed.map_batches(
