@@ -662,16 +662,21 @@ def top_events_per_user(sf_dir: str, k: int = 3) -> pa.Table:
 
     Two-stage combiner plan: per-batch partial top-k per user inside
     map_batches (each block shrinks to ≤ k rows per user — the shuffle
-    input is bounded by k × users, not event volume), then a hash-shuffled
-    ``groupby(user).map_groups`` finalizes ranks per user. ``value`` is
-    copied verbatim (no float arithmetic), so the driver's value hash is
-    deterministic. Tiebreak: value DESC, event_id ASC.
+    input is bounded by k × users, not event volume), then ONE
+    hash(user)%P exchange whose per-PARTITION finalize ranks every user
+    in it at once (``group_ranked_head`` is multi-group vectorized — the
+    same kernel both stages share; never one Python call per user).
+    ``value`` is copied verbatim (no float arithmetic), so the driver's
+    value hash is deterministic. Tiebreak: value DESC, event_id ASC.
     """
+    from raycrawl.sessions import by_user_parts
+
     final = (
-        _t(sf_dir, "events", ["event_id", "user_id", "value"])
-        .map_batches(lambda t: _events_group_topk(t, k).drop_columns(["rnk"]),
-                     batch_format="pyarrow")
-        .groupby("user_id")
+        by_user_parts(
+            _t(sf_dir, "events", ["event_id", "user_id", "value"])
+            .map_batches(
+                lambda t: _events_group_topk(t, k).drop_columns(["rnk"]),
+                batch_format="pyarrow"))
         .map_groups(lambda t: _events_group_topk(t, k),
                     batch_format="pyarrow")
         .to_pandas()

@@ -42,40 +42,51 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 # LAG window: per-user inter-arrival gaps
 # ---------------------------------------------------------------------------
 
-def _gap_stats_group(t: pa.Table) -> pa.Table:
-    """One user's events → one stats row. Vectorized: sort by (ts,
-    event_id), integer-µs diffs. Emitted only for users with ≥2 events
-    (a single event has no gap), matching the SQL's HAVING."""
-    uid = t["user_id"][0].as_py()
+def _gap_stats_partition(t: pa.Table) -> pa.Table:
+    """One hash partition of events → one stats row per user in it, ALL
+    users segmented at once (sort by (user, ts, event_id); per-user gap
+    sums/maxes via np.add/maximum.reduceat over the user boundaries — no
+    per-user Python). Users with < 2 events emit nothing, matching the
+    SQL's HAVING."""
+    u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
     eid = t["event_id"].to_numpy()
-    order = np.lexsort((eid, ts))
-    ts = ts[order]
-    if len(ts) < 2:
-        return pa.table({
-            "user_id": pa.array([], pa.int64()),
-            "n_events": pa.array([], pa.int64()),
-            "mean_gap_s": pa.array([], pa.float64()),
-            "max_gap_s": pa.array([], pa.float64()),
-        })
-    gaps = np.diff(ts)  # int64 µs, exact
+    order = np.lexsort((eid, ts, u))
+    u, ts = u[order], ts[order]
+    n = len(u)
+    new_u = np.ones(n, dtype=bool)
+    new_u[1:] = u[1:] != u[:-1]
+    starts = np.flatnonzero(new_u)
+    counts = np.diff(np.r_[starts, n])
+    # per-row gap to the previous row; a user's first row contributes a
+    # zeroed gap so segment sums/maxes see only within-user gaps
+    gaps = np.empty(n, np.int64)
+    gaps[0] = 0
+    gaps[1:] = ts[1:] - ts[:-1]
+    gaps[starts] = 0
+    gsum = np.add.reduceat(gaps, starts)
+    gmax = np.maximum.reduceat(gaps, starts)
+    keep = counts >= 2
     return pa.table({
-        "user_id": pa.array([uid], pa.int64()),
-        "n_events": pa.array([len(ts)], pa.int64()),
+        "user_id": pa.array(u[starts][keep], pa.int64()),
+        "n_events": pa.array(counts[keep], pa.int64()),
         # one division at the end → deterministic; mirrored in SQL
-        "mean_gap_s": pa.array([float(gaps.sum()) / len(gaps) / 1e6]),
-        "max_gap_s": pa.array([float(gaps.max()) / 1e6]),
+        "mean_gap_s": pa.array(
+            gsum[keep].astype(np.float64) / (counts[keep] - 1) / 1e6),
+        "max_gap_s": pa.array(gmax[keep].astype(np.float64) / 1e6),
     })
 
 
 def user_interarrival_stats(sf_dir: str) -> pa.Table:
     """LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) → per-user
-    inter-arrival stats. One hash shuffle on user_id; per-group work is
-    a C-level sort+diff. Output is bounded by user cardinality."""
+    inter-arrival stats. One hash shuffle on hash(user_id)%P; per-partition
+    work is a C-level sort + segmented reduce over every user at once.
+    Output is bounded by user cardinality."""
+    from raycrawl.sessions import by_user_parts
+
     out = (
-        _t(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(_gap_stats_group, batch_format="pyarrow")
+        by_user_parts(_t(sf_dir, "events", ["event_id", "user_id", "ts"]))
+        .map_groups(_gap_stats_partition, batch_format="pyarrow")
         .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)
