@@ -296,6 +296,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "page_main_text": webtext.main_text_extract,
         "page_paragraph_dedup": webtext.paragraph_dedup,
         "web_corpus_curated": webtext.web_corpus_curated,
+        "corpus_pagerank": webtext.corpus_pagerank,
         # rows-only (approximate/RNG/iterative — pytest-pinned to oracled
         # exact twins or reference implementations)
         "bpe_learned_merges": textops.bpe_learned_merges,
@@ -622,5 +623,6 @@ def demoted_oracle_sql() -> dict[str, str]:
         "page_main_text": webtext.main_text_extract_sql(),
         "page_paragraph_dedup": webtext.paragraph_dedup_sql(),
         "web_corpus_curated": webtext.web_corpus_curated_sql(),
+        "corpus_pagerank": webtext.corpus_pagerank_sql(),
     })
     return demoted

@@ -336,6 +336,57 @@ def paragraph_dedup_sql() -> str:
 MIN_PAGE_TOKENS = 50
 
 
+def _anchor_edges_batch(t: pa.Table) -> pa.Table:
+    """(url, html) batch → one (crawl_id='corpus', src, dst) edge row per
+    anchor OCCURRENCE (parallel links count toward outdeg, same as the
+    reference's per-href edge MERGE counts distinct parents per link)."""
+    import polars as pl
+
+    df = pl.from_arrow(
+        pa.table({"src": t["url"], "h": t["html"].cast(pa.string())}))
+    ex = (df.with_columns(
+            pl.col("h").str.extract_all(ANCHOR_PAT).alias("m"))
+          .select("src", "m").explode("m").drop_nulls("m")
+          .with_columns(pl.col("m").str.extract(ANCHOR_PAT, 1).alias("dst"))
+          .select("src", "dst"))
+    out = ex.to_arrow()
+    n = out.num_rows
+    return pa.table({
+        "crawl_id": pa.array(["corpus"] * n, pa.string()),
+        "src": out["src"].combine_chunks().cast(pa.string()),
+        "dst": out["dst"].combine_chunks().cast(pa.string()),
+    })
+
+
+def corpus_pagerank(sf_dir: str, iters: int = 6) -> pa.Table:
+    """PageRank over the corpus's OWN hyperlink graph — the webtext lane's
+    edges (anchor extraction, `_anchor_edges_batch`) fed into the graph
+    lane's integer-exact engine (`graph.crawl_pagerank`): link-popularity
+    prior per target URL, the composition a web-corpus curation pipeline
+    uses to weight pages. Same size gate as the crawl's PageRank (driver
+    loop under 100k edges, partition-vectorized Pregel above)."""
+    import ray
+
+    from raycrawl.graph import crawl_pagerank
+
+    edges = (ray.data.read_parquet(_pages_path(), columns=["url", "html"])
+             .map_batches(_anchor_edges_batch, batch_format="pyarrow"))
+    return crawl_pagerank(edges, "corpus", iters=iters)
+
+
+def corpus_pagerank_sql(iters: int = 6) -> str:
+    from raycrawl.graph import crawl_pagerank_sql
+
+    p = _pages_path()
+    edges_expr = f"""(
+      SELECT 'corpus' AS crawl_id, src, href AS dst FROM (
+        SELECT url AS src,
+               unnest(regexp_extract_all(decode(html), '{ANCHOR_PAT}', 1))
+                 AS href
+        FROM read_parquet('{p}')))"""
+    return crawl_pagerank_sql(edges_expr, "corpus", iters=iters)
+
+
 def web_corpus_curated(sf_dir: str) -> pa.Table:
     """The composed web-corpus curation pipeline over Common-Crawl-style
     pages — the pages-lane sibling of the documents-lane flagship
