@@ -297,6 +297,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "page_paragraph_dedup": webtext.paragraph_dedup,
         "web_corpus_curated": webtext.web_corpus_curated,
         "corpus_pagerank": webtext.corpus_pagerank,
+        "link_target_resolution": webtext.link_target_resolution,
         # rows-only (approximate/RNG/iterative — pytest-pinned to oracled
         # exact twins or reference implementations)
         "bpe_learned_merges": textops.bpe_learned_merges,
@@ -624,5 +625,6 @@ def demoted_oracle_sql() -> dict[str, str]:
         "page_paragraph_dedup": webtext.paragraph_dedup_sql(),
         "web_corpus_curated": webtext.web_corpus_curated_sql(),
         "corpus_pagerank": webtext.corpus_pagerank_sql(),
+        "link_target_resolution": webtext.link_target_resolution_sql(),
     })
     return demoted

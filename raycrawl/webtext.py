@@ -374,6 +374,105 @@ def corpus_pagerank(sf_dir: str, iters: int = 6) -> pa.Table:
     return crawl_pagerank(edges, "corpus", iters=iters)
 
 
+def _link_target_partial(t: pa.Table) -> pa.Table:
+    """(url, html) batch → per-batch (name, href, n) partial counts: every
+    harvested href normalized by the crawl's OWN canonicalization kernel
+    (`kernels.normalize_urls_arrow` — uppercase, scheme strip, WWW. strip;
+    reference shared/src/url_normalize.rs semantics), combined in-batch."""
+    import polars as pl
+
+    from raycrawl.kernels import normalize_urls_arrow
+
+    df = pl.from_arrow(
+        pa.table({"h": t["html"].cast(pa.string())}))
+    hrefs = (df.with_columns(
+                pl.col("h").str.extract_all(ANCHOR_PAT).alias("m"))
+             .select("m").explode("m").drop_nulls("m")
+             .with_columns(pl.col("m").str.extract(ANCHOR_PAT, 1)
+                           .alias("href"))
+             .get_column("href").to_arrow().cast(pa.string()))
+    if len(hrefs) == 0:
+        return pa.schema([("name", pa.string()), ("href", pa.string()),
+                          ("n", pa.int64())]).empty_table()
+    name, _proto = normalize_urls_arrow(hrefs.combine_chunks()
+                                        if isinstance(hrefs, pa.ChunkedArray)
+                                        else hrefs)
+    out = (pl.from_arrow(pa.table({"name": name, "href": hrefs}))
+           .group_by("name", "href").len(name="n")
+           .with_columns(pl.col("n").cast(pl.Int64)))
+    return out.to_arrow().cast(pa.schema([
+        ("name", pa.string()), ("href", pa.string()), ("n", pa.int64())]))
+
+
+def link_target_resolution(sf_dir: str) -> pa.Table:
+    """Canonical link-target resolution over the demo pages: every
+    harvested href collapses to its crawl-normalized name (the SAME
+    canonicalization the frontier dedups on), and each canonical target
+    reports its in-link volume, how many distinct raw variant forms point
+    at it (http/https/WWW./case variants), and the lexicographically
+    smallest raw form as representative. This is the crawler's URL-seen
+    semantics surfaced as a corpus operator — the URL-level dedup step of
+    a web-corpus pipeline.
+
+    Shape: stateless extraction+normalize partials (in-batch combined) →
+    ONE hash(name)%P exchange → vectorized per-partition polars finalize."""
+    import numpy as np
+    import polars as pl
+    import ray
+
+    from raycrawl.kernels import hash128
+
+    n_parts = (max(8, int(ray.cluster_resources().get("CPU", 8)))
+               if ray.is_initialized() else 8)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        hi, _lo = hash128(t["name"].combine_chunks().cast(pa.string()))
+        return t.append_column(
+            "part", pa.array((hi % np.uint64(n_parts)).astype(np.int32),
+                             pa.int32()))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out = (pl.from_arrow(t.select(["name", "href", "n"]))
+               .group_by("name")
+               .agg(pl.col("n").sum().alias("n_refs"),
+                    pl.col("href").n_unique().cast(pl.Int64)
+                    .alias("n_variant_forms"),
+                    pl.col("href").min().alias("rep_href")))
+        return out.to_arrow().cast(pa.schema([
+            ("name", pa.string()), ("n_refs", pa.int64()),
+            ("n_variant_forms", pa.int64()), ("rep_href", pa.string())]))
+
+    out = (ray.data.read_parquet(_pages_path(), columns=["url", "html"])
+           .map_batches(_link_target_partial, batch_format="pyarrow")
+           .map_batches(add_part, batch_format="pyarrow")
+           .groupby("part").map_groups(finalize, batch_format="pyarrow"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def link_target_resolution_sql() -> str:
+    p = _pages_path()
+    return f"""
+    WITH pg AS (SELECT decode(html) AS h FROM read_parquet('{p}')),
+    t AS (SELECT unnest(regexp_extract_all(h, '{ANCHOR_PAT}', 1)) AS href
+          FROM pg),
+    u AS (SELECT href, upper(href) AS up FROM t),
+    r AS (SELECT href,
+                 CASE WHEN up LIKE 'HTTPS://%' THEN substr(up, 9)
+                      WHEN up LIKE 'HTTP://%' THEN substr(up, 8)
+                      ELSE up END AS rest
+          FROM u),
+    q AS (SELECT href,
+                 CASE WHEN rest LIKE 'WWW.%' THEN substr(rest, 5)
+                      ELSE rest END AS name
+          FROM r)
+    SELECT name,
+           CAST(count(*) AS BIGINT) AS n_refs,
+           CAST(count(DISTINCT href) AS BIGINT) AS n_variant_forms,
+           min(href) AS rep_href
+    FROM q GROUP BY name
+    """
+
+
 def corpus_pagerank_sql(iters: int = 6) -> str:
     from raycrawl.graph import crawl_pagerank_sql
 
