@@ -218,7 +218,32 @@ def _run_queries(sf_dir: str) -> dict:
         if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
             res.to_pandas()
         out[name] = round(time.perf_counter() - t0, 3)
+    out.update(_run_webtext_queries())
     return out
+
+
+def _run_webtext_queries() -> dict:
+    """The pages-lane flagships timed over the BENCH corpus (1.2M pages —
+    the same table the crawl just fetched from), so the bench line carries
+    a webtext-lane datapoint: curated-corpus build (paragraph dedup → line
+    strip → token floor) and the anchor-text link index."""
+    import raycrawl.webtext as webtext
+    from raycrawl.corpus import ensure_corpus
+
+    orig = webtext._pages_path
+    webtext._pages_path = lambda: os.path.join(
+        ensure_corpus(os.environ.get("RAYCRAWL_BENCH_TAG", "bench")),
+        "pages.parquet")
+    try:
+        out = {}
+        for name, fn in [("web_corpus_curated", webtext.web_corpus_curated),
+                         ("anchor_text_index", webtext.anchor_text_index)]:
+            t0 = time.perf_counter()
+            fn(None)
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+    finally:
+        webtext._pages_path = orig
 
 
 def _healthy_capture() -> dict:
