@@ -51,35 +51,57 @@ def _graph_parts() -> int:
             if ray.is_initialized() else 8)
 
 
-def _part_of(col, n_parts: int) -> pa.Array:
-    """``hash(node) % P`` as int32 — THE graph partition key, shared by
-    the scatter (keyed at src) and the gather (keyed at dst)."""
-    from raycrawl.kernels import hash128
+def _node_ids(col) -> np.ndarray:
+    """64-bit node id: ``md5_u64`` of the node string (int64 bit pattern).
+    The supersteps exchange these 8-byte ids instead of full URL strings
+    (~60 B each) — node identity crosses the wire, names only appear in
+    the static node table and the final assembly. Uniform md5 keeps
+    birthday collisions negligible to ~10^9 nodes — far beyond the int64
+    rank-arithmetic envelope documented below — and ``_distinct_nodes``
+    VERIFIES injectivity per partition (equal ids co-locate by
+    construction), so a collision fails loudly instead of corrupting."""
+    from raycrawl.kernels import md5_u64_arrow
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    hi, _lo = hash128(col.cast(pa.string()))
-    return pa.array((hi % np.uint64(n_parts)).astype(np.int32), pa.int32())
+    return md5_u64_arrow(col.cast(pa.string())).view(np.int64)
+
+
+def _part_of_ids(ids: np.ndarray, n_parts: int) -> pa.Array:
+    """``id % P`` as int32 — THE graph partition key (ids are md5-uniform,
+    so the modulus balances), shared by the scatter (keyed at src) and
+    the gather (keyed at dst)."""
+    part = ids.view(np.uint64) % np.uint64(n_parts)
+    return pa.array(part.astype(np.int32), pa.int32())
 
 
 def _distinct_nodes(ds, cols: tuple, n_parts: int):
-    """(node, part) rows, one per distinct endpoint of ``ds[cols]`` —
+    """(node, id, part) rows, one per distinct endpoint of ``ds[cols]`` —
     hash-partitioned dedup with a per-partition polars ``unique`` (never
-    one Python call per node)."""
+    one Python call per node). Raises if two distinct node strings hash
+    to one id (colliding nodes land in the same partition, so the
+    per-partition check is exhaustive)."""
     import polars as pl
 
     def endpoints(t: pa.Table) -> pa.Table:
         node = pa.concat_arrays(
             [t[c].combine_chunks().cast(pa.string()) for c in cols])
-        tt = pa.table({"node": node})
         # pre-dedup in-batch, then partition
-        tt = pl.from_arrow(tt).unique().to_arrow()
-        return tt.append_column("part", _part_of(tt["node"], n_parts))
+        tt = pl.from_arrow(pa.table({"node": node})).unique().to_arrow()
+        ids = _node_ids(tt["node"])
+        return pa.table({"node": tt["node"],
+                         "id": pa.array(ids, pa.int64()),
+                         "part": _part_of_ids(ids, n_parts)})
 
     def uniq(t: pa.Table) -> pa.Table:
-        out = pl.from_arrow(t.select(["node", "part"])).unique().to_arrow()
-        return out.cast(pa.schema([("node", pa.string()),
-                                   ("part", pa.int32())]))
+        df = pl.from_arrow(t.select(["node", "id", "part"])).unique()
+        if df.get_column("id").n_unique() != df.height:
+            raise RuntimeError(
+                "graph node-id collision: two distinct nodes share an "
+                "md5_u64 id — widen the id to 128 bits for this graph")
+        return df.to_arrow().cast(pa.schema([
+            ("node", pa.string()), ("id", pa.int64()),
+            ("part", pa.int32())]))
 
     return (ds.map_batches(endpoints, batch_format="pyarrow")
             .groupby("part").map_groups(uniq, batch_format="pyarrow"))
@@ -140,32 +162,37 @@ def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10,
                          "rank_units": pa.array(r.astype(np.int64))})
 
     # static per-iteration inputs, materialized once: the edge stream
-    # (key=src carries dst, partitioned by hash(src)), the node carrier
-    # (zero contribution, keeps in-degree-0 nodes in the gather), and the
-    # BASE rank per node — all carrying the shared hash(node)%P key
+    # (key=id(src) carries id(dst), partitioned by id(src)%P), the node
+    # carrier (zero contribution, keeps in-degree-0 nodes in the gather),
+    # and the BASE rank per node. Node STRINGS appear only in the static
+    # node table and the final assembly — every superstep exchanges
+    # 8-byte ids (row type disambiguated by r: rank rows carry r ≥ 0,
+    # edge rows r = -1; ranks are ≥ TELEPORT > 0 always).
     P = _graph_parts()
 
     def as_edge_rows(t: pa.Table) -> pa.Table:
+        sid = _node_ids(t["src"])
         return pa.table({
-            "key": t["src"], "dst": t["dst"],
+            "key": pa.array(sid, pa.int64()),
+            "dst": pa.array(_node_ids(t["dst"]), pa.int64()),
             "r": pa.array(np.full(t.num_rows, -1, np.int64)),
-            "part": _part_of(t["src"], P),
+            "part": _part_of_ids(sid, P),
         })
 
     edge_rows = filtered.map_batches(
         as_edge_rows, batch_format="pyarrow").materialize()
 
-    nodes_ds = _distinct_nodes(edge_rows, ("key", "dst"), P)
+    nodes_ds = _distinct_nodes(filtered, ("src", "dst"), P).materialize()
     zero_rows = nodes_ds.map_batches(
-        lambda t: pa.table({"node": t["node"],
+        lambda t: pa.table({"id": t["id"],
                             "c": pa.array(np.zeros(t.num_rows, np.int64)),
                             "part": t["part"]}),
         batch_format="pyarrow").materialize()
 
     def as_rank_rows(t: pa.Table) -> pa.Table:
         return pa.table({
-            "key": t["node"],
-            "dst": pa.array([""] * t.num_rows, pa.string()),
+            "key": t["id"],
+            "dst": pa.array(np.zeros(t.num_rows, np.int64)),
             "r": pa.array(np.full(t.num_rows, BASE, np.int64)),
             "part": t["part"],
         })
@@ -173,20 +200,20 @@ def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10,
     ranks = nodes_ds.map_batches(as_rank_rows,
                                  batch_format="pyarrow").materialize()
 
-    _empty_contrib = pa.schema([("node", pa.string()), ("c", pa.int64()),
+    _empty_contrib = pa.schema([("id", pa.int64()), ("c", pa.int64()),
                                 ("part", pa.int32())])
 
     def scatter_part(g: pa.Table) -> pa.Table:
-        """One hash partition → (dst, contrib) rows for EVERY src in it,
-        vectorized: segmented outdeg via np.unique, rank lookup via
+        """One hash partition → (dst-id, contrib) rows for EVERY src in
+        it, vectorized: segmented outdeg via np.unique, rank lookup via
         searchsorted, and the damped division in overflow-free split form
         (q = r // m, s = r % m ⇒ (85·r)//m == 85·q + (85·s)//m exactly —
         85·q ≤ 85·r/100 and 85·s < 8500·k both fit int64 wherever the
         per-group Python-int version did)."""
-        key = np.asarray(g["key"].to_numpy(zero_copy_only=False))
-        dst = np.asarray(g["dst"].to_numpy(zero_copy_only=False))
+        key = g["key"].to_numpy(zero_copy_only=False)
+        dst = g["dst"].to_numpy(zero_copy_only=False)
         r = g["r"].to_numpy(zero_copy_only=False).astype(np.int64)
-        is_rank = dst == ""
+        is_rank = r >= 0
         if not is_rank.any() or is_rank.all():
             return _empty_contrib.empty_table()
         rk, rv = key[is_rank], r[is_rank]
@@ -203,26 +230,25 @@ def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10,
         m = np.int64(DAMP_DEN) * counts.astype(np.int64)
         contrib_u = (np.int64(DAMP_NUM) * (r_u // m)
                      + (np.int64(DAMP_NUM) * (r_u % m)) // m)
-        node = pa.array(ed, pa.string())
         return pa.table({
-            "node": node,
+            "id": pa.array(ed, pa.int64()),
             "c": pa.array(np.repeat(contrib_u, counts), pa.int64()),
-            "part": _part_of(node, P),   # gather key: hash(dst) % P
+            "part": _part_of_ids(ed, P),   # gather key: id(dst) % P
         })
 
     def gather_part(t: pa.Table) -> pa.Table:
-        """One hash partition of (node, c, part) → next-iteration rank
+        """One hash partition of (id, c, part) → next-iteration rank
         rows, all nodes in the partition summed at once in polars."""
         import polars as pl
 
-        agg = (pl.from_arrow(t.select(["node", "c", "part"]))
-               .group_by("node")
+        agg = (pl.from_arrow(t.select(["id", "c", "part"]))
+               .group_by("id")
                .agg(pl.col("c").sum(), pl.col("part").first())
                .to_arrow())
         n = agg.num_rows
         return pa.table({
-            "key": agg["node"].combine_chunks().cast(pa.string()),
-            "dst": pa.array([""] * n, pa.string()),
+            "key": agg["id"].combine_chunks().cast(pa.int64()),
+            "dst": pa.array(np.zeros(n, np.int64)),
             "r": pa.array(agg["c"].to_numpy(zero_copy_only=False)
                           .astype(np.int64) + TELEPORT, pa.int64()),
             "part": agg["part"].combine_chunks().cast(pa.int32()),
@@ -239,11 +265,16 @@ def crawl_pagerank(edges_ds, crawl_id: str, iters: int = 10,
             .materialize()     # one round of lineage, never the driver
         )
 
-    final = table_from_pandas(ranks.to_pandas())
-    order = np.argsort(final["key"].to_numpy(zero_copy_only=False))
+    # final assembly: map ids back to node strings (one driver-side merge
+    # over the n_nodes result — the same driver funnel the string version
+    # already paid for its output)
+    final = ranks.to_pandas()
+    names = nodes_ds.to_pandas()
+    out = names.merge(final[["key", "r"]], left_on="id", right_on="key")
+    out = out.sort_values("node")
     return pa.table({
-        "node": pa.array(final["key"].to_numpy(zero_copy_only=False)[order]),
-        "rank_units": pa.array(final["r"].to_numpy()[order]),
+        "node": pa.array(out["node"].to_numpy(), pa.string()),
+        "rank_units": pa.array(out["r"].to_numpy().astype(np.int64)),
     })
 
 
@@ -361,15 +392,19 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
                          "hub_units": pa.array(h)})
 
     # ---- sharded path: static inputs materialized once, both edge
-    # orientations carrying the shared hash(key)%P partition key ---------
+    # orientations keyed by 8-byte node ids on the shared id%P partition
+    # key (row type disambiguated by v: value rows carry v ≥ 0, edge rows
+    # v = -1; rescaled values are always ≥ 0) -----------------------------
     P = _graph_parts()
 
     def _edge_rows(key_col: str, oth_col: str):
         def fn(t: pa.Table) -> pa.Table:
+            kid = _node_ids(t[key_col])
             return pa.table({
-                "key": t[key_col], "oth": t[oth_col],
+                "key": pa.array(kid, pa.int64()),
+                "oth": pa.array(_node_ids(t[oth_col]), pa.int64()),
                 "v": pa.array(np.full(t.num_rows, -1, np.int64)),
-                "part": _part_of(t[key_col], P),
+                "part": _part_of_ids(kid, P),
             })
         return fn
 
@@ -378,9 +413,9 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
     by_dst = filtered.map_batches(_edge_rows("dst", "src"),
                                   batch_format="pyarrow").materialize()
 
-    nodes_ds = _distinct_nodes(by_src, ("key", "oth"), P)
+    nodes_ds = _distinct_nodes(filtered, ("src", "dst"), P).materialize()
     zero_rows = nodes_ds.map_batches(
-        lambda t: pa.table({"node": t["node"],
+        lambda t: pa.table({"id": t["id"],
                             "c": pa.array(np.zeros(t.num_rows, np.int64)),
                             "part": t["part"]}),
         batch_format="pyarrow").materialize()
@@ -389,23 +424,23 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
 
     def as_value_rows(t: pa.Table) -> pa.Table:
         return pa.table({
-            "key": t["node"],
-            "oth": pa.array([""] * t.num_rows, pa.string()),
+            "key": t["id"],
+            "oth": pa.array(np.zeros(t.num_rows, np.int64)),
             "v": pa.array(np.full(t.num_rows, H0, np.int64)),
             "part": t["part"],
         })
 
-    _empty_contrib = pa.schema([("node", pa.string()), ("c", pa.int64()),
+    _empty_contrib = pa.schema([("id", pa.int64()), ("c", pa.int64()),
                                 ("part", pa.int32())])
 
     def scatter_part(g: pa.Table) -> pa.Table:
-        """One hash partition → (oth, v-of-key) rows for EVERY key in it,
-        vectorized (HITS scatter copies the key's value to each incident
-        edge — no division)."""
-        key = np.asarray(g["key"].to_numpy(zero_copy_only=False))
-        oth = np.asarray(g["oth"].to_numpy(zero_copy_only=False))
+        """One hash partition → (oth-id, v-of-key) rows for EVERY key in
+        it, vectorized (HITS scatter copies the key's value to each
+        incident edge — no division)."""
+        key = g["key"].to_numpy(zero_copy_only=False)
+        oth = g["oth"].to_numpy(zero_copy_only=False)
         v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        is_val = oth == ""
+        is_val = v >= 0
         if not is_val.any() or is_val.all():
             return _empty_contrib.empty_table()
         vk, vv = key[is_val], v[is_val]
@@ -414,21 +449,20 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
         ek, eo_ = key[~is_val], oth[~is_val]
         pos = np.searchsorted(vk, ek)
         assert len(vk) > pos.max() >= 0 and (vk[pos] == ek).all()
-        node = pa.array(eo_, pa.string())
         return pa.table({
-            "node": node,
+            "id": pa.array(eo_, pa.int64()),
             "c": pa.array(vv[pos], pa.int64()),
-            "part": _part_of(node, P),
+            "part": _part_of_ids(eo_, P),
         })
 
     def gather_part(t: pa.Table) -> pa.Table:
         import polars as pl
 
-        agg = (pl.from_arrow(t.select(["node", "c", "part"]))
-               .group_by("node")
+        agg = (pl.from_arrow(t.select(["id", "c", "part"]))
+               .group_by("id")
                .agg(pl.col("c").sum().alias("v"), pl.col("part").first())
                .to_arrow())
-        return agg.cast(pa.schema([("node", pa.string()), ("v", pa.int64()),
+        return agg.cast(pa.schema([("id", pa.int64()), ("v", pa.int64()),
                                    ("part", pa.int32())]))
 
     def half_step(edge_rows, value_rows):
@@ -444,8 +478,8 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
 
         def rescale_relabel(t: pa.Table) -> pa.Table:
             return pa.table({
-                "key": t["node"],
-                "oth": pa.array([""] * t.num_rows, pa.string()),
+                "key": t["id"],
+                "oth": pa.array(np.zeros(t.num_rows, np.int64)),
                 "v": pa.array(t["v"].to_numpy().astype(np.int64) // s),
                 "part": t["part"],
             })
@@ -460,18 +494,19 @@ def crawl_hits(edges_ds, crawl_id: str, iters: int = 8,
         a_rows = half_step(by_src, h_rows)    # a(v) = sum h over in-edges
         h_rows = half_step(by_dst, a_rows)    # h(u) = sum a over out-edges
 
-    af = table_from_pandas(a_rows.to_pandas())
-    hf = table_from_pandas(h_rows.to_pandas())
-    an = af["key"].to_numpy(zero_copy_only=False)
-    order = np.argsort(an)
-    hmap = dict(zip(hf["key"].to_numpy(zero_copy_only=False),
-                    hf["v"].to_numpy()))
-    nodes_sorted = an[order]
+    # final assembly: one driver-side merge maps ids back to node strings
+    # (vectorized — no per-node dict lookup)
+    af = a_rows.to_pandas()[["key", "v"]].rename(columns={"v": "auth_units"})
+    hf = h_rows.to_pandas()[["key", "v"]].rename(columns={"v": "hub_units"})
+    names = nodes_ds.to_pandas()[["node", "id"]]
+    out = (names.merge(af, left_on="id", right_on="key")
+           .merge(hf, left_on="id", right_on="key")
+           .sort_values("node"))
     return pa.table({
-        "node": pa.array(nodes_sorted),
-        "auth_units": pa.array(af["v"].to_numpy()[order]),
-        "hub_units": pa.array(
-            np.array([hmap[x] for x in nodes_sorted], np.int64)),
+        "node": pa.array(out["node"].to_numpy(), pa.string()),
+        "auth_units": pa.array(out["auth_units"].to_numpy()
+                               .astype(np.int64)),
+        "hub_units": pa.array(out["hub_units"].to_numpy().astype(np.int64)),
     })
 
 
