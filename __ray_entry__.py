@@ -298,6 +298,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "web_corpus_curated": webtext.web_corpus_curated,
         "corpus_pagerank": webtext.corpus_pagerank,
         "link_target_resolution": webtext.link_target_resolution,
+        "minhash_neardup_incremental": dedup.minhash_neardup_incremental,
         # rows-only (approximate/RNG/iterative — pytest-pinned to oracled
         # exact twins or reference implementations)
         "bpe_learned_merges": textops.bpe_learned_merges,
@@ -626,5 +627,6 @@ def demoted_oracle_sql() -> dict[str, str]:
         "web_corpus_curated": webtext.web_corpus_curated_sql(),
         "corpus_pagerank": webtext.corpus_pagerank_sql(),
         "link_target_resolution": webtext.link_target_resolution_sql(),
+        "minhash_neardup_incremental": dedup.minhash_incremental_sql(),
     })
     return demoted

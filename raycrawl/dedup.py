@@ -622,6 +622,213 @@ def minhash_neardup_sql(threshold: float = 0.6) -> str:
     return _jaccard_pairs_sql(threshold)
 
 
+# ---------------------------------------------------------------------------
+# incremental near-dup: dedup-at-ingestion against a persisted band index
+# ---------------------------------------------------------------------------
+# The 100 TB workflow: a corpus is not deduped once — every NEW crawl
+# batch must dedup against the EXISTING corpus without re-touching it.
+# The existing corpus's LSH band table and shingle store persist ONCE as
+# partition-pruned Parquet (hive layout, content-keyed, atomic commit —
+# the ann-index discipline); each new batch is shingled, banded, joined
+# against ONLY the band partitions its hashes land in, and exact-verified
+# against ONLY the candidate old docs' shingles. Probe cost scales with
+# the new batch + candidate volume, never with the old corpus.
+# Demo split of the driver's documents table: OLD = even doc_id, NEW =
+# odd (deterministic; the SQL oracle mirrors the parity rule verbatim).
+
+_IDX_BP_PARTS = 64   # band-hash fanout of the persisted band table
+_IDX_SP_PARTS = 64   # doc-id fanout of the persisted shingle store
+
+
+def _parity(ds, rem: int):
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % 2 == rem))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _docs_index_tag(sf_dir: str) -> str:
+    """ann._index_tag's discipline over documents.parquet."""
+    import hashlib
+
+    import pyarrow.parquet as pq_
+
+    path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(path)
+    rows = pq_.ParquetFile(path).metadata.num_rows
+    phash = hashlib.md5(path.encode()).hexdigest()[:8]
+    chash = hashlib.md5(
+        f"{st.st_size}|{st.st_mtime_ns}|{rows}".encode()).hexdigest()[:8]
+    return f"{phash}-{chash}"
+
+
+def _hive_files(idx: str, sub: str, key: str, values) -> list[str]:
+    """Parquet files of the hive partitions ``idx/sub/key=v/`` for the
+    probed values — pruning happens HERE, at the file listing, before any
+    bytes are read."""
+    files: list[str] = []
+    for v in values:
+        d = os.path.join(idx, sub, f"{key}={v}")
+        if os.path.isdir(d):
+            files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    return files
+
+
+def _add_bp(t: pa.Table) -> pa.Table:
+    bp = (t["band_hash"].to_numpy().view(np.uint64)
+          % np.uint64(_IDX_BP_PARTS)).astype(np.int64)
+    return t.append_column("bp", pa.array(bp, pa.int64()))
+
+
+def ensure_minhash_index(sf_dir: str,
+                         out_root: str = "/tmp/raycrawl_minhash") -> str:
+    """Build (once, cached) the persisted dedup index of the OLD corpus
+    half: ``bands/bp=K/`` (band rows, partitioned by band_hash %
+    _IDX_BP_PARTS — the probe's pruning key) and ``shingles/sp=K/`` (full
+    shingle sets, partitioned by doc_id % _IDX_SP_PARTS — the verify's
+    pruning key). Content-keyed cache + build-into-temp + atomic rename,
+    same as the ANN indexes."""
+    from raycrawl.ann import _commit_index
+
+    out = os.path.join(
+        out_root, f"{_docs_index_tag(sf_dir)}_b{N_BANDS}x{ROWS_PER_BAND}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    old_sh = _parity(shingles_dataset(sf_dir), 0)
+    (old_sh.map_batches(minhash_bands_batch, batch_format="pyarrow")
+     .map_batches(_add_bp, batch_format="pyarrow")
+     .write_parquet(os.path.join(tmp, "bands"), partition_cols=["bp"]))
+
+    def add_sp(t: pa.Table) -> pa.Table:
+        sp = t["doc_id"].to_numpy() % _IDX_SP_PARTS
+        return t.append_column("sp", pa.array(sp, pa.int64()))
+
+    (old_sh.map_batches(add_sp, batch_format="pyarrow")
+     .write_parquet(os.path.join(tmp, "shingles"), partition_cols=["sp"]))
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    _commit_index(tmp, out)
+    return out
+
+
+def minhash_neardup_incremental(sf_dir: str,
+                                threshold: float = 0.6) -> pa.Table:
+    """Near-dups of the NEW corpus half (odd doc_id) against the OLD half
+    (even doc_id) via the persisted index — (old_id, new_id, jaccard),
+    sorted. The old half is touched only through partition-pruned index
+    reads; same LSH completeness envelope as ``minhash_neardup_pairs``
+    (the SQL oracle is the exact inter-parity pair set)."""
+    import ray.data as rd
+
+    idx = ensure_minhash_index(sf_dir)
+    sh = shingles_dataset(sf_dir)
+    new_sh = _parity(sh, 1).materialize()
+    new_bands = (new_sh.map_batches(minhash_bands_batch,
+                                    batch_format="pyarrow")
+                 .map_batches(_add_bp, batch_format="pyarrow")
+                 .materialize())
+
+    # the probe's partition list: distinct bp values of the new batch
+    # (per-batch unique partials, ≤ _IDX_BP_PARTS rows reach the driver)
+    bp_parts = (new_bands.map_batches(
+        lambda t: pa.table({"bp": pa.array(
+            np.unique(t["bp"].to_numpy()), pa.int64())}),
+        batch_format="pyarrow").to_pandas())
+    probe_files = _hive_files(idx, "bands", "bp",
+                              np.unique(bp_parts["bp"].to_numpy()))
+    empty = pa.table({"old_id": pa.array([], pa.int64()),
+                      "new_id": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not probe_files:
+        return empty
+    old_bands = rd.read_parquet(
+        probe_files, columns=["band_id", "band_hash", "doc_id"])
+
+    joined = new_bands.join(
+        old_bands, join_type="inner", num_partitions=_join_parts(),
+        on=("band_id", "band_hash"), right_on=("band_id", "band_hash"),
+        left_suffix="_n", right_suffix="_o")
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        cols = t.column_names
+        ncol = "doc_id_n" if "doc_id_n" in cols else "doc_id"
+        ocol = "doc_id_o" if "doc_id_o" in cols else "doc_id_r"
+        nw = t[ncol].to_numpy()
+        od = t[ocol].to_numpy()
+        return pa.table({"a": pa.array(np.minimum(od, nw), pa.int64()),
+                         "b": pa.array(np.maximum(od, nw), pa.int64())})
+
+    cand = _count_by_key_partitioned(
+        joined.map_batches(pair_rows, batch_format="pyarrow"),
+        ("a", "b"), "n_bands").materialize()
+    if cand.count() == 0:
+        return empty
+
+    # verify side: ONLY the candidate old docs' shingles leave the index
+    cp = cand.to_pandas()
+    a = cp["a"].to_numpy(np.int64)
+    b = cp["b"].to_numpy(np.int64)
+    old_ids = np.unique(np.where(a % 2 == 0, a, b))
+    sp_files = _hive_files(idx, "shingles", "sp",
+                           np.unique(old_ids % _IDX_SP_PARTS))
+    old_cand_sh = rd.read_parquet(
+        sp_files, columns=["doc_id", "shingles", "n_shingles"])
+
+    def keep_cand(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        pos = np.minimum(np.searchsorted(old_ids, d), len(old_ids) - 1)
+        return t.filter(pa.array(old_ids[pos] == d))
+
+    sh_union = (old_cand_sh.map_batches(keep_cand, batch_format="pyarrow")
+                .union(new_sh.map_batches(
+                    lambda t: t.select(["doc_id", "shingles", "n_shingles"]),
+                    batch_format="pyarrow")))
+    ver = _verify_pairs(cand, sh_union, threshold)
+    va = ver["a"].to_numpy()
+    vb = ver["b"].to_numpy()
+    vj = ver["jaccard"].to_numpy()
+    old = np.where(va % 2 == 0, va, vb)
+    new = np.where(va % 2 == 0, vb, va)
+    order = np.lexsort((new, old))
+    return pa.table({
+        "old_id": pa.array(old[order], pa.int64()),
+        "new_id": pa.array(new[order], pa.int64()),
+        "jaccard": pa.array(vj[order], pa.float64()),
+    })
+
+
+def minhash_incremental_sql(threshold: float = 0.6, k: int = 3) -> str:
+    """Exact inter-parity Jaccard pairs — the incremental probe's oracle
+    (same completeness argument as ``minhash_neardup_sql``)."""
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    g0 AS (SELECT doc_id,
+                  unnest(CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+                         ELSE list_transform(range(1, len(t) - {k} + 2),
+                                             i -> array_to_string(t[i:i+{k - 1}], ' '))
+                         END) AS gram
+           FROM toks),
+    g AS (SELECT DISTINCT doc_id, gram FROM g0),
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS old_id, y.doc_id AS new_id, count(*) AS i
+              FROM g x JOIN g y ON x.gram = y.gram
+              WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+              GROUP BY 1, 2)
+    SELECT old_id, new_id,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = old_id
+    JOIN sz sb ON sb.doc_id = new_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+    ORDER BY old_id, new_id
+    """
+
+
 _NGRAM_PAIRS_CACHE: dict[tuple, pa.Table] = {}
 
 
