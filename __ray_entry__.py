@@ -56,7 +56,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from raycrawl import (ann, dedup, multimodal, profiling, relational,
-                          sessions, sketches, textops, windows)
+                          sessions, sketches, textops, webtext, windows)
 
     def _demo_nodes():
         _ensure_demo()
@@ -106,11 +106,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from raycrawl.queries import graph_export_edges as q
 
         return q(_demo_edges(), "demo1")
-
-    def nodes_by_depth(_sf):
-        from raycrawl.queries import nodes_by_depth as q
-
-        return q(_demo_nodes(), "demo0")
 
     def domain_rollup(_sf):
         from raycrawl.queries import domain_rollup as q
@@ -169,11 +164,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "neardup_clusters": dedup.neardup_clusters,
         "documents_deduped": dedup.documents_deduped,
+        "minhash_neardup_incremental": dedup.minhash_neardup_incremental,
+        "documents_substring_deduped": dedup.substring_dedup_apply,
         # --- text analysis over documents ---
         "tfidf_top_terms": textops.tfidf_top_terms,
         "doc_fingerprints": textops.fingerprints,
         "documents_profile": profiling.documents_profile,
-        "doc_repetition_scores": textops.doc_repetition_scores,
         # --- multimodal plumbing (stubbed codec) ---
         "media_summary": multimodal.media_summary,
         # --- similarity search over embeddings ---
@@ -185,13 +181,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_distribution": textops.lang_source_distribution,
         "quality_scores": textops.quality_scores,
         "langid": textops.langid,
+        "documents_quality_pruned": textops.documents_quality_pruned,
+        # --- webtext curation flagships (anchor harvest + curated corpus) ---
+        "web_corpus_curated": webtext.web_corpus_curated,
+        "anchor_text_index": webtext.anchor_text_index,
         # --- crawl read-side (A1-A4, S5 — SURVEY §2.5, §2.1) ---
         "crawl_progress": crawl_progress,
         "crawl_list": crawl_list,
         "crawl_stats": crawl_stats,
         "graph_export_nodes": graph_nodes,
         "graph_export_edges": graph_edges,
-        "crawl_nodes_by_depth": nodes_by_depth,
         "crawl_progress_live": crawl_progress_live,    # A5/M10 IN-PROGRESS
         "crawl_rounds_moving_avg": crawl_rounds_moving_avg,  # §2.9 stream window
         "crawl_pagerank": crawl_pagerank,              # web-graph analytics lane
@@ -208,7 +207,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_stratified_sample": relational.documents_stratified_sample,
         "orders_in_top_customer_periods": relational.orders_in_top_customer_periods,
         "top_returned_revenue_customers": relational.top_returned_revenue_customers,
-        "revenue_by_brand": relational.revenue_by_brand,
         "top_users_by_events": relational.top_users_by_events,
         # --- windowed / temporal custom operators over events ---
         "user_sessions": sessions.user_sessions,
@@ -216,8 +214,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_funnel": sessions.session_funnel,
         "user_interarrival_stats": windows.user_interarrival_stats,
         "events_type_rollup": windows.events_type_rollup,
-        "events_pivot_by_type": windows.events_pivot_by_type,
-        "events_daily_cumulative": windows.events_daily_cumulative,
     }
 
 
@@ -227,7 +223,7 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
     an exact twin of a sketch, a forced-path twin) and stays correctness-
     covered by tests/test_demoted.py instead. Same contract as queries()."""
     from raycrawl import (ann, dedup, multimodal, relational, sketches,
-                          textops, webtext)
+                          textops, webtext, windows)
 
     def crawl_list_page(_sf):
         from raycrawl.queries import list_crawls as q
@@ -261,11 +257,23 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
 
         return round_counters(demo_ckpts()[0])
 
+    def nodes_by_depth(_sf):
+        from raycrawl.queries import nodes_by_depth as q
+
+        return q(_demo_nodes_mod(), "demo0")
+
     return {
         "crawl_list_page": crawl_list_page,            # L2 pagination
         "crawl_list_completed": crawl_list_completed,  # A3 status filter
         "crawl_domain_rollup": domain_rollup,
         "crawl_round_counters": crawl_round_counters,  # A5 metrics stream
+        "crawl_nodes_by_depth": nodes_by_depth,        # A1 depth histogram
+        # rotated out of the window in r5 for the webtext/ingestion
+        # flagships (VERDICT r4 §Next 1); still oracled here
+        "doc_repetition_scores": textops.doc_repetition_scores,
+        "revenue_by_brand": relational.revenue_by_brand,
+        "events_pivot_by_type": windows.events_pivot_by_type,
+        "events_daily_cumulative": windows.events_daily_cumulative,
         "revenue_by_nation": relational.revenue_by_nation,
         "top_customers_by_spend": relational.top_customers_by_spend,
         "events_hourly": relational.events_hourly,
@@ -274,7 +282,6 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "documents_hash_sample": relational.documents_hash_sample,
         "events_ordered_page": relational.events_ordered_page,
         "neardup_clusters_distributed": dedup.neardup_clusters_distributed,
-        "documents_substring_deduped": dedup.substring_dedup_apply,
         "crawl_hits": _crawl_hits,
         "embedding_kmeans": ann.embedding_kmeans,
         "embedding_semantic_dedup": ann.embedding_semantic_dedup,
@@ -288,17 +295,13 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
         "documents_mixture_sample": relational.documents_mixture_sample,
         "inverted_index_stats": textops.inverted_index_stats,
         "bigram_collocations": textops.bigram_collocations,
-        "documents_quality_pruned": textops.documents_quality_pruned,
         "documents_split_assignment": relational.documents_split_assignment,
         "documents_balanced_shards": relational.documents_balanced_shards,
         "corpus_word_counts": textops.word_counts,
-        "anchor_text_index": webtext.anchor_text_index,
         "page_main_text": webtext.main_text_extract,
         "page_paragraph_dedup": webtext.paragraph_dedup,
-        "web_corpus_curated": webtext.web_corpus_curated,
         "corpus_pagerank": webtext.corpus_pagerank,
         "link_target_resolution": webtext.link_target_resolution,
-        "minhash_neardup_incremental": dedup.minhash_neardup_incremental,
         # rows-only (approximate/RNG/iterative — pytest-pinned to oracled
         # exact twins or reference implementations)
         "bpe_learned_merges": textops.bpe_learned_merges,
@@ -521,7 +524,7 @@ def _crawl_sql_bundle() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     from raycrawl import (ann, dedup, graph, multimodal, profiling,
-                          relational, sessions, textops, windows)
+                          relational, sessions, textops, webtext, windows)
     from raycrawl.pipeline import training_corpus_sql
 
     c = _crawl_sql_bundle()
@@ -536,10 +539,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup_pairs": dedup.simhash_neardup_sql(),
         "neardup_clusters": dedup.neardup_clusters_sql(),
         "documents_deduped": dedup.documents_deduped_sql(),
+        "minhash_neardup_incremental": dedup.minhash_incremental_sql(),
+        "documents_substring_deduped": dedup.substring_dedup_sql(),
         "tfidf_top_terms": textops.tfidf_top_terms_sql(),
         "doc_fingerprints": textops.fingerprints_sql(),
         "documents_profile": profiling.documents_profile_sql(),
-        "doc_repetition_scores": textops.doc_repetition_scores_sql(),
         "media_summary": multimodal.media_summary_sql(),
         "embedding_topk": ann.brute_force_topk_sql(),
         "embedding_neardup_pairs": dedup.embedding_neardup_sql(),
@@ -549,12 +553,14 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_distribution": textops.lang_source_distribution_sql(),
         "quality_scores": textops.quality_scores_sql(),
         "langid": textops.langid_sql(),
+        "documents_quality_pruned": textops.quality_pruned_sql(),
+        "web_corpus_curated": webtext.web_corpus_curated_sql(),
+        "anchor_text_index": webtext.anchor_text_index_sql(),
         "crawl_progress": c["crawl_progress"],
         "crawl_list": c["crawl_list"],
         "crawl_stats": c["crawl_stats"],
         "graph_export_nodes": c["graph_export_nodes"],
         "graph_export_edges": c["graph_export_edges"],
-        "crawl_nodes_by_depth": c["crawl_nodes_by_depth"],
         "crawl_progress_live": c["crawl_progress_live"],
         "crawl_rounds_moving_avg": c["crawl_rounds_moving_avg"],
         "crawl_pagerank": graph.crawl_pagerank_sql(c["_edges_rel"], "demo1"),
@@ -570,15 +576,12 @@ def oracle_sql() -> dict[str, str]:
         "documents_stratified_sample": relational.documents_stratified_sample_sql(),
         "orders_in_top_customer_periods": relational.orders_in_top_customer_periods_sql(),
         "top_returned_revenue_customers": relational.top_returned_revenue_customers_sql(),
-        "revenue_by_brand": relational.revenue_by_brand_sql(),
         "top_users_by_events": relational.top_users_by_events_sql(),
         "user_sessions": sessions.user_sessions_sql(),
         "purchase_asof_click": sessions.purchase_asof_click_sql(),
         "session_funnel": sessions.session_funnel_sql(),
         "user_interarrival_stats": windows.user_interarrival_stats_sql(),
         "events_type_rollup": windows.events_type_rollup_sql(),
-        "events_pivot_by_type": windows.events_pivot_by_type_sql(),
-        "events_daily_cumulative": windows.events_daily_cumulative_sql(),
     }
 
 
@@ -588,12 +591,17 @@ def demoted_oracle_sql() -> dict[str, str]:
     entries have no SQL by nature — their exactness envelope is pinned by
     dedicated pytests against oracled exact twins."""
     from raycrawl import (ann, dedup, graph, multimodal, relational, textops,
-                          webtext)
+                          webtext, windows)
 
     c = _crawl_sql_bundle()
     demoted = {k: c[k] for k in ("crawl_list_page", "crawl_list_completed",
-                                 "crawl_domain_rollup", "crawl_round_counters")}
+                                 "crawl_domain_rollup", "crawl_round_counters",
+                                 "crawl_nodes_by_depth")}
     demoted.update({
+        "doc_repetition_scores": textops.doc_repetition_scores_sql(),
+        "revenue_by_brand": relational.revenue_by_brand_sql(),
+        "events_pivot_by_type": windows.events_pivot_by_type_sql(),
+        "events_daily_cumulative": windows.events_daily_cumulative_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "top_customers_by_spend": relational.top_customers_sql(),
         "events_hourly": relational.events_hourly_sql(),
@@ -602,7 +610,6 @@ def demoted_oracle_sql() -> dict[str, str]:
         "documents_hash_sample": relational.documents_hash_sample_sql(),
         "events_ordered_page": relational.events_ordered_page_sql(),
         "neardup_clusters_distributed": dedup.neardup_clusters_sql(),
-        "documents_substring_deduped": dedup.substring_dedup_sql(),
         "crawl_hits": graph.crawl_hits_sql(c["_edges_rel"], "demo1"),
         "embedding_kmeans": ann.embedding_kmeans_sql(),
         "embedding_semantic_dedup": ann.embedding_semantic_dedup_sql(),
@@ -616,17 +623,13 @@ def demoted_oracle_sql() -> dict[str, str]:
         "documents_mixture_sample": relational.documents_mixture_sample_sql(),
         "inverted_index_stats": textops.inverted_index_stats_sql(),
         "bigram_collocations": textops.bigram_collocations_sql(),
-        "documents_quality_pruned": textops.quality_pruned_sql(),
         "documents_split_assignment":
             relational.documents_split_assignment_sql(),
         "documents_balanced_shards": relational.documents_balanced_shards_sql(),
         "corpus_word_counts": textops.word_counts_sql(),
-        "anchor_text_index": webtext.anchor_text_index_sql(),
         "page_main_text": webtext.main_text_extract_sql(),
         "page_paragraph_dedup": webtext.paragraph_dedup_sql(),
-        "web_corpus_curated": webtext.web_corpus_curated_sql(),
         "corpus_pagerank": webtext.corpus_pagerank_sql(),
         "link_target_resolution": webtext.link_target_resolution_sql(),
-        "minhash_neardup_incremental": dedup.minhash_incremental_sql(),
     })
     return demoted
