@@ -1113,3 +1113,49 @@ def test_balanced_shards_bucket_invariance_and_balance():
     ideal = a["n_chars"].sum() / 8
     assert (per <= ideal + a["n_chars"].max()).all()
     assert set(a["shard"]) == set(range(8))
+
+
+def test_segmented_verify_matches_scalar_jaccard_edges():
+    """The vectorized segmented-intersection verify (dedup._verify_pairs'
+    per-batch kernel) must be bit-identical to the scalar ``jaccard`` twin,
+    including the edge conventions: both-empty → 1.0, one-empty → 0.0,
+    disjoint, identical, and unaligned packed buffers (odd byte offsets
+    cannot occur — offsets are element×8 — but pair segments of length 0/1
+    and duplicates ACROSS pairs must not leak between segments)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raycrawl.dedup import _unpack_binary_u64, jaccard
+
+    sets = [
+        np.array([], "<u8"),
+        np.array([1, 2, 3], "<u8"),
+        np.array([2, 3, 4, 5], "<u8"),
+        np.array([7], "<u8"),
+        np.array([1, 2, 3], "<u8"),
+        np.array([10**18, 2**63, 2**64 - 1], "<u8"),
+    ]
+    pairs = [(0, 0), (0, 1), (1, 2), (1, 4), (3, 5), (5, 5), (2, 3)]
+    sa = pa.array([sets[i].tobytes() for i, _ in pairs], pa.binary())
+    sb = pa.array([sets[j].tobytes() for _, j in pairs], pa.binary())
+
+    va, offa = _unpack_binary_u64(sa)
+    vb, offb = _unpack_binary_u64(sb)
+    la, lb = np.diff(offa), np.diff(offb)
+    n = len(pairs)
+    pair = np.concatenate([np.repeat(np.arange(n), la),
+                           np.repeat(np.arange(n), lb)])
+    vals = np.concatenate([va, vb])
+    order = np.lexsort((vals, pair))
+    v, p = vals[order], pair[order]
+    dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n).astype(np.int64)
+    union = la + lb - inter
+    j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+    want = np.array([jaccard(sets[i], sets[j]) for i, j in pairs])
+    assert np.array_equal(j, want), (j, want)
+    # sliced (non-zero Arrow offset) column unpacks identically
+    v2, o2 = _unpack_binary_u64(sa.slice(2, 4))
+    assert np.array_equal(v2, va[offa[2]:offa[6]])
+    assert np.array_equal(np.diff(o2), la[2:6])
