@@ -84,13 +84,30 @@ def _committed_shards(out_dir: str, partition_col: str) -> set[tuple[str, int]]:
     return done
 
 
+_COMPRESSION_EXT = {None: "", "zstd": ".zst", "gzip": ".gz"}
+
+
 def export_jsonl_partitioned(ds, out_dir: str, partition_col: str,
                              shard_key_col: str | None = None,
-                             num_shards: int = 8) -> dict:
+                             num_shards: int = 8,
+                             compression: str | None = None) -> dict:
     """Write ``ds`` as JSONL shards under ``out_dir/<col>=<value>/`` in one
     scan + one hash shuffle; resumable (committed shards are skipped) and
     atomic (tmp + rename per shard). Returns {value: n_rows} counting BOTH
-    freshly-written and previously-committed rows."""
+    freshly-written and previously-committed rows.
+
+    ``compression``: None (plaintext ``part-*.jsonl``), ``"zstd"``
+    (``part-*.jsonl.zst``) or ``"gzip"`` (``part-*.jsonl.gz``) — real
+    100 TB JSONL exports ship compressed. Shards stream through pyarrow's
+    codec (no whole-shard buffer beyond the batch), the ``_OK`` marker
+    records uncompressed AND compressed byte counts, and the mode is
+    pinned in ``_EXPORT_SPEC.json`` so a resume cannot mix codecs in one
+    tree. ``load_jsonl_partitioned`` / ``read_back_jsonl`` read any mode
+    by extension detection."""
+    if compression not in _COMPRESSION_EXT:
+        raise ValueError(f"export_jsonl_partitioned: unsupported "
+                         f"compression {compression!r} "
+                         f"(use None, 'zstd' or 'gzip')")
     os.makedirs(out_dir, exist_ok=True)
     other_cols = [n for n in ds.schema().names if n != partition_col]
     if shard_key_col is None:
@@ -105,11 +122,12 @@ def export_jsonl_partitioned(ds, out_dir: str, partition_col: str,
     # happens to match a stale marker while the committed file holds a
     # DIFFERENT row subset. Pin the spec on first run, refuse a mismatch.
     spec = {"partition_col": partition_col, "shard_key_col": shard_key_col,
-            "num_shards": int(num_shards)}
+            "num_shards": int(num_shards), "compression": compression}
     spec_path = os.path.join(out_dir, "_EXPORT_SPEC.json")
     if os.path.exists(spec_path):
         with open(spec_path) as f:
             prev = json.load(f)
+        prev.setdefault("compression", None)  # pre-r5 trees are plaintext
         if prev != spec:
             raise ValueError(
                 f"export_jsonl_partitioned: out_dir {out_dir!r} was written "
@@ -155,16 +173,21 @@ def export_jsonl_partitioned(ds, out_dir: str, partition_col: str,
         body = g.drop(columns=["__shard"]).sort_values(shard_key_col)
         pdir = os.path.join(out_dir, f"{partition_col}={value}")
         os.makedirs(pdir, exist_ok=True)
-        final = os.path.join(pdir, f"part-{shard:05d}.jsonl")
+        ext = _COMPRESSION_EXT[compression]
+        final = os.path.join(pdir, f"part-{shard:05d}.jsonl{ext}")
         tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "wb") as f:
-            f.write(_dump_rows(body.to_dict(orient="records")))
+        payload = _dump_rows(body.to_dict(orient="records"))
+        with pa.output_stream(tmp, compression=compression) as f:
+            f.write(payload)
         os.replace(tmp, final)
         # marker is atomic too: a crash mid-write must not leave a truncated
         # _OK.N that finalize's json.load would choke on during resume
         mtmp = os.path.join(pdir, f".tmp-ok-{uuid.uuid4().hex}")
         with open(mtmp, "w") as f:
-            json.dump({"rows": int(len(body))}, f)
+            json.dump({"rows": int(len(body)),
+                       "uncompressed_bytes": len(payload),
+                       "compressed_bytes": os.path.getsize(final),
+                       "compression": compression}, f)
         os.replace(mtmp, os.path.join(pdir, f"_OK.{shard}"))
         return pa.table({"value": pa.array([str(value)], pa.string()),
                          "shard": pa.array([shard], pa.int64()),
@@ -185,16 +208,20 @@ def export_jsonl_partitioned(ds, out_dir: str, partition_col: str,
             continue
         pdir = os.path.join(out_dir, d)
         total = 0
+        comp_bytes = 0
         shards = {}
         for fn in sorted(os.listdir(pdir)):
             if fn.startswith("_OK."):
                 with open(os.path.join(pdir, fn)) as f:
-                    r = int(json.load(f)["rows"])
-                shards[int(fn[4:])] = r
-                total += r
+                    mk = json.load(f)
+                shards[int(fn[4:])] = int(mk["rows"])
+                total += int(mk["rows"])
+                comp_bytes += int(mk.get("compressed_bytes", 0))
         value = d[len(prefix):]
         with open(os.path.join(pdir, "_SUCCESS"), "w") as f:
-            json.dump({"rows": total, "shards": shards}, f)
+            json.dump({"rows": total, "shards": shards,
+                       "compression": compression,
+                       "compressed_bytes": comp_bytes}, f)
         written[value] = total
     del fresh
     return written
@@ -232,8 +259,11 @@ def load_jsonl_partitioned(out_dir: str, partition_col: str,
         raise FileNotFoundError(
             f"load_jsonl_partitioned: no committed {prefix}* partitions "
             f"under {out_dir}")
+    # compression="detect" resolves per file from the extension, so one
+    # reader handles plaintext, .jsonl.zst and .jsonl.gz trees alike
     return rd.read_json(
-        dirs, partitioning=Partitioning("hive", base_dir=out_dir))
+        dirs, partitioning=Partitioning("hive", base_dir=out_dir),
+        arrow_open_stream_args={"compression": "detect"})
 
 
 def read_back_jsonl(out_dir: str) -> pa.Table:
@@ -245,7 +275,10 @@ def read_back_jsonl(out_dir: str) -> pa.Table:
         for fn in sorted(files):
             if fn.startswith(("_", ".")):  # spec/markers/tmp, not data
                 continue
-            if fn.endswith(".json") or fn.endswith(".jsonl"):
-                with open(os.path.join(root, fn)) as f:
-                    rows.extend(json.loads(line) for line in f if line.strip())
+            if fn.endswith((".json", ".jsonl", ".jsonl.zst", ".jsonl.gz")):
+                with pa.input_stream(os.path.join(root, fn),
+                                     compression="detect") as f:
+                    text = bytes(f.read()).decode()
+                rows.extend(json.loads(line) for line in text.splitlines()
+                            if line.strip())
     return pa.Table.from_pylist(rows)

@@ -212,7 +212,8 @@ def run_training_pipeline(sf_dir: str, out_dir: str, threshold: float = 0.6,
                           mixture_bp: dict | None = None,
                           mixture_seed: int = 11,
                           lm_min_known_ppm: int | None = None,
-                          lm_ref_mod: int = 13) -> dict:
+                          lm_ref_mod: int = 13,
+                          compression: str | None = None) -> dict:
     """The shipping path: clean (dedup + quality + shuffle key) and export
     as lang-partitioned JSONL WITH the text payload. The global sort is
     deliberately skipped here — the export's content-hash routing shuffle
@@ -231,4 +232,5 @@ def run_training_pipeline(sf_dir: str, out_dir: str, threshold: float = 0.6,
                               lm_ref_mod=lm_ref_mod)
     return export_jsonl_partitioned(ds, out_dir, partition_col="lang",
                                     shard_key_col="doc_id",
-                                    num_shards=num_shards)
+                                    num_shards=num_shards,
+                                    compression=compression)

@@ -4,7 +4,9 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_export_jsonl_partitioned_roundtrip_and_resume(tmp_path):
+@pytest.mark.parametrize("compression", [None, "zstd", "gzip"])
+def test_export_jsonl_partitioned_roundtrip_and_resume(tmp_path, compression):
+    import json
     import os
 
     import pyarrow.parquet as pq
@@ -15,7 +17,8 @@ def test_export_jsonl_partitioned_roundtrip_and_resume(tmp_path):
     ds = rd.read_parquet(f"{SF}/documents.parquet",
                          columns=["doc_id", "lang", "n_chars"])
     out = str(tmp_path / "exp")
-    written = export_jsonl_partitioned(ds, out, "lang", num_shards=4)
+    written = export_jsonl_partitioned(ds, out, "lang", num_shards=4,
+                                       compression=compression)
     src = pq.read_table(f"{SF}/documents.parquet",
                         columns=["doc_id", "lang", "n_chars"]).to_pandas()
     assert written == src.groupby("lang").size().to_dict()
@@ -27,12 +30,52 @@ def test_export_jsonl_partitioned_roundtrip_and_resume(tmp_path):
     # resume: committed shards are skipped, so their files are untouched
     lang0 = sorted(written)[0]
     pdir = os.path.join(out, f"lang={lang0}")
-    fns = sorted(f for f in os.listdir(pdir) if f.endswith(".jsonl"))
+    ext = {None: ".jsonl", "zstd": ".jsonl.zst", "gzip": ".jsonl.gz"}[compression]
+    fns = sorted(f for f in os.listdir(pdir)
+                 if f.startswith("part-") and f.endswith(ext))
     assert fns, "expected committed shard files"
     mtime0 = os.path.getmtime(os.path.join(pdir, fns[0]))
-    written2 = export_jsonl_partitioned(ds, out, "lang", num_shards=4)
+    written2 = export_jsonl_partitioned(ds, out, "lang", num_shards=4,
+                                        compression=compression)
     assert written2 == written
     assert os.path.getmtime(os.path.join(pdir, fns[0])) == mtime0
+    # marker carries the byte accounting; compressed modes must actually
+    # compress (the synthetic docs are compressible text)
+    shard = int(fns[0].split("-")[1].split(".")[0])
+    with open(os.path.join(pdir, f"_OK.{shard}")) as f:
+        mk = json.load(f)
+    assert mk["compression"] == compression
+    assert mk["compressed_bytes"] == os.path.getsize(os.path.join(pdir, fns[0]))
+    if compression is not None:
+        assert mk["compressed_bytes"] < mk["uncompressed_bytes"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_jsonl_compressed_load_and_codec_pin(tmp_path):
+    """zstd tree round-trips through the distributed source, and a resume
+    with a different codec is refused (one tree, one codec)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raycrawl.io_sinks import export_jsonl_partitioned, load_jsonl_partitioned
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    out = str(tmp_path / "exp")
+    export_jsonl_partitioned(ds, out, "lang", num_shards=4, compression="zstd")
+    back = load_jsonl_partitioned(out, "lang").to_pandas()
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    a = back.sort_values("doc_id").reset_index(drop=True)
+    b = src.sort_values("doc_id").reset_index(drop=True)
+    assert (a[["doc_id", "lang", "n_chars"]].values
+            == b[["doc_id", "lang", "n_chars"]].values).all()
+    with pytest.raises(ValueError, match="routing"):
+        export_jsonl_partitioned(ds, out, "lang", num_shards=4,
+                                 compression="gzip")
+    with pytest.raises(ValueError, match="compression"):
+        export_jsonl_partitioned(ds, str(tmp_path / "x"), "lang",
+                                 compression="lz9")
 
 
 @pytest.mark.usefixtures("ray_session")
