@@ -262,12 +262,22 @@ def demoted_queries() -> dict[str, Callable[[str], Any]]:
 
         return q(_demo_nodes_mod(), "demo0")
 
+    def crawl_neardup(_sf):
+        # ingestion-time near-dup detection composed INTO the crawl loop
+        # (raycrawl.ingest_dedup): per-round probe of newly fetched pages
+        # against the persisted band index of all earlier rounds
+        from raycrawl.demo import ensure_neardup_demo
+        from raycrawl.ingest_dedup import crawl_neardup as q
+
+        return q(ensure_neardup_demo())
+
     return {
         "crawl_list_page": crawl_list_page,            # L2 pagination
         "crawl_list_completed": crawl_list_completed,  # A3 status filter
         "crawl_domain_rollup": domain_rollup,
         "crawl_round_counters": crawl_round_counters,  # A5 metrics stream
         "crawl_nodes_by_depth": nodes_by_depth,        # A1 depth histogram
+        "crawl_neardup": crawl_neardup,                # ingestion dedup
         # rotated out of the window in r5 for the webtext/ingestion
         # flagships (VERDICT r4 §Next 1); still oracled here
         "doc_repetition_scores": textops.doc_repetition_scores,
@@ -597,7 +607,18 @@ def demoted_oracle_sql() -> dict[str, str]:
     demoted = {k: c[k] for k in ("crawl_list_page", "crawl_list_completed",
                                  "crawl_domain_rollup", "crawl_round_counters",
                                  "crawl_nodes_by_depth")}
+    import os as _os
+
+    from raycrawl.demo import ensure_neardup_demo, neardup_corpus
+
+    nd_ck = ensure_neardup_demo()
+    from raycrawl.ingest_dedup import crawl_neardup_sql
+
     demoted.update({
+        "crawl_neardup": crawl_neardup_sql(
+            _os.path.join(nd_ck, "final", "nodes", "*.parquet"),
+            _os.path.join(neardup_corpus(), "pages.parquet"),
+            "demodup", 0.6),
         "doc_repetition_scores": textops.doc_repetition_scores_sql(),
         "revenue_by_brand": relational.revenue_by_brand_sql(),
         "events_pivot_by_type": windows.events_pivot_by_type_sql(),

@@ -36,6 +36,15 @@ class CrawlConfig:
     # attached to parent rows in round_out. Off for reference-exact tests.
     enrich: bool = False
 
+    # Ingestion-time near-dup detection (raycrawl.ingest_dedup): when set,
+    # each round probes its COMPLETED parents against the persisted MinHash
+    # band index of all previously fetched pages and records
+    # (node_id, near_dup_of, jaccard) assignments under the round dir.
+    # Off by default (reference-exact crawls, bench). Must be set from the
+    # crawl's FIRST run — resuming a neardup crawl that started without it
+    # is refused (the prior rounds' index shards don't exist).
+    neardup_threshold: float | None = None
+
     # Seen-filter backend: "set" (exact python set of 16-byte keys; test
     # scale), "sortedruns" (numpy sorted runs + Bloom front; the 10^10
     # design point) or "cuckoo" (same runs behind a cuckoo-filter front:

@@ -135,13 +135,34 @@ def generate_corpus(
     hub_out_links: int = 200,
     n_seeds: int = 4,
     zipf_alpha: float = 1.05,
+    mirror_frac: float = 0.0,
 ) -> str:
-    """Write pages/captures/seeds parquet into out_dir (idempotent)."""
+    """Write pages/captures/seeds parquet into out_dir (idempotent).
+
+    ``mirror_frac`` > 0 plants NEAR-DUPLICATE pages (the ingestion-dedup
+    fixture): ~that fraction of hosts i ≥ 10 copy the finished body (and
+    therefore the analytic captures) of a deterministic earlier host
+    j < i, with only the page title and one appended paragraph differing —
+    3-gram Jaccard ≈ 0.9+. Reachability is planted too: even-hash mirror
+    pairs are both linked from the hub (host 0 → source and mirror fetch
+    in the SAME round: the intra-round dedup path), odd-hash mirrors are
+    linked from their source page j itself (mirror discovered one round
+    AFTER j: the cross-round persisted-index path). Default 0.0 keeps
+    every existing corpus byte-identical."""
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
+
+    # deterministic mirror plan: i -> (source j, hub-linked?)
+    mirror_of: dict[int, tuple[int, bool]] = {}
+    if mirror_frac > 0:
+        for i in range(10, n_hosts):
+            h = hash64_int(f"mirror:{seed}:{i}")
+            if h % 1000 < int(mirror_frac * 1000):
+                j = 1 + hash64_int(f"mirrorsrc:{seed}:{i}") % (i - 1)
+                mirror_of[i] = (j, h % 2 == 0)
 
     n_ghosts = max(1, int(n_hosts * ghost_frac))
     universe = n_hosts + n_ghosts  # targets may point at ghosts (no page → 404)
@@ -161,26 +182,58 @@ def generate_corpus(
     all_targets = rng.choice(universe, size=int(offsets[-1]), p=weights)
     all_variants = rng.integers(0, 7, size=int(offsets[-1]))
 
+    # chain-mirror plan inverted: source j -> mirrors i it must link to
+    chain_links: dict[int, list[int]] = {}
+    for i, (j, hub_linked) in mirror_of.items():
+        if not hub_linked:
+            chain_links.setdefault(j, []).append(i)
+
     urls, ts, htmls, texts, langs = [], [], [], [], []
     cap_src, cap_lists = [], []
+    bodies: list[str] = []
+    caps_of: list[list[str]] = []
     for i in range(n_hosts):
         h = hosts[i]
         url = f"{protos[i]}://{h}"
-        targets = all_targets[offsets[i] : offsets[i + 1]]
-        variants = all_variants[offsets[i] : offsets[i + 1]]
-        snippets, caps = [], []
-        for t, v in zip(targets, variants):
-            snip, c = render_link(hosts[int(t)], int(v), protos[int(t)])
-            snippets.append(snip)
-            caps.extend(c)
-        # occasional self-link (ROOT-label vs URL-label quirk exercise)
-        if hash64_int(f"self:{i}") % 7 == 0:
-            snip, c = render_link(h, 0, protos[i])
-            snippets.append(snip)
-            caps.extend(c)
-        body = f"<p>{_filler(rng, 40 + int(rng.integers(0, 200)))}</p>\n" + "\n".join(
-            f"<p>{s}</p>" for s in snippets
-        )
+        if i in mirror_of:
+            # near-duplicate page: the finished body (and captures) of the
+            # earlier source host, one extra paragraph appended
+            j, _hub = mirror_of[i]
+            body = bodies[j] + f"\n<p>mirror copy {i}</p>"
+            caps = list(caps_of[j])
+        else:
+            targets = all_targets[offsets[i] : offsets[i + 1]]
+            variants = all_variants[offsets[i] : offsets[i + 1]]
+            snippets, caps = [], []
+            for t, v in zip(targets, variants):
+                snip, c = render_link(hosts[int(t)], int(v), protos[int(t)])
+                snippets.append(snip)
+                caps.extend(c)
+            # occasional self-link (ROOT-label vs URL-label quirk exercise)
+            if hash64_int(f"self:{i}") % 7 == 0:
+                snip, c = render_link(h, 0, protos[i])
+                snippets.append(snip)
+                caps.extend(c)
+            if i == 0:
+                # hub reachability for the even-hash mirror pairs: link
+                # BOTH sides from the hub (same discovery round)
+                for mi, (mj, hub_linked) in sorted(mirror_of.items()):
+                    if hub_linked:
+                        for tgt in (mj, mi):
+                            snip, c = render_link(hosts[tgt], 0, protos[tgt])
+                            snippets.append(snip)
+                            caps.extend(c)
+            for mi in chain_links.get(i, ()):
+                # odd-hash mirrors hang off their source page: the mirror
+                # is discovered (and fetched) one round after the source
+                snip, c = render_link(hosts[mi], 0, protos[mi])
+                snippets.append(snip)
+                caps.extend(c)
+            body = f"<p>{_filler(rng, 40 + int(rng.integers(0, 200)))}</p>\n" + "\n".join(
+                f"<p>{s}</p>" for s in snippets
+            )
+        bodies.append(body)
+        caps_of.append(caps)
         html = (
             f"<html><head><title>{h}</title></head><body>\n{body}\n</body></html>"
         )

@@ -379,6 +379,15 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
     )
     ro_path = os.path.join(rdir, "round_out")
     _write_table(ro, ro_path)
+    if cfg.neardup_threshold is not None:
+        from raycrawl.ingest_dedup import probe_and_index_round
+
+        pm = pa.compute.and_(
+            pa.compute.equal(ro["row_type"], "parent"),
+            pa.compute.equal(ro["status"], "COMPLETED"))
+        probe_and_index_round(
+            ckpt, r, ro.filter(pm).select(["node_id", "name", "http_type"]),
+            corpus_ref, cfg.neardup_threshold)
     t_fetch = _time.perf_counter() - t0
 
     stats = _finish_barrier(rdir, seen_handles, nodes_path, edges_path)
@@ -564,6 +573,20 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
         shutil.rmtree(ro_path, ignore_errors=True)
         _begin_round(rdir, r, seen_handles, seed_id)  # reset shard round state
         _execute_fetch_stage()
+    if cfg.neardup_threshold is not None:
+        from raycrawl.ingest_dedup import probe_and_index_round
+
+        import pyarrow.dataset as _pads
+
+        ro_nd = _pads.dataset(_parquet_files([ro_path])).to_table(
+            columns=["row_type", "status", "node_id", "name", "http_type"])
+        pm = pa.compute.and_(
+            pa.compute.equal(ro_nd["row_type"], "parent"),
+            pa.compute.equal(ro_nd["status"], "COMPLETED"))
+        probe_and_index_round(
+            ckpt, r,
+            ro_nd.filter(pm).select(["node_id", "name", "http_type"]),
+            corpus_ref, cfg.neardup_threshold)
     t_fetch = _time.perf_counter() - t0
 
     # barrier (async): shards close edge partitions + resolve winners while
@@ -1112,6 +1135,17 @@ def crawl(
     while os.path.exists(os.path.join(_round_dir(ckpt_dir, r), "_DONE")):
         last_done = r
         r += 1
+    if cfg.neardup_threshold is not None:
+        # the ingestion-dedup index is built round-by-round; a crawl that
+        # ran earlier rounds WITHOUT it has no index shards to probe, so a
+        # late enable would silently miss every cross-round duplicate
+        for rr in range(1, last_done + 1):
+            if not os.path.isdir(os.path.join(_round_dir(ckpt_dir, rr),
+                                              "ndx")):
+                raise ValueError(
+                    f"neardup_threshold requires the crawl to have run "
+                    f"with ingestion dedup from its first round; "
+                    f"round {rr} of {ckpt_dir} has no ndx/ index shard")
     import pyarrow.dataset as pads
 
     # Restore the committed set incrementally: per round, per parquet file,

@@ -178,6 +178,42 @@ def _memo_put(cache: dict, key: tuple, value) -> None:
         cache.pop(next(iter(cache)))
 
 
+def shingle_list_batch(doc_id_col, texts: list, k: int = 3) -> pa.Table:
+    """(doc ids, texts) → (doc_id, shingles list<uint64>, n_shingles) —
+    vectorized twin of the scalar ``shingle_set`` (pytest-pinned equal):
+    one segmented gram gather + one DuckDB md5 call per batch, then
+    per-doc sorted-unique via one lexsort. The list column is built
+    straight from the deduped flat buffer — no per-row Python, no boxing.
+    Shared by the documents lane (``shingles_dataset``) and the crawl's
+    ingestion-dedup stage (raycrawl.ingest_dedup)."""
+    from raycrawl.kernels import md5_gram_hashes
+
+    h, offs = md5_gram_hashes(texts, k=k)
+    n = len(texts)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    order = np.lexsort((h, doc_idx))
+    hs, di = h[order], doc_idx[order]
+    if len(hs):
+        keep = np.empty(len(hs), dtype=bool)
+        keep[0] = True
+        keep[1:] = (hs[1:] != hs[:-1]) | (di[1:] != di[:-1])
+        hs, di = hs[keep], di[keep]
+    counts = (np.bincount(di, minlength=n).astype(np.int64)
+              if len(di) else np.zeros(n, np.int64))
+    new_offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=new_offs[1:])
+    return pa.table(
+        {
+            "doc_id": (doc_id_col if isinstance(doc_id_col, (pa.Array,
+                                                             pa.ChunkedArray))
+                       else pa.array(doc_id_col, pa.int64())),
+            "shingles": pa.ListArray.from_arrays(
+                pa.array(new_offs, pa.int32()), pa.array(hs, pa.uint64())),
+            "n_shingles": pa.array(counts, pa.int64()),
+        }
+    )
+
+
 def shingles_dataset(sf_dir: str):
     """documents → (doc_id, shingles list<uint64>, n_shingles), MATERIALIZED
     and memoized per sf_dir — the shared input of the MinHash and exact
@@ -190,37 +226,7 @@ def shingles_dataset(sf_dir: str):
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def batch(t: pa.Table) -> pa.Table:
-        # vectorized twin of the scalar ``shingle_set`` (pytest-pinned
-        # equal): one segmented gram gather + one DuckDB md5 call per
-        # batch, then per-doc sorted-unique via one lexsort-free pass
-        from raycrawl.kernels import md5_gram_hashes
-
-        texts = t["text"].to_pylist()
-        h, offs = md5_gram_hashes(texts, k=3)
-        n = len(texts)
-        # segmented sorted-unique in one lexsort (== per-doc np.unique,
-        # pytest-pinned vs scalar shingle_set), list column built straight
-        # from the deduped flat buffer — no per-row Python, no boxing
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
-        order = np.lexsort((h, doc_idx))
-        hs, di = h[order], doc_idx[order]
-        if len(hs):
-            keep = np.empty(len(hs), dtype=bool)
-            keep[0] = True
-            keep[1:] = (hs[1:] != hs[:-1]) | (di[1:] != di[:-1])
-            hs, di = hs[keep], di[keep]
-        counts = (np.bincount(di, minlength=n).astype(np.int64)
-                  if len(di) else np.zeros(n, np.int64))
-        new_offs = np.zeros(n + 1, dtype=np.int32)
-        np.cumsum(counts, out=new_offs[1:])
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "shingles": pa.ListArray.from_arrays(
-                    pa.array(new_offs, pa.int32()), pa.array(hs, pa.uint64())),
-                "n_shingles": pa.array(counts, pa.int64()),
-            }
-        )
+        return shingle_list_batch(t["doc_id"], t["text"].to_pylist())
 
     ds = docs.map_batches(batch, batch_format="pyarrow").materialize()
     _memo_put(_SHINGLES_CACHE, ck, ds)
@@ -458,6 +464,30 @@ def _verify_pairs_by_count(cand, sh, threshold: float,
     return table_from_pandas(out)
 
 
+def segmented_jaccard(va: np.ndarray, offa: np.ndarray,
+                      vb: np.ndarray, offb: np.ndarray) -> np.ndarray:
+    """Exact per-pair Jaccard over packed segment pairs: ``va[offa[i]:
+    offa[i+1]]`` vs ``vb[offb[i]:offb[i+1]]``, each segment sorted-unique
+    uint64. ONE lexsort of (pair, value) over the concatenated buffers
+    makes every common element an adjacent duplicate inside its pair
+    segment, so intersection counts fall out of a single bincount — no
+    per-pair Python. Both-empty pairs score 1.0 (the scalar ``jaccard``
+    twin's convention, pytest-pinned)."""
+    la = np.diff(offa)
+    lb = np.diff(offb)
+    n = len(la)
+    pair = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), la),
+        np.repeat(np.arange(n, dtype=np.int64), lb)])
+    vals = np.concatenate([va, vb])
+    order = np.lexsort((vals, pair))
+    v, p = vals[order], pair[order]
+    dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n).astype(np.int64)
+    union = la + lb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
 def _unpack_binary_u64(col) -> tuple[np.ndarray, np.ndarray]:
     """Packed binary column (raw little-endian uint64 runs, see
     ``_packed``) → (flat uint64 values, element offsets) with zero per-row
@@ -559,23 +589,9 @@ def _verify_pairs(cand, sh, threshold: float) -> pa.Table:
         # bit-identical to the scalar ``jaccard`` twin.
         a = t["a"].to_numpy()
         b = t["b"].to_numpy()
-        npairs = len(a)
         va, offa = _unpack_binary_u64(t["sh_a"])
         vb, offb = _unpack_binary_u64(t["sh_b"])
-        la = np.diff(offa)
-        lb = np.diff(offb)
-        pair = np.concatenate([
-            np.repeat(np.arange(npairs, dtype=np.int64), la),
-            np.repeat(np.arange(npairs, dtype=np.int64), lb)])
-        vals = np.concatenate([va, vb])
-        order = np.lexsort((vals, pair))
-        v, p = vals[order], pair[order]
-        dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
-        inter = np.bincount(p[1:][dup], minlength=npairs).astype(np.int64)
-        union = la + lb - inter
-        # union == 0 only when both sets are empty → jaccard 1.0 (matches
-        # the scalar twin's convention)
-        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        j = segmented_jaccard(va, offa, vb, offb)
         keep = j >= threshold
         return pa.table(
             {"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64()),

@@ -77,3 +77,36 @@ def ensure_demo_crawls() -> list[str]:
         with open(claim, "w") as f:
             f.write("ok")
     return out
+
+
+def neardup_ckpt() -> str:
+    # named so nodes_glob()'s "ck*" can't match it (it's a different
+    # crawl family with its own oracle)
+    return os.path.join(DEMO_BASE, "dup_ck")
+
+
+def neardup_corpus() -> str:
+    return os.path.join(DEMO_BASE, "dup_corpus")
+
+
+def ensure_neardup_demo() -> str:
+    """Deterministic ingestion-dedup fixture: a mirrored corpus (planted
+    near-dup pages, both hub-linked same-round and chained cross-round —
+    corpus.generate_corpus mirror_frac) crawled with
+    ``CrawlConfig.neardup_threshold`` set. Cached like the other demos."""
+    import pyarrow.parquet as pq
+
+    from raycrawl.config import CrawlConfig
+    from raycrawl.corpus import generate_corpus
+    from raycrawl.crawl import crawl
+
+    c = generate_corpus(neardup_corpus(), n_hosts=120, seed=77,
+                        mirror_frac=0.15, n_seeds=1)
+    ck = neardup_ckpt()
+    if not os.path.exists(os.path.join(ck, "final", "_DONE")):
+        seed = pq.read_table(os.path.join(c, "seeds.parquet")).to_pylist()[0]
+        crawl(c, seed["url"], 3, ck,
+              cfg=CrawlConfig(num_seen_shards=4, fetch_concurrency=4,
+                              neardup_threshold=0.6),
+              crawl_id="demodup", resume=True)
+    return ck

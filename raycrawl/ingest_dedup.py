@@ -1,0 +1,436 @@
+"""Ingestion-time near-duplicate detection for the crawl loop.
+
+Composes the engine's two halves — the BFS crawler and the curation lane's
+persisted MinHash index (VERDICT r4 §Next 4): when
+``CrawlConfig.neardup_threshold`` is set, every round probes the pages it
+successfully fetched against the band index of ALL previously fetched
+pages and assigns each near-duplicate page its earliest-ingested match.
+
+Semantics (mirrors the reference-corpus documents lane,
+``dedup.minhash_neardup_incremental``):
+
+- probe set per round r ≥ 1: the round's COMPLETED parents (COMPLETED ⇔
+  fetched 200 and expanded; leaves born COMPLETED are never fetched so
+  never probed; the ROOT bootstrap fetch is crawl submission, not corpus
+  ingestion, and is excluded);
+- page text = tag-stripped fetch body (``<[^>]+>`` → "", exactly the
+  corpus generator's ``text`` column), 3-gram md5 shingles
+  (``dedup.shingle_list_batch``), MinHash bands
+  (``dedup.minhash_bands_batch``);
+- ingestion order = (probe round, node_id). A page's ``near_dup_of`` is
+  the earliest page in that order whose exact shingle Jaccard is ≥ the
+  threshold among its LSH band candidates (the same candidate
+  completeness envelope as the whole MinHash family — a candidate can
+  only be missed, never mis-scored);
+- the per-round index lives INSIDE the round checkpoint dir
+  (``round=NNNN/ndx/{bands/bp=K, sh/sp=K, map/sp=K}``), so the crawl's
+  existing round idempotency (round dir removed and rebuilt atomically)
+  covers the index and resume needs no extra machinery. Probes read ONLY
+  the band partitions the new batch lands in and ONLY the candidate old
+  pages' shingles — per-round cost scales with the round, never with the
+  crawl history (the 100 TB ingestion shape).
+
+Scale notes: the per-round driver pass is bounded by the round's fetched
+count (the same posture as the driver-side frontier assembly, gated by
+FRONTIER_DRIVER_GATE); for giant rounds the identical per-batch kernels
+run under ``map_batches`` with the ``_count_by_key_partitioned`` exchange
+— see ``dedup.minhash_neardup_incremental`` for that shape. Page identity
+is carried as the high 64 bits of the 128-bit node-id hash; at
+10^10-frontier scale carry the full (hi, lo) pair like fetch.CorpusIndex.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raycrawl.dedup import (
+    _IDX_BP_PARTS,
+    _IDX_SP_PARTS,
+    _hive_files,
+    minhash_bands_batch,
+    segmented_jaccard,
+    shingle_list_batch,
+)
+
+NEARDUP_SCHEMA = pa.schema(
+    [
+        ("node_id", pa.string()),
+        ("near_dup_of", pa.string()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+_TAG_PAT = r"<[^>]+>"
+_KEY_DT = np.dtype([("b", "i4"), ("h", "i8")])
+
+
+def _round_ndx(ckpt: str, r: int) -> str:
+    return os.path.join(ckpt, f"round={r:04d}", "ndx")
+
+
+def _pids(node_ids) -> np.ndarray:
+    from raycrawl.kernels import hash128
+
+    hi, _lo = hash128(node_ids)
+    return hi.view(np.int64)
+
+
+def _page_texts(parents: pa.Table, corpus_ref) -> list:
+    """Tag-stripped body text per COMPLETED parent, via the same corpus
+    lookup layout the fetch stage uses (broadcast index or partitioned
+    LRU) — vectorized hash lookup + Arrow take + one regex kernel."""
+    from raycrawl.fetch import corpus_key_strings, get_fetcher
+    from raycrawl.kernels import hash128
+
+    fetcher = get_fetcher(corpus_ref)
+    names = parents["name"].combine_chunks()
+    protos = parents["http_type"].combine_chunks()
+    n = parents.num_rows
+    qhi, qlo = hash128(corpus_key_strings(names, protos))
+    parts = fetcher.batch_parts(names)
+    if parts is None:
+        index, html_col = fetcher.slot(0)
+        rows = index.lookup(qhi, qlo)
+        html = html_col.combine_chunks().take(pa.array(rows, pa.int64()))
+    else:
+        order = np.argsort(parts, kind="stable")
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        pieces = []
+        for p in np.unique(parts):
+            m = np.flatnonzero(parts == p)
+            index, html_p = fetcher.slot(int(p))
+            rows = index.lookup(qhi[m], qlo[m])
+            pieces.append(
+                html_p.combine_chunks().take(pa.array(rows, pa.int64())))
+        html = pa.concat_arrays(pieces).take(pa.array(inv))
+    text = pc.replace_substring_regex(
+        pc.cast(html, pa.string()), pattern=_TAG_PAT, replacement="")
+    return text.to_pylist()
+
+
+def _gather_segments(flat: np.ndarray, offs: np.ndarray,
+                     idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Segments ``flat[offs[i]:offs[i+1]]`` for each i in idx, packed."""
+    lens = (offs[idx + 1] - offs[idx]).astype(np.int64)
+    out_offs = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_offs[1:])
+    total = int(out_offs[-1])
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(out_offs[:-1], lens)
+           + np.repeat(offs[idx].astype(np.int64), lens))
+    return flat[pos], out_offs
+
+
+def _list_arrays(col) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = col.offsets.to_numpy().astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.uint64,
+                                                            copy=False)
+    base = offs[0]
+    return flat[base:offs[-1]], offs - base
+
+
+def _write_partitioned(table: pa.Table, root: str, key: str,
+                       part: np.ndarray) -> None:
+    for v in np.unique(part):
+        d = os.path.join(root, f"{key}={int(v)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table.filter(pa.array(part == v)),
+                       os.path.join(d, "part-0.parquet"))
+
+
+def probe_and_index_round(ckpt: str, r: int, parents: pa.Table, corpus_ref,
+                          threshold: float, k: int = 3) -> pa.Table:
+    """Probe round r's COMPLETED parents against the prior rounds' band
+    index, write this round's index shard + ``neardup/`` assignments under
+    the round dir, and return the assignments table (node_id,
+    near_dup_of, jaccard) sorted by node_id."""
+    import pyarrow.dataset as pads
+
+    rdir = os.path.join(ckpt, f"round={r:04d}")
+    ndx = os.path.join(rdir, "ndx")
+    os.makedirs(ndx, exist_ok=True)
+    nd_dir = os.path.join(rdir, "neardup")
+    os.makedirs(nd_dir, exist_ok=True)
+
+    n = parents.num_rows
+    empty = NEARDUP_SCHEMA.empty_table()
+    if n == 0:
+        pq.write_table(empty, os.path.join(nd_dir, "part-0.parquet"))
+        return empty
+
+    node_ids = np.asarray(parents["node_id"].to_pylist(), dtype="U")
+    pid = _pids(parents["node_id"].combine_chunks())
+    texts = _page_texts(parents, corpus_ref)
+    sh = shingle_list_batch(pa.array(pid, pa.int64()), texts, k=k)
+    new_flat, new_offs = _list_arrays(sh["shingles"])
+    bands = minhash_bands_batch(sh)
+    bid = bands["band_id"].to_numpy()
+    bh = bands["band_hash"].to_numpy()
+    bpid = bands["doc_id"].to_numpy()
+    _porder = np.argsort(pid, kind="stable")
+    _psorted = pid[_porder]
+
+    def rows_of(pids: np.ndarray) -> np.ndarray:
+        return _porder[np.searchsorted(_psorted, pids)]
+
+    # --- intra-round candidates: equal (band_id, band_hash) buckets ---
+    cand_e: list[np.ndarray] = []   # row index (this round) of the pair's
+    cand_l: list[np.ndarray] = []   # earlier / later side
+    okey = np.lexsort((bh, bid))
+    sb, sh_ = bid[okey], bh[okey]
+    runs = np.flatnonzero(np.concatenate(
+        [[True], (sb[1:] != sb[:-1]) | (sh_[1:] != sh_[:-1]), [True]]))
+    for s, e in zip(runs[:-1], runs[1:]):
+        if e - s > 1:
+            rows = np.unique(rows_of(bpid[okey[s:e]]))
+            if len(rows) > 1:
+                # ingestion order within a round = node_id
+                rows = rows[np.argsort(node_ids[rows], kind="stable")]
+                a, b = np.triu_indices(len(rows), 1)
+                cand_e.append(rows[a])
+                cand_l.append(rows[b])
+
+    # --- inter-round candidates: pruned read of prior rounds' bands ---
+    bps = np.unique(bh.view(np.uint64) % np.uint64(_IDX_BP_PARTS))
+    old_files: list[str] = []
+    for rr in range(1, r):
+        old_files += _hive_files(_round_ndx(ckpt, rr), "bands", "bp", bps)
+    old_e_pid: np.ndarray = np.empty(0, np.int64)
+    old_l_row: np.ndarray = np.empty(0, np.int64)
+    if old_files:
+        old = pads.dataset(old_files).to_table(
+            columns=["band_id", "band_hash", "pid"])
+        ob = old["band_id"].to_numpy()
+        oh = old["band_hash"].to_numpy()
+        op = old["pid"].to_numpy()
+        okeys = np.empty(len(ob), dtype=_KEY_DT)
+        okeys["b"], okeys["h"] = ob, oh
+        oorder = np.argsort(okeys, kind="stable")
+        okeys = okeys[oorder]
+        op = op[oorder]
+        q = np.empty(len(bid), dtype=_KEY_DT)
+        q["b"], q["h"] = bid, bh
+        lo = np.searchsorted(okeys, q, side="left")
+        hi = np.searchsorted(okeys, q, side="right")
+        cnt = hi - lo
+        nz = np.flatnonzero(cnt)
+        if len(nz):
+            tot = int(cnt[nz].sum())
+            out_offs = np.zeros(len(nz) + 1, np.int64)
+            np.cumsum(cnt[nz], out=out_offs[1:])
+            pos = (np.arange(tot) - np.repeat(out_offs[:-1], cnt[nz])
+                   + np.repeat(lo[nz], cnt[nz]))
+            old_e_pid = op[pos]
+            old_l_row = np.repeat(rows_of(bpid[nz]), cnt[nz])
+
+    # --- dedup candidates, verify with exact segmented jaccard ---
+    matches: dict[int, list[tuple[int, str, float]]] = {}
+    if cand_e:
+        ce = np.concatenate(cand_e)
+        cl = np.concatenate(cand_l)
+        u = np.unique(ce.astype(np.int64) * np.int64(n) + cl)
+        ce, cl = (u // n).astype(np.int64), (u % n).astype(np.int64)
+        va, offa = _gather_segments(new_flat, new_offs, ce)
+        vb, offb = _gather_segments(new_flat, new_offs, cl)
+        j = segmented_jaccard(va, offa, vb, offb)
+        for i in np.flatnonzero(j >= threshold):
+            matches.setdefault(int(cl[i]), []).append(
+                (r, str(node_ids[ce[i]]), float(j[i])))
+
+    if len(old_e_pid):
+        pr_key = np.empty(len(old_e_pid),
+                          dtype=np.dtype([("p", "i8"), ("r", "i8")]))
+        pr_key["p"], pr_key["r"] = old_e_pid, old_l_row
+        _, ui = np.unique(pr_key, return_index=True)
+        old_e_pid, old_l_row = old_e_pid[ui], old_l_row[ui]
+        # candidate old pages' shingles + ingestion metadata, partition-
+        # pruned by pid % _IDX_SP_PARTS across prior rounds only
+        cand_pids = np.unique(old_e_pid)
+        sps = np.unique(cand_pids % np.int64(_IDX_SP_PARTS))
+        sh_files: list[str] = []
+        map_files: list[str] = []
+        for rr in range(1, r):
+            sh_files += _hive_files(_round_ndx(ckpt, rr), "sh", "sp", sps)
+            map_files += _hive_files(_round_ndx(ckpt, rr), "map", "sp", sps)
+        osh = pads.dataset(sh_files).to_table(columns=["pid", "shingles"])
+        opid = osh["pid"].to_numpy()
+        keepm = np.isin(opid, cand_pids)
+        osh = osh.filter(pa.array(keepm))
+        opid = opid[keepm]
+        oflat, ooffs = _list_arrays(osh["shingles"])
+        oord = np.argsort(opid, kind="stable")
+        omap = pads.dataset(map_files).to_table(
+            columns=["pid", "node_id", "probe_round"])
+        mp = omap["pid"].to_numpy()
+        mord = np.argsort(mp, kind="stable")
+        m_ids = np.asarray(omap["node_id"].to_pylist(), dtype="U")[mord]
+        m_rounds = omap["probe_round"].to_numpy()[mord]
+        mp = mp[mord]
+
+        e_idx = oord[np.searchsorted(opid[oord], old_e_pid)]
+        va, offa = _gather_segments(oflat, ooffs, e_idx)
+        vb, offb = _gather_segments(new_flat, new_offs, old_l_row)
+        j = segmented_jaccard(va, offa, vb, offb)
+        mi = np.searchsorted(mp, old_e_pid)
+        for i in np.flatnonzero(j >= threshold):
+            matches.setdefault(int(old_l_row[i]), []).append(
+                (int(m_rounds[mi[i]]), str(m_ids[mi[i]]), float(j[i])))
+
+    # --- winner per later page: min (probe_round, node_id) ---
+    out_ids, out_of, out_j = [], [], []
+    for row in sorted(matches):
+        best = min(matches[row], key=lambda t: (t[0], t[1]))
+        out_ids.append(str(node_ids[row]))
+        out_of.append(best[1])
+        out_j.append(best[2])
+    assigned = pa.table(
+        {"node_id": pa.array(out_ids, pa.string()),
+         "near_dup_of": pa.array(out_of, pa.string()),
+         "jaccard": pa.array(out_j, pa.float64())})
+    pq.write_table(assigned, os.path.join(nd_dir, "part-0.parquet"))
+
+    # --- append this round to the index (inside the round dir) ---
+    _write_partitioned(
+        pa.table({"band_id": bands["band_id"], "band_hash": bands["band_hash"],
+                  "pid": bands["doc_id"]}),
+        os.path.join(ndx, "bands"), "bp",
+        bh.view(np.uint64) % np.uint64(_IDX_BP_PARTS))
+    sp = (pid % np.int64(_IDX_SP_PARTS)).astype(np.int64)
+    _write_partitioned(
+        pa.table({"pid": pa.array(pid, pa.int64()),
+                  "shingles": sh["shingles"]}),
+        os.path.join(ndx, "sh"), "sp", sp)
+    _write_partitioned(
+        pa.table({"pid": pa.array(pid, pa.int64()),
+                  "node_id": parents["node_id"],
+                  "probe_round": pa.array(np.full(n, r, np.int32))}),
+        os.path.join(ndx, "map"), "sp", sp)
+    return assigned
+
+
+def crawl_neardup(ckpt: str) -> pa.Table:
+    """All near-dup assignments of a (completed or cancelled) crawl run
+    with ``neardup_threshold`` set: (node_id, near_dup_of, jaccard),
+    sorted by node_id."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    files = sorted(glob.glob(os.path.join(ckpt, "round=*", "neardup",
+                                          "*.parquet")))
+    if not files:
+        return NEARDUP_SCHEMA.empty_table()
+    t = pads.dataset(files).to_table()
+    return t.take(pa.array(np.argsort(
+        np.asarray(t["node_id"].to_pylist(), dtype="U"), kind="stable")))
+
+
+def nodes_with_neardup(ckpt: str):
+    """Final nodes Dataset with ``near_dup_of``/``dup_jaccard`` columns
+    attached — the assignments are bounded by dup volume, so they ride a
+    ``ray.put`` broadcast into a zero-shuffle ``map_batches`` merge
+    (never a join shuffle of the full nodes table)."""
+    import ray
+
+    from raycrawl.crawl import read_nodes
+
+    nd = crawl_neardup(ckpt)
+    ids = np.asarray(nd["node_id"].to_pylist(), dtype="U")
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put((ids[order],
+                   np.asarray(nd["near_dup_of"].to_pylist(),
+                              dtype=object)[order],
+                   nd["jaccard"].to_numpy()[order]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids_s, of_s, j_s = ray.get(ref)
+        q = np.asarray(t["node_id"].to_pylist(), dtype="U")
+        if len(ids_s):
+            p = np.minimum(np.searchsorted(ids_s, q), len(ids_s) - 1)
+            hit = ids_s[p] == q
+        else:
+            p = np.zeros(len(q), np.int64)
+            hit = np.zeros(len(q), bool)
+        of = np.where(hit, of_s[p] if len(of_s) else None, None)
+        jj = np.where(hit, j_s[p] if len(j_s) else np.nan, np.nan)
+        return t.append_column(
+            "near_dup_of", pa.array(of.tolist(), pa.string())
+        ).append_column(
+            "dup_jaccard",
+            pa.array(np.where(hit, jj, np.nan), pa.float64()))
+
+    return read_nodes(ckpt).map_batches(attach, batch_format="pyarrow")
+
+
+def crawl_neardup_sql(nodes_glob: str, pages_parquet: str, crawl_id: str,
+                      threshold: float = 0.6, k: int = 3) -> str:
+    """DuckDB oracle for ``crawl_neardup``: recompute the exact 3-gram
+    Jaccard pair set over the crawl's fetched pages (COMPLETED non-leaf
+    URL nodes; probe round = discovery round + attempts) joined to the
+    corpus text, and pick each page's earliest qualifying match. Exact
+    where the engine is LSH-bounded — the same completeness envelope as
+    every green MinHash oracle row."""
+    return f"""
+    WITH nodes AS (SELECT * FROM read_parquet('{nodes_glob}')
+                   WHERE crawl_id = '{crawl_id}'),
+    fetched AS (
+      SELECT node_id, name, http_type,
+             CAST(round + attempts AS INTEGER) AS probe_round
+      FROM nodes
+      WHERE node_type = 'URL' AND status = 'COMPLETED'
+        AND depth < requested_depth
+    ),
+    pages AS (SELECT upper(split_part(url, '://', 2)) AS name,
+                     upper(split_part(url, '://', 1)) || '://' AS http_type,
+                     text
+              FROM read_parquet('{pages_parquet}')),
+    docs AS (SELECT f.node_id, f.probe_round, p.text
+             FROM fetched f
+             JOIN pages p ON f.name = p.name AND f.http_type = p.http_type),
+    toks AS (SELECT node_id, probe_round,
+                    -- regex trim BOTH ends (plain trim() strips only
+                    -- spaces; stripped HTML ends with a newline, and
+                    -- Python str.split() drops all edge whitespace)
+                    string_split_regex(
+                        regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                        '\\s+') AS t
+             FROM docs),
+    g0 AS (SELECT node_id,
+                  unnest(CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+                         ELSE list_transform(range(1, len(t) - {k} + 2),
+                                             i -> array_to_string(t[i:i+{k - 1}], ' '))
+                         END) AS gram
+           FROM toks),
+    g AS (SELECT DISTINCT node_id, gram FROM g0),
+    sz AS (SELECT node_id, count(*) AS n FROM g GROUP BY node_id),
+    pr AS (SELECT node_id, probe_round FROM toks),
+    inter AS (SELECT x.node_id AS e_id, px.probe_round AS e_r,
+                     y.node_id AS l_id, count(*) AS i
+              FROM g x JOIN g y ON x.gram = y.gram
+              JOIN pr px ON px.node_id = x.node_id
+              JOIN pr py ON py.node_id = y.node_id
+              WHERE px.probe_round < py.probe_round
+                 OR (px.probe_round = py.probe_round
+                     AND x.node_id < y.node_id)
+              GROUP BY 1, 2, 3),
+    pairs AS (SELECT e_id, e_r, l_id,
+                     CAST(i AS DOUBLE) / (se.n + sl.n - i) AS jaccard
+              FROM inter
+              JOIN sz se ON se.node_id = e_id
+              JOIN sz sl ON sl.node_id = l_id
+              WHERE CAST(i AS DOUBLE) / (se.n + sl.n - i) >= {threshold}),
+    ranked AS (SELECT l_id AS node_id, e_id AS near_dup_of, jaccard,
+                      row_number() OVER (PARTITION BY l_id
+                                         ORDER BY e_r, e_id) AS rn
+               FROM pairs)
+    SELECT node_id, near_dup_of, jaccard FROM ranked WHERE rn = 1
+    ORDER BY node_id
+    """
