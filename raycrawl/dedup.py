@@ -178,7 +178,7 @@ def _memo_put(cache: dict, key: tuple, value) -> None:
         cache.pop(next(iter(cache)))
 
 
-def shingle_list_batch(doc_id_col, texts: list, k: int = 3) -> pa.Table:
+def shingle_list_batch(doc_id_col, texts, k: int = 3) -> pa.Table:
     """(doc ids, texts) → (doc_id, shingles list<uint64>, n_shingles) —
     vectorized twin of the scalar ``shingle_set`` (pytest-pinned equal):
     one segmented gram gather + one DuckDB md5 call per batch, then
@@ -226,7 +226,9 @@ def shingles_dataset(sf_dir: str):
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def batch(t: pa.Table) -> pa.Table:
-        return shingle_list_batch(t["doc_id"], t["text"].to_pylist())
+        # Arrow column straight through: md5_gram_hashes' zero-boxing
+        # byte-gather path (same \s+ envelope as every gram-lane oracle)
+        return shingle_list_batch(t["doc_id"], t["text"])
 
     ds = docs.map_batches(batch, batch_format="pyarrow").materialize()
     _memo_put(_SHINGLES_CACHE, ck, ds)

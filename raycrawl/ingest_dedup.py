@@ -80,7 +80,7 @@ def _pids(node_ids) -> np.ndarray:
     return hi.view(np.int64)
 
 
-def _page_texts(parents: pa.Table, corpus_ref) -> list:
+def _page_texts(parents: pa.Table, corpus_ref) -> pa.Array:
     """Tag-stripped body text per COMPLETED parent, via the same corpus
     lookup layout the fetch stage uses (broadcast index or partitioned
     LRU) — vectorized hash lookup + Arrow take + one regex kernel."""
@@ -109,9 +109,8 @@ def _page_texts(parents: pa.Table, corpus_ref) -> list:
             pieces.append(
                 html_p.combine_chunks().take(pa.array(rows, pa.int64())))
         html = pa.concat_arrays(pieces).take(pa.array(inv))
-    text = pc.replace_substring_regex(
+    return pc.replace_substring_regex(
         pc.cast(html, pa.string()), pattern=_TAG_PAT, replacement="")
-    return text.to_pylist()
 
 
 def _gather_segments(flat: np.ndarray, offs: np.ndarray,

@@ -456,6 +456,10 @@ def md5_gram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     the resulting Arrow string array is hashed by ``md5_number_lower`` in
     one DuckDB scan. No per-gram Python anywhere.
     """
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        # zero-boxing fast path: byte-level tokenization over the flat
+        # Arrow buffer (see md5_gram_hashes_arrow's envelope note)
+        return md5_gram_hashes_arrow(texts, k)
     bufs: list[np.ndarray] = []
     g_starts: list[np.ndarray] = []
     g_ends: list[np.ndarray] = []
@@ -491,6 +495,97 @@ def md5_gram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     big = np.concatenate(bufs)
     gs = np.concatenate(g_starts)
     ge = np.concatenate(g_ends)
+    return _gram_md5_from_ranges(big, gs, ge), doc_offs
+
+
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[[0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20]] = True
+
+
+def md5_gram_hashes_arrow(col, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """``md5_gram_hashes`` over an Arrow string column with ZERO per-doc
+    Python: whitespace runs are found byte-level on the flat buffer (ASCII
+    whitespace bytes can't occur inside non-ASCII utf-8 sequences), tokens
+    are scattered into a normalized buffer (one 0x20 after each token),
+    and gram ranges index that buffer directly.
+
+    Envelope: whitespace = ASCII ``\\t\\n\\x0b\\x0c\\r `` only — the SAME
+    ``\\s+`` envelope as the polars/SQL twins (``frontier.enrich_pages``,
+    every gram-lane DuckDB oracle); identical to ``str.split()`` on any
+    corpus without unicode whitespace (pytest-pinned against the list
+    path on adversarial ASCII inputs)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    doc_offs = np.zeros(n + 1, np.int64)
+    if n == 0:
+        return np.empty(0, np.uint64), doc_offs
+    bufs = col.buffers()
+    so = np.frombuffer(bufs[1], np.int32)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    b = data[so[0]:so[-1]]
+    so = so - so[0]
+    if len(b) == 0:
+        return np.empty(0, np.uint64), doc_offs
+    ws = _WS_LUT[b]
+    nonws = ~ws
+    prev_ws = np.empty(len(b), bool)
+    prev_ws[0] = True
+    prev_ws[1:] = ws[:-1]
+    prev_ws[so[:-1][so[:-1] < len(b)]] = True     # doc starts break tokens
+    next_ws = np.empty(len(b), bool)
+    next_ws[-1] = True
+    next_ws[:-1] = ws[1:]
+    ends_at = so[1:] - 1
+    next_ws[ends_at[so[1:] > so[:-1]]] = True     # doc ends break tokens
+    tok_start = np.flatnonzero(nonws & prev_ws)
+    tok_end = np.flatnonzero(nonws & next_ws) + 1
+    ntok = len(tok_start)
+    if ntok == 0:
+        return np.empty(0, np.uint64), doc_offs
+    tdoc = np.searchsorted(so, tok_start, side="right") - 1
+    tl = tok_end - tok_start
+    # normalized buffer: each token's bytes followed by one 0x20 (grams
+    # never include their last token's trailing space, so over-allocating
+    # one space per token is exact)
+    cum = np.cumsum(tl + 1)
+    out_start = np.empty(ntok, np.int64)
+    out_start[0] = 0
+    out_start[1:] = cum[:-1]
+    out = np.full(int(cum[-1]), 0x20, np.uint8)
+    cum0 = np.empty(ntok, np.int64)
+    cum0[0] = 0
+    np.cumsum(tl[:-1], out=cum0[1:])
+    ramp = np.arange(int(tl.sum()), dtype=np.int64) - np.repeat(cum0, tl)
+    out[ramp + np.repeat(out_start, tl)] = b[ramp + np.repeat(tok_start, tl)]
+    tok_per_doc = np.bincount(tdoc, minlength=n).astype(np.int64)
+    first_tok = np.zeros(n + 1, np.int64)
+    np.cumsum(tok_per_doc, out=first_tok[1:])
+    g_counts = np.where(tok_per_doc == 0, 0,
+                        np.where(tok_per_doc >= k, tok_per_doc - k + 1, 1))
+    np.cumsum(g_counts, out=doc_offs[1:])
+    total_g = int(doc_offs[-1])
+    if total_g == 0:
+        return np.empty(0, np.uint64), doc_offs
+    gdoc = np.repeat(np.arange(n, dtype=np.int64), g_counts)
+    within = np.arange(total_g, dtype=np.int64) - np.repeat(doc_offs[:-1],
+                                                            g_counts)
+    gstart_tok = first_tok[:-1][gdoc] + within
+    gend_tok = np.where(tok_per_doc[gdoc] >= k, gstart_tok + (k - 1),
+                        first_tok[:-1][gdoc] + tok_per_doc[gdoc] - 1)
+    gs = out_start[gstart_tok]
+    ge = out_start[gend_tok] + tl[gend_tok]
+    return _gram_md5_from_ranges(out, gs, ge), doc_offs
+
+
+def _gram_md5_from_ranges(big: np.ndarray, gs: np.ndarray,
+                          ge: np.ndarray) -> np.ndarray:
+    """md5_u64 of the (possibly overlapping) byte ranges big[gs[i]:ge[i]]:
+    one segmented gather into a scratch values buffer (Arrow offsets must
+    be monotonic, so overlapping gram slices are copied out), one DuckDB
+    md5 scan."""
     lens = ge - gs
     offs = np.empty(len(gs) + 1, np.int64)
     offs[0] = 0
@@ -515,7 +610,7 @@ def md5_gram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
             len(gs), pa.py_buffer(offs), pa.py_buffer(values))
     # the Arrow array aliases the scratch buffers: consumed (and copied into
     # DuckDB's result) before this function returns, never escapes
-    return md5_u64_arrow(arr), doc_offs
+    return md5_u64_arrow(arr)
 
 
 def list_matrix(col) -> np.ndarray:

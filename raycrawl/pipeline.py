@@ -130,7 +130,8 @@ def _clean_keyed_dataset(sf_dir: str, threshold: float, df_cap: int,
             from raycrawl.textops import lm_known_counts
 
             mh, mc = ray.get(lm_ref)
-            nb, known, _mass = lm_known_counts(t["text"].to_pylist(), mh, mc)
+            # Arrow column straight through (zero-boxing gram fast path)
+            nb, known, _mass = lm_known_counts(t["text"], mh, mc)
             # integer-exact ratio test: known/nb >= ppm/1e6
             t = t.filter(pa.array(known * 1_000_000 >= lm_min_known_ppm * nb))
         q = quality_score_batch(t)["quality"].to_numpy()

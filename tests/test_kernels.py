@@ -432,3 +432,41 @@ def test_knuth_key32_matches_inline_formula():
         want = (((ids % mod32) ^ salt) * np.uint64(2654435761)) % mod32
         assert (knuth_key32(ids, seed) == want).all()
         assert (knuth_key32(ids.astype(np.int64), seed) == want).all()
+
+
+def test_md5_gram_hashes_arrow_fast_path_bit_identical():
+    """The zero-boxing Arrow path of md5_gram_hashes (byte-level tokenizer
+    over the flat buffer) must be bit-identical to the per-doc list path
+    on adversarial ASCII-whitespace inputs — empty docs, whitespace-only
+    docs, every ASCII whitespace byte, multi-byte utf-8 letters, short
+    docs (< k tokens), and non-zero Arrow slice offsets."""
+    import random
+    import string
+
+    import numpy as np
+    import pyarrow as pa
+
+    from raycrawl.kernels import md5_gram_hashes, md5_gram_hashes_arrow
+
+    random.seed(3)
+    texts = ["", "   ", "one", "one two", "a  b\tc\nd",
+             "\n lead and trail \t ", "x" * 5,
+             "héllo wörld déjà vu encore", "a b c d e f g"]
+    for _ in range(50):
+        nw = random.randint(0, 12)
+        toks = ["".join(random.choices(string.ascii_letters + "éü№",
+                                       k=random.randint(1, 6)))
+                for _ in range(nw)]
+        seps = ["".join(random.choices(" \t\n\x0b\x0c\r",
+                                       k=random.randint(1, 3)))
+                for _ in range(nw + 1)]
+        texts.append(seps[0] + "".join(t + s for t, s in zip(toks, seps[1:])))
+    for k in (1, 2, 3, 5):
+        h1, o1 = md5_gram_hashes(texts, k)
+        h2, o2 = md5_gram_hashes_arrow(pa.array(texts, pa.string()), k)
+        assert np.array_equal(o1, o2)
+        assert np.array_equal(h1, h2)
+        h3, o3 = md5_gram_hashes_arrow(
+            pa.array(texts, pa.string()).slice(3, 20), k)
+        h1s, o1s = md5_gram_hashes(texts[3:23], k)
+        assert np.array_equal(h3, h1s) and np.array_equal(o3, o1s)
