@@ -4,19 +4,70 @@ baseline, plus how much of the corpus each probe actually read, at bench
 scale. Prints one JSON line; the result is recorded in BASELINE.md.
 
     python tools/ann_recall.py [sf_dir] [n_queries] [k]
+    python tools/ann_recall.py --planted [n_queries] [k]
+
+``--planted`` swaps the near-isotropic sf embeddings for a deterministic
+PLANTED-CLUSTER fixture (the regime ANN is actually used for: true
+neighbors share a cluster) — 2,000 vectors, 64 dims, 20 Gaussian
+clusters, unit-normalized — written once under /tmp and fed through the
+IDENTICAL sweep, so the two BASELINE.md tables differ only in data
+structure (VERDICT r4 §Next 6).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 
+def _ensure_planted(out_dir: str = "/tmp/raycrawl_planted_emb",
+                    n: int = 2000, dim: int = 64,
+                    n_clusters: int = 20, sigma: float = 0.35) -> str:
+    """Deterministic planted-cluster embeddings table (same schema as the
+    sf tables: vec_id int64, embedding list<float>, label int32 = the
+    planted cluster id). sigma=0.35 around unit-norm centers keeps ~all
+    true top-10 neighbors inside the query's own cluster without making
+    buckets trivially pure."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(20260820)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    label = rng.integers(0, n_clusters, size=n).astype(np.int32)
+    x = centers[label] + sigma * rng.standard_normal((n, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    flat = x.astype(np.float32).reshape(-1)
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+        pa.array(flat, pa.float32()))
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": emb,
+        "label": pa.array(label, pa.int32())}), tmp)
+    os.replace(tmp, path)
+    return out_dir
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if a != "--planted"]
+    planted = "--planted" in sys.argv[1:]
+    if planted:
+        sf_dir = _ensure_planted()
+        n_queries = int(args[0]) if args else 16
+        k = int(args[1]) if len(args) > 1 else 10
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.1"
+        n_queries = int(args[1]) if len(args) > 1 else 16
+        k = int(args[2]) if len(args) > 2 else 10
 
     import ray
 
