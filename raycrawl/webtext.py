@@ -38,9 +38,38 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-# one pattern, shared verbatim by the Ray extraction and the SQL oracle —
-# group 1 = href, group 2 = anchor text (corpus pages render anchors
-# single-line; [^<]* keeps the match inside one element)
+# One pattern, shared verbatim by the Ray extraction and the SQL oracle —
+# group 1 = href, group 2 = anchor text.
+#
+# HTML envelope (tests/test_webtext_envelope.py pins every row of this
+# table against BOTH engines — polars extract_all and DuckDB
+# regexp_extract_all behave identically because both are RE2):
+#
+#   PARSED:
+#   - `<a href="URL">text</a>` — lowercase tag, href as FIRST attribute,
+#     double-quoted value;
+#   - extra attributes AFTER href (`<a href="u" class="x" id=y>`);
+#   - multi-line PLAIN anchor text (a negated class matches newlines in
+#     RE2, unlike `.`);
+#   - several anchors on one line (each match is quote-bounded);
+#   - empty href and/or empty anchor text;
+#   - HTML entities in href/text (kept verbatim, NOT decoded).
+#
+#   NOT PARSED (silently skipped — acceptable for the synthetic corpus,
+#   whose renderer emits only the parsed forms; a real-corpus user needs
+#   a tolerant parser stage here):
+#   - single-quoted or unquoted href (`href='u'`, `href=u`);
+#   - uppercase/mixed-case tag or attribute (`<A HREF=`, `<a HREF=`);
+#   - attributes BEFORE href (`<a class="x" href="u">`);
+#   - extra/ newline whitespace between `<a` and `href` (pattern requires
+#     exactly one space);
+#   - anchor text containing nested markup (`<a href="u"><b>t</b></a>` —
+#     `[^<]*` cannot cross a tag, so the whole anchor is missed, not
+#     truncated);
+#   - unclosed anchors and `</a >` variants;
+#   - attribute values containing a literal `>` after href (the `[^>]*`
+#     attribute tail stops at the first `>`, truncating the element — the
+#     href itself is still correct but the anchor text may be wrong).
 ANCHOR_PAT = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
 
 # a line is "content" iff it carries at least this many whitespace tokens
