@@ -96,7 +96,7 @@ def _page_texts(parents: pa.Table, corpus_ref) -> pa.Array:
     if parts is None:
         index, html_col = fetcher.slot(0)
         rows = index.lookup(qhi, qlo)
-        html = html_col.combine_chunks().take(pa.array(rows, pa.int64()))
+        html = _take_large(html_col, rows)
     else:
         order = np.argsort(parts, kind="stable")
         inv = np.empty(n, np.int64)
@@ -106,11 +106,37 @@ def _page_texts(parents: pa.Table, corpus_ref) -> pa.Array:
             m = np.flatnonzero(parts == p)
             index, html_p = fetcher.slot(int(p))
             rows = index.lookup(qhi[m], qlo[m])
-            pieces.append(
-                html_p.combine_chunks().take(pa.array(rows, pa.int64())))
-        html = pa.concat_arrays(pieces).take(pa.array(inv))
+            taken = _take_large(html_p, rows)
+            pieces.extend(taken.chunks if isinstance(taken, pa.ChunkedArray)
+                          else [taken])
+        html = pa.chunked_array(pieces).take(pa.array(inv))
     return pc.replace_substring_regex(
-        pc.cast(html, pa.string()), pattern=_TAG_PAT, replacement="")
+        pc.cast(html, pa.large_string()), pattern=_TAG_PAT, replacement="")
+
+
+def _take_large(col, rows: np.ndarray):
+    """``col.take(rows)`` that is O(result), not O(source): Arrow's
+    ChunkedArray.take CONCATENATES the source chunks first — both an
+    int32-offset overflow on a >2 GiB corpus column and a whole-corpus
+    memcpy per batch. Instead, map each global index to (chunk, local),
+    take per chunk (Array.take is a straight gather), and reorder the
+    small result."""
+    idx = np.asarray(rows, np.int64)
+    if isinstance(col, pa.Array):
+        return pc.cast(col.take(pa.array(idx)), pa.large_binary())
+    if col.num_chunks == 1:
+        return pc.cast(col.chunk(0).take(pa.array(idx)), pa.large_binary())
+    bounds = np.cumsum([0] + [len(ch) for ch in col.chunks])
+    cid = np.searchsorted(bounds, idx, side="right") - 1
+    order = np.argsort(cid, kind="stable")
+    inv = np.empty(len(idx), np.int64)
+    inv[order] = np.arange(len(idx))
+    pieces = []
+    for ci in np.unique(cid):
+        local = idx[cid == ci] - bounds[ci]
+        pieces.append(pc.cast(col.chunk(int(ci)).take(pa.array(local)),
+                              pa.large_binary()))
+    return pa.chunked_array(pieces).take(pa.array(inv))
 
 
 def _gather_segments(flat: np.ndarray, offs: np.ndarray,
@@ -145,6 +171,82 @@ def _write_partitioned(table: pa.Table, root: str, key: str,
                        os.path.join(d, "part-0.parquet"))
 
 
+# above this many pages the round's shingle/band computation fans out as
+# a Ray map_batches stage (text lookup + gram hashing are embarrassingly
+# parallel); below it the driver does the same per-slice kernels inline
+# (tiny rounds cost more in executor startup than in work — the same
+# posture as crawl.small_round_threshold). Tests force 0 to pin path
+# equality.
+SHINGLE_RAY_GATE = 50_000
+
+
+def _shingle_band_batch(t: pa.Table, corpus_ref, k: int) -> pa.Table:
+    """One parents batch → its shingle rows with the band columns packed
+    alongside (band_hash list per doc), so ONE parallel pass computes
+    both; the driver splits them back apart."""
+    from raycrawl.dedup import N_BANDS
+
+    pid = _pids(t["node_id"].combine_chunks())
+    texts = _page_texts(t, corpus_ref)
+    sh = shingle_list_batch(pa.array(pid, pa.int64()), texts, k=k)
+    if len(sh) == 0:
+        return sh.append_column(
+            "band_hashes", pa.array([], pa.list_(pa.int64(), N_BANDS)))
+    b = minhash_bands_batch(sh)
+    return sh.append_column(
+        "band_hashes",
+        pa.FixedSizeListArray.from_arrays(b["band_hash"].combine_chunks(),
+                                          N_BANDS))
+
+
+def _shingles_and_bands(parents: pa.Table, pid: np.ndarray, corpus_ref,
+                        k: int) -> tuple[pa.Table, pa.Table]:
+    """(shingle table, band table) for the round's parents — Ray-parallel
+    above SHINGLE_RAY_GATE, inline per-slice below. Row order follows
+    ``parents`` in both paths (map_batches without a shuffle preserves
+    block order)."""
+    n = parents.num_rows
+    chunk = 1 << 16
+    if n > SHINGLE_RAY_GATE:
+        import functools
+
+        import ray
+        import ray.data as rd
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        per = max(2048, (n + 2 * ncpu - 1) // (2 * ncpu))
+        ds = rd.from_arrow([parents.slice(off, per)
+                            for off in range(0, n, per)])
+        # batch_size=None = one batch per input block: a larger batch_size
+        # makes Ray COALESCE blocks into few giant tasks, serializing the
+        # stage (measured 3 tasks for 64 blocks at batch_size=65536)
+        out = ds.map_batches(
+            functools.partial(_shingle_band_batch, corpus_ref=corpus_ref,
+                              k=k),
+            batch_format="pyarrow", batch_size=None).materialize()
+        merged = pa.concat_tables(ray.get(out.to_arrow_refs()))
+        bh_col = merged["band_hashes"].combine_chunks()
+        nb = int(bh_col.type.list_size)
+        m = len(merged)
+        bands = pa.table({
+            "band_id": pa.array(np.tile(np.arange(nb, dtype=np.int32), m)),
+            "band_hash": pa.array(
+                bh_col.values.to_numpy(zero_copy_only=False), pa.int64()),
+            "doc_id": pa.array(np.repeat(merged["doc_id"].to_numpy(), nb),
+                               pa.int64()),
+        })
+        return merged.drop_columns(["band_hashes"]), bands
+    texts = _page_texts(parents, corpus_ref)
+    sh_parts, band_parts = [], []
+    for off in range(0, n, chunk):
+        shp = shingle_list_batch(
+            pa.array(pid[off:off + chunk], pa.int64()),
+            texts.slice(off, chunk), k=k)
+        sh_parts.append(shp)
+        band_parts.append(minhash_bands_batch(shp))
+    return pa.concat_tables(sh_parts), pa.concat_tables(band_parts)
+
+
 def probe_and_index_round(ckpt: str, r: int, parents: pa.Table, corpus_ref,
                           threshold: float, k: int = 3) -> pa.Table:
     """Probe round r's COMPLETED parents against the prior rounds' band
@@ -167,10 +269,8 @@ def probe_and_index_round(ckpt: str, r: int, parents: pa.Table, corpus_ref,
 
     node_ids = np.asarray(parents["node_id"].to_pylist(), dtype="U")
     pid = _pids(parents["node_id"].combine_chunks())
-    texts = _page_texts(parents, corpus_ref)
-    sh = shingle_list_batch(pa.array(pid, pa.int64()), texts, k=k)
+    sh, bands = _shingles_and_bands(parents, pid, corpus_ref, k)
     new_flat, new_offs = _list_arrays(sh["shingles"])
-    bands = minhash_bands_batch(sh)
     bid = bands["band_id"].to_numpy()
     bh = bands["band_hash"].to_numpy()
     bpid = bands["doc_id"].to_numpy()
@@ -181,21 +281,30 @@ def probe_and_index_round(ckpt: str, r: int, parents: pa.Table, corpus_ref,
         return _porder[np.searchsorted(_psorted, pids)]
 
     # --- intra-round candidates: equal (band_id, band_hash) buckets ---
+    # vectorized per distinct bucket SIZE (never per bucket): a bucket
+    # fixes band_id, so each page appears at most once per bucket, and
+    # all same-size buckets sort + pair in one 2-D numpy pass. Pair
+    # volume is bounded by dup volume (same posture as the documents
+    # lane's LSH buckets).
     cand_e: list[np.ndarray] = []   # row index (this round) of the pair's
     cand_l: list[np.ndarray] = []   # earlier / later side
     okey = np.lexsort((bh, bid))
     sb, sh_ = bid[okey], bh[okey]
     runs = np.flatnonzero(np.concatenate(
         [[True], (sb[1:] != sb[:-1]) | (sh_[1:] != sh_[:-1]), [True]]))
-    for s, e in zip(runs[:-1], runs[1:]):
-        if e - s > 1:
-            rows = np.unique(rows_of(bpid[okey[s:e]]))
-            if len(rows) > 1:
-                # ingestion order within a round = node_id
-                rows = rows[np.argsort(node_ids[rows], kind="stable")]
-                a, b = np.triu_indices(len(rows), 1)
-                cand_e.append(rows[a])
-                cand_l.append(rows[b])
+    rows_flat = rows_of(bpid[okey])
+    run_starts, run_lens = runs[:-1], np.diff(runs)
+    big_mask = run_lens > 1
+    bstarts, blens = run_starts[big_mask], run_lens[big_mask]
+    for g in np.unique(blens):
+        sel = bstarts[blens == g]
+        mem = rows_flat[sel[:, None] + np.arange(g)]        # (m, g)
+        # ingestion order within a round = node_id
+        order = np.argsort(node_ids[mem], axis=1, kind="stable")
+        mem = np.take_along_axis(mem, order, axis=1)
+        a, b = np.triu_indices(int(g), 1)
+        cand_e.append(mem[:, a].ravel())
+        cand_l.append(mem[:, b].ravel())
 
     # --- inter-round candidates: pruned read of prior rounds' bands ---
     bps = np.unique(bh.view(np.uint64) % np.uint64(_IDX_BP_PARTS))

@@ -521,7 +521,10 @@ def md5_gram_hashes_arrow(col, k: int) -> tuple[np.ndarray, np.ndarray]:
     if n == 0:
         return np.empty(0, np.uint64), doc_offs
     bufs = col.buffers()
-    so = np.frombuffer(bufs[1], np.int32)[
+    off_dt = (np.int64 if (pa.types.is_large_string(col.type)
+                           or pa.types.is_large_binary(col.type))
+              else np.int32)
+    so = np.frombuffer(bufs[1], off_dt)[
         col.offset:col.offset + n + 1].astype(np.int64)
     data = (np.frombuffer(bufs[2], np.uint8)
             if bufs[2] is not None else np.empty(0, np.uint8))
