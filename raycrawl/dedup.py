@@ -235,7 +235,7 @@ def shingles_dataset(sf_dir: str):
     return ds
 
 
-def minhash_bands_batch(t: pa.Table) -> pa.Table:
+def minhash_bands_batch(t: pa.Table, return_sig: bool = False):
     """(doc_id, shingles) rows → exploded (band_id, band_hash, doc_id) rows
     for the LSH bucket self-join. Vectorized: per-perm segmented minima
     over the batch's flat shingle buffer compute every doc's signature at
@@ -244,7 +244,14 @@ def minhash_bands_batch(t: pa.Table) -> pa.Table:
     The band hash is an INTERNAL bucket key only — equal chunks hash
     equal under any deterministic function and every candidate is
     exact-jaccard-verified downstream — so the fold replaces the old
-    per-band blake2b-over-hex Python call without changing results."""
+    per-band blake2b-over-hex Python call without changing results.
+
+    ``return_sig=True`` returns ``(bands_table, sig8)`` where ``sig8`` is
+    the per-doc signature folded to one byte per permutation
+    (``sig & 0xFF``, shape ``(n, N_PERM)`` uint8) — the ingestion-dedup
+    prefilter's agreement estimator: byte equality inflates the match
+    estimate by ≤ 1/256 per perm (keep-side only, so it can never cause
+    a miss beyond the full-signature estimator)."""
     ids = t["doc_id"].to_numpy()
     col = t["shingles"]
     if isinstance(col, pa.ChunkedArray):
@@ -274,7 +281,7 @@ def minhash_bands_batch(t: pa.Table) -> pa.Table:
         bh ^= bh >> np.uint64(33)
         bh = bh * np.uint64(0xFF51AFD7ED558CCD)
         bh ^= bh >> np.uint64(33)
-    return pa.table(
+    out = pa.table(
         {
             "band_id": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
             # int64 view — join-key dtype must stay shuffle-safe (see the
@@ -283,6 +290,9 @@ def minhash_bands_batch(t: pa.Table) -> pa.Table:
             "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
         }
     )
+    if return_sig:
+        return out, (sig & np.uint64(0xFF)).astype(np.uint8)
+    return out
 
 
 def jaccard(s1: np.ndarray, s2: np.ndarray) -> float:
