@@ -201,6 +201,46 @@ PREFILTER_MARGIN = 0.2
 # shingle-gather scratch regardless of candidate volume
 _PAIR_CHUNK = 4_000_000
 
+# above this many candidate pairs the prefilter+verify slices fan out as
+# Ray tasks over plasma-shared (zero-copy, read-only) signature/shingle
+# arrays — a bench round carries 10^8 candidates and the slices are
+# embarrassingly parallel. Below it the same slices run inline.
+_VERIFY_RAY_GATE = 8_000_000
+
+
+def _intra_verify_chunk(sig8, flat, offs, se, sl, est_cut, threshold):
+    """One candidate slice: signature prefilter → shingle gather → exact
+    segmented jaccard. Pure function over read-only arrays (ships as a
+    Ray task with the big arrays as shared plasma objects)."""
+    est = (sig8[se] == sig8[sl]).mean(axis=1)
+    k = est >= est_cut
+    se, sl = se[k], sl[k]
+    if not len(se):
+        return se, sl, np.empty(0, np.float64)
+    va, offa = _gather_segments(flat, offs, se)
+    vb, offb = _gather_segments(flat, offs, sl)
+    j = segmented_jaccard(va, offa, vb, offb)
+    kk = j >= threshold
+    return se[kk], sl[kk], j[kk]
+
+
+def _est_chunk(sig_a, sig_b, ia, ib, est_cut):
+    return (sig_a[ia] == sig_b[ib]).mean(axis=1) >= est_cut
+
+
+def _run_chunked(fn, n_items: int, make_args, refs: tuple) -> list:
+    """Run ``fn(*refs, *make_args(off))`` over _PAIR_CHUNK slices —
+    as parallel Ray tasks above _VERIFY_RAY_GATE items, inline below.
+    Returns the per-slice results in slice order."""
+    offs = list(range(0, n_items, _PAIR_CHUNK))
+    if n_items > _VERIFY_RAY_GATE:
+        import ray
+
+        refs_p = tuple(ray.put(x) for x in refs)
+        rfn = ray.remote(fn)
+        return ray.get([rfn.remote(*refs_p, *make_args(o)) for o in offs])
+    return [fn(*refs, *make_args(o)) for o in offs]
+
 
 def _shingle_band_batch(t: pa.Table, corpus_ref, k: int) -> pa.Table:
     """One parents batch → its shingle rows with the band columns packed
@@ -390,27 +430,25 @@ def probe_and_index_round(ckpt: str, r: int, parents: pa.Table, corpus_ref,
         cl = np.concatenate(cand_l)
         u = np.unique(ce.astype(np.int64) * np.int64(n) + cl)
         ce, cl = (u // n).astype(np.int64), (u % n).astype(np.int64)
-        for off in range(0, len(ce), _PAIR_CHUNK):
-            se = ce[off:off + _PAIR_CHUNK]
-            sl = cl[off:off + _PAIR_CHUNK]
-            est = (sig8[se] == sig8[sl]).mean(axis=1)
-            keep = est >= est_cut
-            se, sl = se[keep], sl[keep]
-            if not len(se):
-                continue
-            va, offa = _gather_segments(new_flat, new_offs, se)
-            vb, offb = _gather_segments(new_flat, new_offs, sl)
-            j = segmented_jaccard(va, offa, vb, offb)
-            for i in np.flatnonzero(j >= threshold):
+        results = _run_chunked(
+            _intra_verify_chunk, len(ce),
+            lambda off: (ce[off:off + _PAIR_CHUNK],
+                         cl[off:off + _PAIR_CHUNK], est_cut, threshold),
+            (sig8, new_flat, new_offs))
+        for se, sl, j in results:
+            for i in range(len(se)):
                 matches.setdefault(int(sl[i]), []).append(
                     (r, str(node_ids[se[i]]), float(j[i])))
 
     if len(old_e_pid):
-        pr_key = np.empty(len(old_e_pid),
-                          dtype=np.dtype([("p", "i8"), ("r", "i8")]))
-        pr_key["p"], pr_key["r"] = old_e_pid, old_l_row
-        _, ui = np.unique(pr_key, return_index=True)
-        old_e_pid, old_l_row = old_e_pid[ui], old_l_row[ui]
+        # pair dedup via lexsort + adjacency (structured-dtype np.unique
+        # is the slow generic sort path at 10^8 pairs)
+        porder = np.lexsort((old_l_row, old_e_pid))
+        pe, pl = old_e_pid[porder], old_l_row[porder]
+        keep = np.empty(len(pe), bool)
+        keep[0] = True
+        keep[1:] = (pe[1:] != pe[:-1]) | (pl[1:] != pl[:-1])
+        old_e_pid, old_l_row = pe[keep], pl[keep]
         # ingestion metadata (incl. stored sig8) first, partition-pruned
         # by pid % _IDX_SP_PARTS: the prefilter runs on the stored
         # signatures so only SURVIVING candidates trigger shingle reads
@@ -432,12 +470,11 @@ def probe_and_index_round(ckpt: str, r: int, parents: pa.Table, corpus_ref,
                  .reshape(len(omap), _NP))[mord]
         mp = mp[mord]
         mi = np.searchsorted(mp, old_e_pid)
-        keep_chunks = []
-        for off in range(0, len(old_e_pid), _PAIR_CHUNK):
-            est = (m_sig[mi[off:off + _PAIR_CHUNK]]
-                   == sig8[old_l_row[off:off + _PAIR_CHUNK]]).mean(axis=1)
-            keep_chunks.append(est >= est_cut)
-        keep = np.concatenate(keep_chunks)
+        keep = np.concatenate(_run_chunked(
+            _est_chunk, len(old_e_pid),
+            lambda off: (mi[off:off + _PAIR_CHUNK],
+                         old_l_row[off:off + _PAIR_CHUNK], est_cut),
+            (m_sig, sig8)))
         old_e_pid, old_l_row, mi = old_e_pid[keep], old_l_row[keep], mi[keep]
         if len(old_e_pid):
             # shingles of the SURVIVING old candidates only

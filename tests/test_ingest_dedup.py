@@ -103,6 +103,20 @@ def test_forced_ray_shingle_path_matches(nd_crawl, tmp_path, monkeypatch):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
 
 
+def test_forced_parallel_verify_path_matches(nd_crawl, tmp_path, monkeypatch):
+    """_VERIFY_RAY_GATE=0 forces every prefilter/verify slice through the
+    Ray-task path (plasma-shared arrays) — identical assignments."""
+    from raycrawl import ingest_dedup
+    from raycrawl.ingest_dedup import crawl_neardup
+
+    monkeypatch.setattr(ingest_dedup, "_VERIFY_RAY_GATE", 0)
+    ck2 = str(tmp_path / "nd_ray_vf")
+    _run(ck2)
+    a = crawl_neardup(nd_crawl).to_pandas()
+    b = crawl_neardup(ck2).to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
 def test_forced_dataset_round_path_matches(nd_crawl, tmp_path):
     """small_round_threshold=0 forces every round through the _run_round
     Dataset path — its neardup hook must produce identical assignments."""
