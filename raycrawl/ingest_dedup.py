@@ -198,8 +198,9 @@ SHINGLE_RAY_GATE = 50_000
 PREFILTER_MARGIN = 0.2
 
 # pairs per prefilter/verify slice — bounds the signature-compare and
-# shingle-gather scratch regardless of candidate volume
-_PAIR_CHUNK = 4_000_000
+# shingle-gather scratch regardless of candidate volume (a slice's
+# sig-compare scratch is ~3 × chunk × N_PERM bytes ≈ 400 MB at 2M)
+_PAIR_CHUNK = 2_000_000
 
 # above this many candidate pairs the prefilter+verify slices fan out as
 # Ray tasks over plasma-shared (zero-copy, read-only) signature/shingle
@@ -238,7 +239,22 @@ def _run_chunked(fn, n_items: int, make_args, refs: tuple) -> list:
 
         refs_p = tuple(ray.put(x) for x in refs)
         rfn = ray.remote(fn)
-        return ray.get([rfn.remote(*refs_p, *make_args(o)) for o in offs])
+        # wave-limited submission: each in-flight task holds ~400 MB of
+        # sig-compare scratch, so unbounded fan-out OOMs the box — cap
+        # in-flight at a fraction of the CPU count and drain as they
+        # finish (order restored afterwards)
+        max_inflight = max(4, int(ray.cluster_resources().get("CPU", 8))
+                           // 3)
+        pending: dict = {}
+        out: dict[int, object] = {}
+        for i, o in enumerate(offs):
+            if len(pending) >= max_inflight:
+                done, _ = ray.wait(list(pending), num_returns=1)
+                out[pending.pop(done[0])] = ray.get(done[0])
+            pending[rfn.remote(*refs_p, *make_args(o))] = i
+        for ref_, i in pending.items():
+            out[i] = ray.get(ref_)
+        return [out[i] for i in range(len(offs))]
     return [fn(*refs, *make_args(o)) for o in offs]
 
 
