@@ -137,6 +137,12 @@ def _run_headline(num_cpus: int, tag: str) -> dict:
     # runs the same crawl with the per-host delay budget + host-partitioned
     # frontier; BASELINE.md records the measured cost vs the default run
     politeness_ms = float(os.environ.get("RAYCRAWL_BENCH_POLITENESS_MS", "0"))
+    # ingestion-dedup datapoint: RAYCRAWL_BENCH_NEARDUP=<jaccard threshold>
+    # runs the same crawl with the per-round MinHash probe+index stage on;
+    # counters.json then carries t_neardup_s per round (BASELINE.md records
+    # the A/B cost vs the default run)
+    nd_env = os.environ.get("RAYCRAWL_BENCH_NEARDUP")
+    neardup = float(nd_env) if nd_env else None
     cfg = CrawlConfig(
         enrich=True,
         # shards scale with cluster size, as a real N-node deployment would
@@ -148,6 +154,7 @@ def _run_headline(num_cpus: int, tag: str) -> dict:
         corpus_partitions=64,
         corpus_cache_parts=16,
         politeness_delay_ms=politeness_ms,
+        neardup_threshold=neardup,
     )
     ck = f"/tmp/raycrawl_bench/ck_{tag}_{num_cpus}"
     shutil.rmtree(ck, ignore_errors=True)
@@ -168,8 +175,8 @@ def _run_headline(num_cpus: int, tag: str) -> dict:
     wall = time.perf_counter() - t0
 
     urls = 1  # root fetch
-    phases = {"t_setup_s": 0.0, "t_fetch_s": 0.0, "t_barrier_s": 0.0,
-              "t_frontier_s": 0.0}
+    phases = {"t_setup_s": 0.0, "t_fetch_s": 0.0, "t_neardup_s": 0.0,
+              "t_barrier_s": 0.0, "t_frontier_s": 0.0}
     for r in range(1, res.rounds_run + 1):
         with open(os.path.join(ck, f"round={r:04d}", "counters.json")) as f:
             c = json.load(f)
@@ -187,6 +194,7 @@ def _run_headline(num_cpus: int, tag: str) -> dict:
         urls_per_sec=round(urls / wall, 1),
         rounds=res.rounds_run,
         politeness_delay_ms=politeness_ms,
+        neardup_threshold=neardup,
         # per-phase accounting summed over rounds: round setup (frontier
         # prep + begin_round RPCs), fetch+enrich tasks, round barrier
         # (shard commit), frontier assembly — lets a reader see WHERE the

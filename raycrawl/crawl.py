@@ -379,19 +379,22 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
     )
     ro_path = os.path.join(rdir, "round_out")
     _write_table(ro, ro_path)
+    t_neardup = 0.0
     if cfg.neardup_threshold is not None:
         from raycrawl.ingest_dedup import probe_and_index_round
 
+        t_nd0 = _time.perf_counter()
         pm = pa.compute.and_(
             pa.compute.equal(ro["row_type"], "parent"),
             pa.compute.equal(ro["status"], "COMPLETED"))
         probe_and_index_round(
             ckpt, r, ro.filter(pm).select(["node_id", "name", "http_type"]),
             corpus_ref, cfg.neardup_threshold)
-    t_fetch = _time.perf_counter() - t0
+        t_neardup = _time.perf_counter() - t_nd0
+    t_fetch = _time.perf_counter() - t0 - t_neardup
 
     stats = _finish_barrier(rdir, seen_handles, nodes_path, edges_path)
-    t_barrier = _time.perf_counter() - t0 - t_fetch
+    t_barrier = _time.perf_counter() - t0 - t_fetch - t_neardup
 
     nodes = pads.dataset(_parquet_files([nodes_path])).to_table(
         columns=FRONTIER_SCHEMA.names + ["status"]
@@ -426,8 +429,10 @@ def _run_round_driver_side(ckpt, r, crawl_id, cfg, corpus_ref, seen_handles,
         seen_size=int(sum(s["seen_size"] for s in stats)),
         t_setup_s=round(t0 - t_enter, 3),
         t_fetch_s=round(t_fetch, 3),
+        t_neardup_s=round(t_neardup, 3),
         t_barrier_s=round(t_barrier, 3),
-        t_frontier_s=round(_time.perf_counter() - t0 - t_fetch - t_barrier, 3),
+        t_frontier_s=round(_time.perf_counter() - t0 - t_fetch - t_neardup
+                           - t_barrier, 3),
     )
     with open(os.path.join(rdir, "counters.json"), "w") as f:
         json.dump(counters, f)
@@ -573,11 +578,13 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
         shutil.rmtree(ro_path, ignore_errors=True)
         _begin_round(rdir, r, seen_handles, seed_id)  # reset shard round state
         _execute_fetch_stage()
+    t_neardup = 0.0
     if cfg.neardup_threshold is not None:
         from raycrawl.ingest_dedup import probe_and_index_round
 
         import pyarrow.dataset as _pads
 
+        t_nd0 = _time.perf_counter()
         ro_nd = _pads.dataset(_parquet_files([ro_path])).to_table(
             columns=["row_type", "status", "node_id", "name", "http_type"])
         pm = pa.compute.and_(
@@ -587,7 +594,8 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
             ckpt, r,
             ro_nd.filter(pm).select(["node_id", "name", "http_type"]),
             corpus_ref, cfg.neardup_threshold)
-    t_fetch = _time.perf_counter() - t0
+        t_neardup = _time.perf_counter() - t_nd0
+    t_fetch = _time.perf_counter() - t0 - t_neardup
 
     # barrier (async): shards close edge partitions + resolve winners while
     # the driver computes the retry set from the parents just written
@@ -609,7 +617,7 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
     )
 
     stats = ray.get(commit_refs)
-    t_barrier = _time.perf_counter() - t0 - t_fetch
+    t_barrier = _time.perf_counter() - t0 - t_fetch - t_neardup
     for path, schema in ((nodes_path, NODES_SCHEMA), (edges_path, EDGES_SCHEMA)):
         if not any(f.endswith(".parquet") for f in os.listdir(path)):
             pq.write_table(schema.empty_table(),
@@ -673,8 +681,10 @@ def _run_round(ckpt: str, r: int, crawl_id: str, cfg: CrawlConfig,
         seen_size=int(sum(s["seen_size"] for s in stats)),
         t_setup_s=round(t_setup, 3),
         t_fetch_s=round(t_fetch, 3),
+        t_neardup_s=round(t_neardup, 3),
         t_barrier_s=round(t_barrier, 3),
-        t_frontier_s=round(_time.perf_counter() - t0 - t_fetch - t_barrier, 3),
+        t_frontier_s=round(_time.perf_counter() - t0 - t_fetch - t_neardup
+                           - t_barrier, 3),
     )
     with open(os.path.join(rdir, "counters.json"), "w") as f:
         json.dump(counters, f)
