@@ -5,7 +5,8 @@ On a real cluster both halves of the engine ship as Ray jobs:
     ray job submit --working-dir . -- \\
         python -m raycrawl crawl --corpus s3://pages/ \\
             --seed https://example.com \\
-            --depth 5 --ckpt s3://ckpts/run1 [--politeness-ms 25] [--resume]
+            --depth 5 --ckpt s3://ckpts/run1 [--politeness-ms 25] \\
+            [--neardup 0.6] [--resume]
 
     ray job submit --working-dir . -- \\
         python -m raycrawl export --sf-dir s3://tables/ --out s3://corpus/ \\
@@ -51,6 +52,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="respect the synthetic robots.txt")
     c.add_argument("--seen-shards", type=int, default=None,
                    help="URL-seen shard count (default: cluster CPUs / 2)")
+    c.add_argument("--neardup", type=float, default=None, metavar="JACCARD",
+                   help="ingestion-time near-dup detection: probe each "
+                        "round's fetched pages against the crawl's MinHash "
+                        "index at this exact-Jaccard threshold (must be set "
+                        "on the crawl's FIRST run to be resumable)")
 
     e = sub.add_parser("export", help="training-corpus pipeline: dedup + "
                        "gates + shuffle key + partitioned JSONL export")
@@ -101,18 +107,24 @@ def main(argv=None) -> int:
             num_seen_shards=args.seen_shards or max(8, ncpu // 2),
             politeness_delay_ms=args.politeness_ms,
             respect_robots=args.robots,
+            neardup_threshold=args.neardup,
         )
         res = crawl(args.corpus, args.seed, args.depth, args.ckpt, cfg=cfg,
                     crawl_id=args.crawl_id, resume=args.resume)
         wall = time.perf_counter() - t0
-        print(json.dumps({
+        summary = {
             "crawl_id": res.crawl_id,
             "rounds": res.rounds_run,
             "nodes": res.nodes().count(),
             "edges": res.edges().count(),
             "wall_sec": round(wall, 3),
             "ckpt": args.ckpt,
-        }))
+        }
+        if args.neardup is not None:
+            from raycrawl.ingest_dedup import crawl_neardup
+
+            summary["near_dups"] = crawl_neardup(args.ckpt).num_rows
+        print(json.dumps(summary))
     else:
         from raycrawl.pipeline import run_training_pipeline
 

@@ -183,3 +183,26 @@ def test_nodes_with_neardup_column_merge(nd_crawl):
         assert m.loc[r.node_id, "near_dup_of"] == r.near_dup_of
         assert m.loc[r.node_id, "dup_jaccard"] == r.jaccard
     assert merged[~merged.node_id.isin(nd.node_id)].near_dup_of.isna().all()
+
+
+def test_cli_crawl_neardup_flag(ray_session, nd_crawl, tmp_path, capsys):
+    """`python -m raycrawl crawl --neardup J` wires the ingestion-dedup
+    stage into the job CLI and reports the assignment count; the run must
+    match the library-driven crawl's assignment set exactly."""
+    import json
+
+    from raycrawl.__main__ import main
+    from raycrawl.ingest_dedup import crawl_neardup
+
+    c = _corpus()
+    s = _seed(c)
+    ck2 = str(tmp_path / "cli_nd")
+    rc = main(["crawl", "--corpus", c, "--seed", s["url"], "--depth", "3",
+               "--ckpt", ck2, "--crawl-id", "ndtest", "--seen-shards", "2",
+               "--neardup", "0.6"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    a = crawl_neardup(nd_crawl).to_pandas()
+    b = crawl_neardup(ck2).to_pandas()
+    assert summary["near_dups"] == len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
