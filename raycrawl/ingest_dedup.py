@@ -199,63 +199,175 @@ PREFILTER_MARGIN = 0.2
 
 # pairs per prefilter/verify slice — bounds the signature-compare and
 # shingle-gather scratch regardless of candidate volume (a slice's
-# sig-compare scratch is ~3 × chunk × N_PERM bytes ≈ 400 MB at 2M)
+# stage-1 scratch is ~3 × chunk × 16 bytes ≈ 100 MB at 2M; stage 2 runs
+# only on stage-1 survivors)
 _PAIR_CHUNK = 2_000_000
 
 # above this many candidate pairs the prefilter+verify slices fan out as
 # Ray tasks over plasma-shared (zero-copy, read-only) signature/shingle
-# arrays — a bench round carries 10^8 candidates and the slices are
+# arrays — a bench round carries 10^8-10^9 candidates and the slices are
 # embarrassingly parallel. Below it the same slices run inline.
 _VERIFY_RAY_GATE = 8_000_000
 
-
-def _intra_verify_chunk(sig8, flat, offs, se, sl, est_cut, threshold):
-    """One candidate slice: signature prefilter → shingle gather → exact
-    segmented jaccard. Pure function over read-only arrays (ships as a
-    Ray task with the big arrays as shared plasma objects)."""
-    est = (sig8[se] == sig8[sl]).mean(axis=1)
-    k = est >= est_cut
-    se, sl = se[k], sl[k]
-    if not len(se):
-        return se, sl, np.empty(0, np.float64)
-    va, offa = _gather_segments(flat, offs, se)
-    vb, offb = _gather_segments(flat, offs, sl)
-    j = segmented_jaccard(va, offa, vb, offb)
-    kk = j >= threshold
-    return se[kk], sl[kk], j[kk]
+# the stage-1 prefilter estimates jaccard from only the FIRST 16 of the
+# 64 signature bytes (a separate 16-byte-row array, so a cache line
+# carries 4 pairs instead of 1) with an extra 0.15 margin; a TRUE pair
+# at exactly j=threshold=0.6 fails it with P[Binom(16, 0.6) < 16·0.25]
+# ≈ 1e-5 — an order below the documented 64-perm envelope. Everything
+# it keeps still passes the full-64 estimate, then the exact jaccard.
+_STAGE1_PERMS = 16
+_STAGE1_MARGIN = 0.15
 
 
-def _est_chunk(sig_a, sig_b, ia, ib, est_cut):
-    return (sig_a[ia] == sig_b[ib]).mean(axis=1) >= est_cut
+# grams gathered per exact-verify sub-slice (~256 MB of uint64 per side):
+# a 2M-pair slice whose pairs ALL survive the prefilter — the shape a
+# template-heavy corpus produces, where near-dup clusters make pair
+# volume quadratic — would otherwise gather pairs × grams/page × 8 B in
+# one shot (measured multi-GB per slice at bench round 4)
+_GRAM_BUDGET = 32_000_000
 
 
-def _run_chunked(fn, n_items: int, make_args, refs: tuple) -> list:
-    """Run ``fn(*refs, *make_args(off))`` over _PAIR_CHUNK slices —
-    as parallel Ray tasks above _VERIFY_RAY_GATE items, inline below.
-    Returns the per-slice results in slice order."""
-    offs = list(range(0, n_items, _PAIR_CHUNK))
-    if n_items > _VERIFY_RAY_GATE:
+def _fused_verify_chunk(sigA16, sigA, sigB16, sigB, flatA, offsA, rowA_of,
+                        iordA, flatB, offsB, ea, lb, est_cut, threshold):
+    """One candidate slice, fused end-to-end in the worker: two-stage
+    signature prefilter → gram-budget-bounded shingle gather + exact
+    segmented jaccard → per-later-row reduce to the earliest-ingestion
+    surviving match. Side A is the earlier/indexed side (`ea` indexes
+    its sig rows; ``rowA_of`` maps them to shingle rows, None =
+    identity; ``iordA`` is its ingestion order), side B is always the
+    current round. Returns (later_row, earlier_idx, jaccard) with at
+    most one row per later page, so result volume is bounded by the
+    slice's distinct duplicate pages even when a giant near-dup cluster
+    makes the candidate pair volume quadratic."""
+    k = ((sigA16[ea] == sigB16[lb]).mean(axis=1)
+         >= max(0.0, est_cut - _STAGE1_MARGIN))
+    ea, lb = ea[k], lb[k]
+    if len(ea):
+        k = (sigA[ea] == sigB[lb]).mean(axis=1) >= est_cut
+        ea, lb = ea[k], lb[k]
+    if not len(ea):
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.float64)
+    ra = ea if rowA_of is None else rowA_of[ea]
+    lens = ((offsA[ra + 1] - offsA[ra]) + (offsB[lb + 1] - offsB[lb]))
+    csum = np.cumsum(lens)
+    keep_e, keep_l, keep_j = [], [], []
+    start, base = 0, 0
+    while start < len(ea):
+        stop = int(np.searchsorted(csum, base + _GRAM_BUDGET)) + 1
+        stop = min(max(stop, start + 1), len(ea))
+        va, offa = _gather_segments(flatA, offsA, ra[start:stop])
+        vb, offb = _gather_segments(flatB, offsB, lb[start:stop])
+        j = segmented_jaccard(va, offa, vb, offb)
+        kk = j >= threshold
+        keep_e.append(ea[start:stop][kk])
+        keep_l.append(lb[start:stop][kk])
+        keep_j.append(j[kk])
+        base = int(csum[stop - 1])
+        start = stop
+    ea = np.concatenate(keep_e)
+    lb = np.concatenate(keep_l)
+    j = np.concatenate(keep_j)
+    if not len(ea):
+        return ea, lb, j
+    o = np.lexsort((iordA[ea], lb))
+    ea, lb, j = ea[o], lb[o], j[o]
+    first = np.concatenate([[True], lb[1:] != lb[:-1]])
+    return lb[first], ea[first], j[first]
+
+
+def _iter_intra_slices(rows_flat, bstarts, blens, rank, n):
+    """Stream (earlier_row, later_row) candidate index slices of ≤
+    ``_PAIR_CHUNK`` pairs from the equal-(band_id, band_hash) buckets
+    without ever materializing the full pair set (a dense bucket of g
+    members contributes g(g-1)/2 pairs; a bench round's buckets sum to
+    10^8-10^9). Buckets are grouped by size and paired vectorized per
+    consecutive a-column range; a single column whose pairs exceed the
+    budget is split over buckets. Members are ordered by in-round
+    ingestion rank so column a < b ⇔ earlier/later; in-slice duplicate
+    pairs (same pair via several bands landing in one slice) are
+    collapsed before the yield."""
+    for g in np.unique(blens):
+        g = int(g)
+        sel = bstarts[blens == g]
+        mem = rows_flat[sel[:, None] + np.arange(g)]        # (m, g)
+        order = np.argsort(rank[mem], axis=1, kind="stable")
+        mem = np.take_along_axis(mem, order, axis=1)
+        m = len(sel)
+        a = 0
+        while a < g - 1:
+            acc, a2 = 0, a
+            while a2 < g - 1 and (acc + g - 1 - a2) * m <= _PAIR_CHUNK:
+                acc += g - 1 - a2
+                a2 += 1
+            if a2 == a:
+                bcap = max(1, _PAIR_CHUNK // (g - 1 - a))
+                for mb in range(0, m, bcap):
+                    sub = mem[mb:mb + bcap]
+                    ce = np.repeat(sub[:, a], g - 1 - a)
+                    cl = sub[:, a + 1:].ravel()
+                    u = np.unique(ce * np.int64(n) + cl)
+                    yield u // n, u % n
+                a += 1
+                continue
+            cols_a = np.concatenate(
+                [np.full(g - 1 - x, x, np.int64) for x in range(a, a2)])
+            cols_b = np.concatenate(
+                [np.arange(x + 1, g, dtype=np.int64) for x in range(a, a2)])
+            ce = mem[:, cols_a].ravel()
+            cl = mem[:, cols_b].ravel()
+            u = np.unique(ce * np.int64(n) + cl)
+            yield u // n, u % n
+            a = a2
+
+
+def _iter_inter_slices(op, lo, csum, nz, new_rows_q, mp, total):
+    """Stream (old map row index, new round row) slices of ≤
+    ``_PAIR_CHUNK`` pairs from the per-band-row match intervals
+    [lo, hi) over the okey-sorted old band rows. Each slice maps its
+    global pair indices back to (interval, offset) arithmetically, so a
+    giant interval (one band hash matching millions of old rows) splits
+    naturally and nothing pair-shaped outlives its slice."""
+    for p0 in range(0, total, _PAIR_CHUNK):
+        idx = np.arange(p0, min(p0 + _PAIR_CHUNK, total), dtype=np.int64)
+        itv = np.searchsorted(csum, idx, side="right") - 1
+        pos = idx - csum[itv] + lo[nz[itv]]
+        yield np.searchsorted(mp, op[pos]), new_rows_q[nz[itv]]
+
+
+def _run_sliced(fn, slices, refs: tuple, use_ray: bool, consume) -> None:
+    """Run ``fn(*refs, *args)`` for each arg tuple yielded by ``slices``
+    — as wave-limited parallel Ray tasks when ``use_ray``, inline
+    otherwise — and hand each result to ``consume`` as it lands (the
+    per-row-min merge is commutative, so arrival order is fine). Slices
+    are GENERATED lazily (a slice is materialized only while a task
+    slot is free for it) and results are never collected into a list,
+    so peak driver memory is in-flight waves × slice size, never the
+    candidate or result total."""
+    if use_ray:
         import ray
 
         refs_p = tuple(ray.put(x) for x in refs)
         rfn = ray.remote(fn)
-        # wave-limited submission: each in-flight task holds ~400 MB of
-        # sig-compare scratch, so unbounded fan-out OOMs the box — cap
-        # in-flight at a fraction of the CPU count and drain as they
-        # finish (order restored afterwards)
+        # wave-limited submission: each in-flight task holds slice
+        # scratch, so unbounded fan-out OOMs the box — cap in-flight at
+        # a fraction of the CPU count and drain as they finish
         max_inflight = max(4, int(ray.cluster_resources().get("CPU", 8))
                            // 3)
-        pending: dict = {}
-        out: dict[int, object] = {}
-        for i, o in enumerate(offs):
+        pending: set = set()
+        for args in slices:
             if len(pending) >= max_inflight:
                 done, _ = ray.wait(list(pending), num_returns=1)
-                out[pending.pop(done[0])] = ray.get(done[0])
-            pending[rfn.remote(*refs_p, *make_args(o))] = i
-        for ref_, i in pending.items():
-            out[i] = ray.get(ref_)
-        return [out[i] for i in range(len(offs))]
-    return [fn(*refs, *make_args(o)) for o in offs]
+                pending.discard(done[0])
+                consume(ray.get(done[0]))
+            pending.add(rfn.remote(*refs_p, *args))
+        while pending:
+            done, _ = ray.wait(list(pending), num_returns=1)
+            pending.discard(done[0])
+            consume(ray.get(done[0]))
+    else:
+        for args in slices:
+            consume(fn(*refs, *args))
 
 
 def _shingle_band_batch(t: pa.Table, corpus_ref, k: int) -> pa.Table:
@@ -374,13 +486,15 @@ def probe_and_index_round(ckpt: str, r: int, parents: pa.Table, corpus_ref,
         return _porder[np.searchsorted(_psorted, pids)]
 
     # --- intra-round candidates: equal (band_id, band_hash) buckets ---
-    # vectorized per distinct bucket SIZE (never per bucket): a bucket
-    # fixes band_id, so each page appears at most once per bucket, and
-    # all same-size buckets sort + pair in one 2-D numpy pass. Pair
-    # volume is bounded by dup volume (same posture as the documents
-    # lane's LSH buckets).
-    cand_e: list[np.ndarray] = []   # row index (this round) of the pair's
-    cand_l: list[np.ndarray] = []   # earlier / later side
+    # STREAMED: a dense bucket of g members implies g(g-1)/2 pairs and a
+    # bench round carries 10^8-10^9 of them, so the pair set is never
+    # materialized (the earlier concatenate+unique form held ~80 GB of
+    # pair/scratch arrays at a 900k-page round and OOM'd the driver).
+    # Buckets are grouped by size (each bucket fixes a band_id, so a
+    # page appears at most once per bucket); _iter_intra_slices emits
+    # ≤_PAIR_CHUNK pair slices that exist only while in flight. True
+    # pairs colliding in several bands are re-verified once per band —
+    # bounded by dup volume × N_BANDS, vs O(total pairs) memory.
     okey = np.lexsort((bh, bid))
     sb, sh_ = bid[okey], bh[okey]
     runs = np.flatnonzero(np.concatenate(
@@ -389,23 +503,58 @@ def probe_and_index_round(ckpt: str, r: int, parents: pa.Table, corpus_ref,
     run_starts, run_lens = runs[:-1], np.diff(runs)
     big_mask = run_lens > 1
     bstarts, blens = run_starts[big_mask], run_lens[big_mask]
-    for g in np.unique(blens):
-        sel = bstarts[blens == g]
-        mem = rows_flat[sel[:, None] + np.arange(g)]        # (m, g)
-        # ingestion order within a round = node_id
-        order = np.argsort(node_ids[mem], axis=1, kind="stable")
-        mem = np.take_along_axis(mem, order, axis=1)
-        a, b = np.triu_indices(int(g), 1)
-        cand_e.append(mem[:, a].ravel())
-        cand_l.append(mem[:, b].ravel())
+    # ingestion order within a round = node_id; precomputed integer rank
+    # so bucket-member ordering never gathers the string array
+    rank = np.empty(n, np.int64)
+    rank[np.argsort(node_ids, kind="stable")] = np.arange(n)
+    total_intra = int(np.sum(blens * (blens - 1) // 2))
+
+    # --- prefilter envelope ------------------------------------------------
+    # Both candidate paths estimate jaccard from the stored signatures and
+    # drop pairs estimating below threshold - PREFILTER_MARGIN before any
+    # shingle gather. The LSH band shape (16×4) admits 10^8-10^9 j≈0.03
+    # false candidates per bench round; stage 1 (16 contiguous signature
+    # bytes — 4 pairs per cache line) kills ~99.8% of them, stage 2 runs
+    # the full-64 estimate on the survivors. Envelope: a TRUE pair at
+    # exactly j=threshold is missed with P[Binom(64, j) < 64·(j-0.2)]
+    # < 0.1% (stage 2) plus P[Binom(16, j) < 16·(j-0.35)] ≈ 1e-5
+    # (stage 1), both vanishing a few points above threshold;
+    # byte-folding can only ADD keeps (1/256 per-perm collision).
+    est_cut = max(0.0, threshold - PREFILTER_MARGIN)
+    sig16 = np.ascontiguousarray(sig8[:, :_STAGE1_PERMS])
+    # per later row, the single best (probe_round, earlier node_id,
+    # jaccard) seen so far — a scalar slot, never a pair list, so a
+    # giant near-dup cluster costs O(cluster) driver memory, not
+    # O(cluster²)
+    matches: dict[int, tuple[int, str, float]] = {}
+
+    def _merge(row: int, cand: tuple[int, str, float]) -> None:
+        cur = matches.get(row)
+        if cur is None or (cand[0], cand[1]) < (cur[0], cur[1]):
+            matches[row] = cand
+
+    if total_intra:
+        def _consume_intra(res) -> None:
+            lbs, eas, js = res
+            for i in range(len(lbs)):
+                _merge(int(lbs[i]),
+                       (r, str(node_ids[eas[i]]), float(js[i])))
+
+        _run_sliced(
+            _fused_verify_chunk,
+            ((se, sl, est_cut, threshold)
+             for se, sl in _iter_intra_slices(rows_flat, bstarts, blens,
+                                              rank, n)),
+            (sig16, sig8, sig16, sig8, new_flat, new_offs, None, rank,
+             new_flat, new_offs),
+            total_intra > _VERIFY_RAY_GATE, _consume_intra)
 
     # --- inter-round candidates: pruned read of prior rounds' bands ---
     bps = np.unique(bh.view(np.uint64) % np.uint64(_IDX_BP_PARTS))
     old_files: list[str] = []
     for rr in range(1, r):
         old_files += _hive_files(_round_ndx(ckpt, rr), "bands", "bp", bps)
-    old_e_pid: np.ndarray = np.empty(0, np.int64)
-    old_l_row: np.ndarray = np.empty(0, np.int64)
+    total_inter = 0
     if old_files:
         old = pads.dataset(old_files).to_table(
             columns=["band_id", "band_hash", "pid"])
@@ -418,61 +567,28 @@ def probe_and_index_round(ckpt: str, r: int, parents: pa.Table, corpus_ref,
         q = _band_key(bid, bh)
         lo = np.searchsorted(okeys, q, side="left")
         hi = np.searchsorted(okeys, q, side="right")
-        cnt = hi - lo
+        cnt = (hi - lo).astype(np.int64)
         nz = np.flatnonzero(cnt)
-        if len(nz):
-            tot = int(cnt[nz].sum())
-            out_offs = np.zeros(len(nz) + 1, np.int64)
-            np.cumsum(cnt[nz], out=out_offs[1:])
-            pos = (np.arange(tot) - np.repeat(out_offs[:-1], cnt[nz])
-                   + np.repeat(lo[nz], cnt[nz]))
-            old_e_pid = op[pos]
-            old_l_row = np.repeat(rows_of(bpid[nz]), cnt[nz])
-
-    # --- dedup candidates, prefilter on signature agreement, verify ---
-    # prefilter: estimate jaccard as the fraction of agreeing signature
-    # bytes (N_PERM perms) and drop pairs estimating below
-    # threshold - PREFILTER_MARGIN. The LSH band shape (16×4) admits
-    # millions of j≈0.03 false candidates per 10^5-page round (measured:
-    # 7.7M pairs, none ≥ 0.6); the estimator kills them in one vectorized
-    # byte-compare, before any shingle gather. Envelope: a TRUE pair at
-    # exactly j=threshold is missed with P[Binom(64, j) < 64·(j-0.2)]
-    # < 0.1%, vanishing a few points above threshold; byte-folding can
-    # only ADD keeps (1/256 per-perm collision), never misses.
-    est_cut = max(0.0, threshold - PREFILTER_MARGIN)
-    matches: dict[int, list[tuple[int, str, float]]] = {}
-    if cand_e:
-        ce = np.concatenate(cand_e)
-        cl = np.concatenate(cand_l)
-        u = np.unique(ce.astype(np.int64) * np.int64(n) + cl)
-        ce, cl = (u // n).astype(np.int64), (u % n).astype(np.int64)
-        results = _run_chunked(
-            _intra_verify_chunk, len(ce),
-            lambda off: (ce[off:off + _PAIR_CHUNK],
-                         cl[off:off + _PAIR_CHUNK], est_cut, threshold),
-            (sig8, new_flat, new_offs))
-        for se, sl, j in results:
-            for i in range(len(se)):
-                matches.setdefault(int(sl[i]), []).append(
-                    (r, str(node_ids[se[i]]), float(j[i])))
-
-    if len(old_e_pid):
-        # pair dedup via lexsort + adjacency (structured-dtype np.unique
-        # is the slow generic sort path at 10^8 pairs)
-        porder = np.lexsort((old_l_row, old_e_pid))
-        pe, pl = old_e_pid[porder], old_l_row[porder]
-        keep = np.empty(len(pe), bool)
-        keep[0] = True
-        keep[1:] = (pe[1:] != pe[:-1]) | (pl[1:] != pl[:-1])
-        old_e_pid, old_l_row = pe[keep], pl[keep]
-        # ingestion metadata (incl. stored sig8) first, partition-pruned
-        # by pid % _IDX_SP_PARTS: the prefilter runs on the stored
-        # signatures so only SURVIVING candidates trigger shingle reads
-        cand_pids = np.unique(old_e_pid)
+        total_inter = int(cnt[nz].sum())
+    if total_inter:
+        # candidate old-doc set WITHOUT materializing pairs: the union of
+        # the matched [lo, hi) intervals over the okey-sorted old band
+        # rows (interval-diff + prefix sum), then the usual sp pruning —
+        # ingestion metadata (stored sig8) AND shingles are read only for
+        # partitions holding a candidate, and shingle rows only for the
+        # candidate docs themselves; per-round read cost scales with the
+        # batch's collisions, never the crawl history.
+        d = np.zeros(len(op) + 1, np.int64)
+        np.add.at(d, lo[nz], 1)
+        np.add.at(d, hi[nz], -1)
+        covered = np.cumsum(d[:-1]) > 0
+        cand_pids = np.unique(op[covered])
         sps = np.unique(cand_pids % np.int64(_IDX_SP_PARTS))
         map_files: list[str] = []
+        sh_files: list[str] = []
         for rr in range(1, r):
             map_files += _hive_files(_round_ndx(ckpt, rr), "map", "sp", sps)
+            sh_files += _hive_files(_round_ndx(ckpt, rr), "sh", "sp", sps)
         omap = pads.dataset(map_files).to_table(
             columns=["pid", "node_id", "probe_round", "sig"])
         mp = omap["pid"].to_numpy()
@@ -485,41 +601,48 @@ def probe_and_index_round(ckpt: str, r: int, parents: pa.Table, corpus_ref,
                  .to_numpy(zero_copy_only=False)
                  .reshape(len(omap), _NP))[mord]
         mp = mp[mord]
-        mi = np.searchsorted(mp, old_e_pid)
-        keep = np.concatenate(_run_chunked(
-            _est_chunk, len(old_e_pid),
-            lambda off: (mi[off:off + _PAIR_CHUNK],
-                         old_l_row[off:off + _PAIR_CHUNK], est_cut),
-            (m_sig, sig8)))
-        old_e_pid, old_l_row, mi = old_e_pid[keep], old_l_row[keep], mi[keep]
-        if len(old_e_pid):
-            # shingles of the SURVIVING old candidates only
-            cand_pids = np.unique(old_e_pid)
-            sps = np.unique(cand_pids % np.int64(_IDX_SP_PARTS))
-            sh_files: list[str] = []
-            for rr in range(1, r):
-                sh_files += _hive_files(_round_ndx(ckpt, rr), "sh", "sp",
-                                        sps)
-            osh = pads.dataset(sh_files).to_table(
-                columns=["pid", "shingles"])
-            opid = osh["pid"].to_numpy()
-            keepm = np.isin(opid, cand_pids)
-            osh = osh.filter(pa.array(keepm))
-            opid = opid[keepm]
-            oflat, ooffs = _list_arrays(osh["shingles"])
-            oord = np.argsort(opid, kind="stable")
-            e_idx = oord[np.searchsorted(opid[oord], old_e_pid)]
-            va, offa = _gather_segments(oflat, ooffs, e_idx)
-            vb, offb = _gather_segments(new_flat, new_offs, old_l_row)
-            j = segmented_jaccard(va, offa, vb, offb)
-            for i in np.flatnonzero(j >= threshold):
-                matches.setdefault(int(old_l_row[i]), []).append(
-                    (int(m_rounds[mi[i]]), str(m_ids[mi[i]]), float(j[i])))
+        m_sig16 = np.ascontiguousarray(m_sig[:, :_STAGE1_PERMS])
+        # old ingestion order for the per-row winner reduce
+        m_iord = np.empty(len(mp), np.int64)
+        m_iord[np.lexsort((m_ids, m_rounds))] = np.arange(len(mp))
+        # candidate old shingles, keyed map row → shingle row
+        osh = pads.dataset(sh_files).to_table(columns=["pid", "shingles"])
+        opid = osh["pid"].to_numpy()
+        keepm = np.isin(opid, cand_pids)
+        osh = osh.filter(pa.array(keepm))
+        opid = opid[keepm]
+        oflat, ooffs = _list_arrays(osh["shingles"])
+        oord = np.argsort(opid, kind="stable")
+        m_shrow = oord[np.minimum(
+            np.searchsorted(opid[oord], mp), max(len(opid) - 1, 0))]
+        # stream (old map row, new round row) slices through the fused
+        # prefilter+verify+reduce — the expansion exists only while a
+        # slice is in flight; band-duplicate pairs re-verify and the
+        # per-row min merge absorbs them
+        new_rows_q = rows_of(bpid)
+        csum = np.zeros(len(nz) + 1, np.int64)
+        np.cumsum(cnt[nz], out=csum[1:])
 
-    # --- winner per later page: min (probe_round, node_id) ---
+        def _consume_inter(res) -> None:
+            lbs, eas, js = res
+            for i in range(len(lbs)):
+                _merge(int(lbs[i]),
+                       (int(m_rounds[eas[i]]), str(m_ids[eas[i]]),
+                        float(js[i])))
+
+        _run_sliced(
+            _fused_verify_chunk,
+            ((ia, ib, est_cut, threshold) for ia, ib in _iter_inter_slices(
+                op, lo, csum, nz, new_rows_q, mp, total_inter)),
+            (m_sig16, m_sig, sig16, sig8, oflat, ooffs, m_shrow, m_iord,
+             new_flat, new_offs),
+            total_inter > _VERIFY_RAY_GATE, _consume_inter)
+
+    # --- winner per later page: min (probe_round, node_id), already
+    # reduced per slice in the workers and merged scalar per row ---
     out_ids, out_of, out_j = [], [], []
     for row in sorted(matches):
-        best = min(matches[row], key=lambda t: (t[0], t[1]))
+        best = matches[row]
         out_ids.append(str(node_ids[row]))
         out_of.append(best[1])
         out_j.append(best[2])

@@ -206,3 +206,17 @@ def test_cli_crawl_neardup_flag(ray_session, nd_crawl, tmp_path, capsys):
     b = crawl_neardup(ck2).to_pandas()
     assert summary["near_dups"] == len(b) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_forced_gram_budget_slicing_matches(nd_crawl, tmp_path, monkeypatch):
+    """A tiny _GRAM_BUDGET forces every exact-verify through many
+    gram-bounded sub-slices — identical assignments."""
+    from raycrawl import ingest_dedup
+    from raycrawl.ingest_dedup import crawl_neardup
+
+    monkeypatch.setattr(ingest_dedup, "_GRAM_BUDGET", 64)
+    ck2 = str(tmp_path / "nd_gb")
+    _run(ck2)
+    a = crawl_neardup(nd_crawl).to_pandas()
+    b = crawl_neardup(ck2).to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
