@@ -54,6 +54,15 @@ PRESETS = {
     # on a degraded host; same shape, same generator
     "mid": dict(n_hosts=150_000, mean_links=55, zipf_alpha=0.25,
                 hub_out_links=200, fast=True),
+    # bench_hv: bench-shaped graph with HIGH-ENTROPY per-page filler (a
+    # 65k-word pool instead of 512 shared paragraphs) and planted
+    # adjacent-page near-dup mirrors — the realistic-text regime for the
+    # ingestion-dedup stage, where LSH buckets are sparse and the only
+    # j≥0.6 pairs are the planted ones. mirror_frac=0.004 plants ~4.8k
+    # mirrors among 1.2M pages.
+    "bench_hv": dict(n_hosts=1_200_000, mean_links=55, zipf_alpha=0.25,
+                     hub_out_links=200, fast=True, filler_vocab=65_536,
+                     mirror_frac=0.004),
 }
 
 
@@ -314,6 +323,31 @@ def ensure_corpus(tag: str = "tiny", seed: int = 42, base: str = "/tmp/raycrawl_
 # generator above at tiny/small scale).
 # ---------------------------------------------------------------------------
 
+def fast_mirror_flags(seed: int, start: int, stop: int, mirror_frac: float,
+                      chunk_pages: int = 100_000) -> np.ndarray:
+    """Planted-mirror mask for global page indices [start, stop) of a
+    ``generate_corpus_fast`` corpus — deterministic in (seed, i), so the
+    planted truth is recomputable without the corpus. A flagged page i
+    mirrors page i-1. Never flags two consecutive pages (a mirror's
+    source must carry its own content) nor a generation-chunk's first
+    page (the source must be rendered in the same chunk); evaluation
+    always starts at the enclosing chunk boundary so any window sees the
+    same flags."""
+    c0 = (start // chunk_pages) * chunk_pages
+    cut = int(mirror_frac * 1000)
+    n = stop - c0
+    raw = np.fromiter(
+        (hash64_int(f"fmirror:{seed}:{i}") % 1000 < cut
+         for i in range(c0, stop)), bool, n)
+    flags = np.zeros(n, bool)
+    for k in np.flatnonzero(raw):
+        i = c0 + k
+        if i % chunk_pages == 0 or flags[k - 1]:
+            continue
+        flags[k] = True
+    return flags[start - c0:]
+
+
 def generate_corpus_fast(
     out_dir: str,
     n_hosts: int,
@@ -325,7 +359,22 @@ def generate_corpus_fast(
     zipf_alpha: float = 0.25,
     variant_weights=(0.30, 0.15, 0.15, 0.03, 0.04, 0.18, 0.15),
     chunk_pages: int = 100_000,
+    filler_vocab: int = 0,
+    mirror_frac: float = 0.0,
 ) -> str:
+    """``filler_vocab`` > 0 switches the page filler from the legacy
+    512-shared-paragraph pool (whose reuse across ~2.3k pages each makes
+    the whole corpus one giant family of organic near-dups — the
+    LSH-bucket worst case BASELINE.md's ingestion-dedup A/B measures) to
+    per-page text drawn from a ``filler_vocab``-word hash-derived pool —
+    realistic shingle entropy, near-zero organic dup mass.
+
+    ``mirror_frac`` > 0 additionally plants ADJACENT-PAGE near-dup
+    mirrors: page i (hash-flagged, never two in a row, never the first
+    page of a chunk) renders page i-1's filler and link body plus one
+    extra marker paragraph, so its tag-stripped text is a j≈0.9+
+    superset of its neighbor's. The planted truth is recomputable from
+    (seed, i) alone via ``fast_mirror_flags``."""
     import pyarrow.compute as pc
 
     marker = os.path.join(out_dir, "_SUCCESS")
@@ -357,6 +406,10 @@ def generate_corpus_fast(
         pa.string(),
     )
     filler_idx = rng.integers(0, 512, size=n_hosts)
+    vocab_a = (pa.array(
+        [f"w{hash64_int(f'v:{seed}:{k}') & 0xFFFFFF:x}"
+         for k in range(filler_vocab)], pa.string())
+        if filler_vocab else None)
 
     def cat(*parts):
         return pc.binary_join_element_wise(*parts, "")
@@ -405,11 +458,40 @@ def generate_corpus_fast(
         )
         page_hosts = hosts_a.slice(start, stop - start)
         page_protos = protos_a.slice(start, stop - start)
-        fillers = pc.take(filler_pool, pa.array(filler_idx[start:stop]))
+        if filler_vocab:
+            # high-entropy per-page filler: every page draws its own
+            # words from the vocab pool (no shared paragraphs, so no
+            # organic near-dup mass)
+            nw = 40 + rng.integers(0, 160, size=stop - start)
+            woff = np.zeros(stop - start + 1, np.int64)
+            np.cumsum(nw, out=woff[1:])
+            draws = rng.integers(0, filler_vocab, size=int(woff[-1]))
+            words = pc.take(vocab_a, pa.array(draws))
+            inner = pc.binary_join(
+                pa.ListArray.from_arrays(
+                    pa.array(woff, pa.int32()),
+                    words.combine_chunks()
+                    if isinstance(words, pa.ChunkedArray) else words),
+                " ")
+            fillers = cat(pa.scalar("<p>"), inner, pa.scalar("</p>"))
+        else:
+            fillers = pc.take(filler_pool, pa.array(filler_idx[start:stop]))
+        mark = pa.scalar("")
+        if mirror_frac > 0:
+            mflags = fast_mirror_flags(seed, start, stop, mirror_frac,
+                                       chunk_pages)
+            if mflags.any():
+                src = np.arange(stop - start, dtype=np.int64)
+                src[mflags] -= 1
+                fillers = pc.take(fillers, pa.array(src))
+                body = pc.take(body, pa.array(src))
+                mark = pa.array(
+                    [f"\n<p>mirror copy {start + k}</p>" if mflags[k] else ""
+                     for k in range(stop - start)], pa.string())
         html = cat(
             pa.scalar("<html><head><title>"), page_hosts,
             pa.scalar("</title></head><body>\n"), fillers, pa.scalar("\n"),
-            body, pa.scalar("\n</body></html>"),
+            body, mark, pa.scalar("\n</body></html>"),
         )
         text = pc.replace_substring_regex(html, "<[^>]+>", "")
         urls = cat(page_protos, pa.scalar("://"), page_hosts)

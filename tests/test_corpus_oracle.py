@@ -106,3 +106,45 @@ def test_fetch_sim_flaky_then_ok():
     assert s1 in (200, 503) and s2 in (200, 503)
     if s1 == 503 and sim.outcome_class(name, proto) == 3:
         assert s2 == 200
+
+
+def test_fast_corpus_high_entropy_mirrors(tmp_path):
+    """generate_corpus_fast(filler_vocab=..., mirror_frac=...): planted
+    adjacent-page mirrors are exact 3-gram near-dups (j >> 0.6) while
+    non-mirror neighbors stay far apart (the realistic-entropy regime
+    for the ingestion-dedup stage), and the planted truth is
+    recomputable from (seed, i) alone."""
+    import numpy as np
+
+    from raycrawl.corpus import fast_mirror_flags, generate_corpus_fast
+
+    out = generate_corpus_fast(str(tmp_path / "hv"), n_hosts=6_000, seed=11,
+                               filler_vocab=4_096, mirror_frac=0.01,
+                               chunk_pages=2_000)
+    tx = pq.read_table(os.path.join(out, "pages.parquet"),
+                       columns=["text"])["text"].to_pylist()
+    flags = fast_mirror_flags(11, 0, 6_000, 0.01, 2_000)
+    planted = np.flatnonzero(flags)
+    assert len(planted) > 10
+    assert not flags[0]
+    assert not (flags[:-1] & flags[1:]).any(), "two mirrors in a row"
+    assert not flags[::2_000].any(), "chunk-first page flagged"
+
+    def grams(s, k=3):
+        t = s.split()
+        return {" ".join(t[i:i + k]) for i in range(max(1, len(t) - k + 1))}
+
+    js = []
+    for i in planted[:30]:
+        a, b = grams(tx[i]), grams(tx[i - 1])
+        js.append(len(a & b) / len(a | b))
+    assert min(js) > 0.8, min(js)
+    ctrl = [
+        len(grams(tx[i]) & grams(tx[i + 1]))
+        / max(1, len(grams(tx[i]) | grams(tx[i + 1])))
+        for i in range(200, 240) if not flags[i] and not flags[i + 1]
+    ]
+    assert max(ctrl) < 0.3, max(ctrl)
+    # window-independence of the planted truth
+    w = fast_mirror_flags(11, 2_500, 3_500, 0.01, 2_000)
+    assert (w == flags[2_500:3_500]).all()
