@@ -189,6 +189,10 @@ def _write_partitioned(table: pa.Table, root: str, key: str,
 # equality.
 SHINGLE_RAY_GATE = 50_000
 
+# minimum rows per Ray-path shingle block; tests shrink it to force many
+# out-of-order blocks through the pid-keyed reorder
+_SHINGLE_BLOCK_MIN = 2048
+
 # candidate prefilter: drop band-collision pairs whose 64-perm signature
 # agreement estimates BELOW threshold - this margin. 0.2 ≈ 3.3σ of the
 # binomial estimator at j=0.6 → <0.1% miss probability for a true pair AT
@@ -413,7 +417,7 @@ def _shingles_and_bands(parents: pa.Table, pid: np.ndarray, corpus_ref,
         import ray.data as rd
 
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        per = max(2048, (n + 2 * ncpu - 1) // (2 * ncpu))
+        per = max(_SHINGLE_BLOCK_MIN, (n + 2 * ncpu - 1) // (2 * ncpu))
         ds = rd.from_arrow([parents.slice(off, per)
                             for off in range(0, n, per)])
         # batch_size=None = one batch per input block: a larger batch_size
@@ -424,6 +428,16 @@ def _shingles_and_bands(parents: pa.Table, pid: np.ndarray, corpus_ref,
                               k=k),
             batch_format="pyarrow", batch_size=None).materialize()
         merged = pa.concat_tables(ray.get(out.to_arrow_refs()))
+        # to_arrow_refs does NOT reliably return blocks in input order —
+        # reorder by doc_id (pid) back to ``parents`` row order, or every
+        # downstream row index (shingle offsets, sig rows, stored pid
+        # pairing) silently points at the wrong page (observed at bench
+        # scale: 92% of planted mirrors missed because stored shingles
+        # belonged to other pages)
+        mpid = merged["doc_id"].to_numpy()
+        mo = np.argsort(mpid, kind="stable")
+        perm = mo[np.searchsorted(mpid[mo], pid)]
+        merged = merged.take(pa.array(perm))
         bh_col = merged["band_hashes"].combine_chunks()
         nb = int(bh_col.type.list_size)
         m = len(merged)

@@ -220,3 +220,32 @@ def test_forced_gram_budget_slicing_matches(nd_crawl, tmp_path, monkeypatch):
     a = crawl_neardup(nd_crawl).to_pandas()
     b = crawl_neardup(ck2).to_pandas()
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_forced_multiblock_shingle_order(nd_crawl, tmp_path, monkeypatch):
+    """SHINGLE_RAY_GATE=0 with a tiny block size forces the round's
+    shingle stage through MANY Ray blocks, and a per-block sleep keyed to
+    the first node_id inverts their completion order (verified to
+    misorder ``to_arrow_refs``) — the pid-keyed reorder must make
+    assignments identical regardless (regression: at bench scale,
+    unordered blocks silently paired stored shingles with the wrong
+    pages and 92% of planted mirrors were missed)."""
+    from raycrawl import ingest_dedup
+    from raycrawl.ingest_dedup import crawl_neardup
+
+    orig = ingest_dedup._shingle_band_batch
+
+    def jittered(t, corpus_ref, k):
+        import time
+
+        time.sleep(0.1 * (hash(t["node_id"][0].as_py()) % 3))
+        return orig(t, corpus_ref, k)
+
+    monkeypatch.setattr(ingest_dedup, "SHINGLE_RAY_GATE", 0)
+    monkeypatch.setattr(ingest_dedup, "_SHINGLE_BLOCK_MIN", 8)
+    monkeypatch.setattr(ingest_dedup, "_shingle_band_batch", jittered)
+    ck2 = str(tmp_path / "nd_mb")
+    _run(ck2)
+    a = crawl_neardup(nd_crawl).to_pandas()
+    b = crawl_neardup(ck2).to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
