@@ -252,30 +252,60 @@ def _fused_verify_chunk(sigA16, sigA, sigB16, sigB, flatA, offsA, rowA_of,
     if not len(ea):
         z = np.empty(0, np.int64)
         return z, z, np.empty(0, np.float64)
+    # exact size screen, free of any probability envelope: jaccard is at
+    # most min(|A|,|B|)/max(|A|,|B|), so pairs whose shingle-set sizes
+    # are off by more than the threshold ratio can never pass and are
+    # dropped before any gather
+    ra = ea if rowA_of is None else rowA_of[ea]
+    la_ = (offsA[ra + 1] - offsA[ra]).astype(np.float64)
+    lb_ = (offsB[lb + 1] - offsB[lb]).astype(np.float64)
+    k = np.minimum(la_, lb_) >= threshold * np.maximum(la_, lb_)
+    ea, lb = ea[k], lb[k]
+    if not len(ea):
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.float64)
+    # verify in (later row, earlier ingestion order) with EARLY STOP: the
+    # winner semantics need only each later row's earliest exact match,
+    # so once a row succeeds, its remaining (later-ranked) candidates are
+    # never gathered. On a degenerate template corpus where whole
+    # clusters sit near the threshold this turns the exact-verify volume
+    # from O(pairs) = O(cluster²) into ~O(rows in the slice); on sparse
+    # corpora the order costs one lexsort.
+    o = np.lexsort((iordA[ea], lb))
+    ea, lb = ea[o], lb[o]
     ra = ea if rowA_of is None else rowA_of[ea]
     lens = ((offsA[ra + 1] - offsA[ra]) + (offsB[lb + 1] - offsB[lb]))
-    csum = np.cumsum(lens)
+    alive = np.ones(len(ea), bool)
     keep_e, keep_l, keep_j = [], [], []
-    start, base = 0, 0
-    while start < len(ea):
-        stop = int(np.searchsorted(csum, base + _GRAM_BUDGET)) + 1
-        stop = min(max(stop, start + 1), len(ea))
-        va, offa = _gather_segments(flatA, offsA, ra[start:stop])
-        vb, offb = _gather_segments(flatB, offsB, lb[start:stop])
+    pos = 0
+    while pos < len(ea):
+        idxs = np.flatnonzero(alive[pos:])
+        if not len(idxs):
+            break
+        idxs = idxs + pos
+        cl = np.cumsum(lens[idxs])
+        take = min(int(np.searchsorted(cl, _GRAM_BUDGET)) + 1, len(idxs))
+        sel = idxs[:take]
+        va, offa = _gather_segments(flatA, offsA, ra[sel])
+        vb, offb = _gather_segments(flatB, offsB, lb[sel])
         j = segmented_jaccard(va, offa, vb, offb)
         kk = j >= threshold
-        keep_e.append(ea[start:stop][kk])
-        keep_l.append(lb[start:stop][kk])
-        keep_j.append(j[kk])
-        base = int(csum[stop - 1])
-        start = stop
+        if kk.any():
+            keep_e.append(ea[sel][kk])
+            keep_l.append(lb[sel][kk])
+            keep_j.append(j[kk])
+            tail = idxs[take:]
+            if len(tail):
+                alive[tail] = alive[tail] & ~np.isin(lb[tail], lb[sel][kk])
+        pos = int(sel[-1]) + 1
+    if not keep_e:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.float64)
     ea = np.concatenate(keep_e)
     lb = np.concatenate(keep_l)
     j = np.concatenate(keep_j)
-    if not len(ea):
-        return ea, lb, j
-    o = np.lexsort((iordA[ea], lb))
-    ea, lb, j = ea[o], lb[o], j[o]
+    # already in (lb, iord) order; the first occurrence per row is its
+    # earliest surviving match
     first = np.concatenate([[True], lb[1:] != lb[:-1]])
     return lb[first], ea[first], j[first]
 
