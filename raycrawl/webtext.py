@@ -107,10 +107,13 @@ def _extract_anchor_partial(t: pa.Table) -> pa.Table:
         .select("src", "m")
         .explode("m")
         .drop_nulls("m")
-        .with_columns(
-            pl.col("m").str.extract(ANCHOR_PAT, 1).alias("href"),
-            pl.col("m").str.extract(ANCHOR_PAT, 2).alias("anchor"),
-        )
+        # extract_groups: both capture groups in one regex pass per match
+        # (A/B-measured equal to the two-extract form at bench scale —
+        # match strings are short, so the extra scans were noise — kept
+        # for the single pass; empty captures are "" in both forms)
+        .with_columns(pl.col("m").str.extract_groups(ANCHOR_PAT).alias("g"))
+        .unnest("g")
+        .rename({"1": "href", "2": "anchor"})
         .group_by("href", "anchor", "src")
         .len(name="n")
     )
